@@ -1,0 +1,362 @@
+package graft.table
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.model.LangRules
+
+/** One parquet data file tracked by a snapshot, with min/max lsn stats for
+  * data skipping (the engine's analogue of the reference's PostGIS indexes
+  * + ANALYZE stats, reference: docs/database.md:319-323,374-381).
+  */
+final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, maxLsn: Long)
+
+/** An immutable table snapshot — the engine's `run_info.json`
+  * (reference: stuttgart_comprehensive_script.py:870-889): schema version,
+  * live file list, committed-batch set (exactly-once), LSN high watermark.
+  */
+final case class Snapshot(
+    version: Int,
+    schemaDdl: String,
+    nBuckets: Int,
+    files: Seq[FileEntry],
+    committed: Seq[String], // "checkpointId/batchId" keys — idempotent commits
+    hwm: Long,              // applied-LSN high watermark
+    totalRows: Long
+)
+
+object ApplyMode extends Enumeration {
+  /** CopyOnWrite: merge rewrites affected buckets (read-optimised).
+    * MergeOnRead: merge appends deduped deltas; reads resolve latest-per-key;
+    * `compact()` folds deltas down (write-optimised — the 10^10-scale path).
+    */
+  val CopyOnWrite, MergeOnRead = Value
+}
+
+/** Iceberg-semantics lake table built from scratch on parquet + JSON
+  * metadata (SURVEY.md §7.2) — no Iceberg/Delta jar ships in this image.
+  *
+  * Layout:
+  * {{{
+  *   root/meta/VERSION        — atomic pointer "v<N>" (write-temp + rename)
+  *   root/meta/snap-<N>.json  — snapshot metadata
+  *   root/data/c<N>/b=<k>/part-....parquet — files written by commit N, bucket k
+  * }}}
+  *
+  * Buckets: rows are hash-bucketed by key `(repo, path)` so a merge prunes
+  * to affected buckets only — mirrors the reference's per-layer file
+  * isolation (process_layers.py:50-52) made key-local. Tombstones are kept
+  * (`deleted = true`) which makes merge order- and replay-robust: a late
+  * lower-LSN insert can never resurrect a higher-LSN delete.
+  *
+  * Exactly-once: a commit records its `(checkpointId, batchId)`; a replayed
+  * batch is detected and skipped — the reference's never-overwrite run
+  * numbering (stuttgart_comprehensive_script.py:48-68) made transactional.
+  */
+final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: Int = 32,
+                      val mode: ApplyMode.Value = ApplyMode.CopyOnWrite) {
+  import LakeTable._
+
+  private val metaDir = s"$root/meta"
+  private val dataDir = s"$root/data"
+
+  def bucketCol(repo: String = "repo", path: String = "path") =
+    pmod(xxhash64(col(repo), col(path)), lit(nBuckets.toLong)).cast("int")
+
+  // ---- snapshot IO -------------------------------------------------------
+
+  def currentSnapshot(): Option[Snapshot] = {
+    val vf = Paths.get(metaDir, "VERSION")
+    if (!Files.exists(vf)) None
+    else {
+      val v = new String(Files.readAllBytes(vf), StandardCharsets.UTF_8).trim.toInt
+      Some(SnapshotIO.read(Paths.get(metaDir, s"snap-$v.json")))
+    }
+  }
+
+  def committed(cpId: String, batchId: Long): Boolean =
+    currentSnapshot().exists(_.committed.contains(s"$cpId/$batchId"))
+
+  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def commitSnapshot(s: Snapshot): Unit = {
+    atomicWrite(Paths.get(metaDir, s"snap-${s.version}.json"), SnapshotIO.write(s))
+    atomicWrite(Paths.get(metaDir, "VERSION"), s.version.toString)
+  }
+
+  // ---- read paths --------------------------------------------------------
+
+  private def emptyTable(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** All stored rows of the given buckets (deltas unresolved, tombstones
+    * included), read against the LATEST schema — older files null-backfill
+    * missing columns (additive schema evolution, SURVEY.md §1.3).
+    */
+  private[graft] def readRaw(buckets: Option[Set[Int]] = None): DataFrame = {
+    currentSnapshot() match {
+      case None => emptyTable(StructType.fromDDL(graft.model.Schemas.repoRow.toDDL))
+      case Some(s) =>
+        val schema = StructType.fromDDL(s.schemaDdl)
+        val files = buckets.fold(s.files)(bs => s.files.filter(f => bs(f.bucket)))
+        if (files.isEmpty) emptyTable(schema)
+        else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    }
+  }
+
+  /** Latest version of every key (tombstones still present). In CopyOnWrite
+    * mode stored rows are already resolved; in MergeOnRead this applies the
+    * LSN-ordered dedup at read time.
+    */
+  def readResolved(buckets: Option[Set[Int]] = None): DataFrame = {
+    val raw = readRaw(buckets)
+    if (mode == ApplyMode.CopyOnWrite) raw else latestPerKey(raw)
+  }
+
+  /** Live rows — the user-facing `repos` table. */
+  def read(): DataFrame = readResolved().where(!col("deleted")).drop("deleted")
+
+  // ---- the apply path (SURVEY.md §7.3) ------------------------------------
+
+  /** Clean stage: rule-driven lang categorisation + sha256 invariant +
+    * tombstone flag (the reference's staging→processed transform,
+    * process_layers.py:58-99). Extra event columns (schema evolution, e.g.
+    * `branch`) pass through untouched.
+    */
+  private def clean(events: DataFrame): DataFrame = {
+    val extra = events.columns.toSeq.filterNot(Set("lsn", "ts", "op", "repo", "path", "commit", "content"))
+    events.select(
+      Seq(
+        col("repo"), col("path"), col("commit"),
+        LangRules.langFor(col("path")).as("lang"),
+        col("content"),
+        when(col("content").isNull, lit(null)).otherwise(sha2(col("content"), 256)).as("contentSha"),
+        col("lsn"),
+        (col("op") === "D").as("deleted")
+      ) ++ extra.map(col): _*
+    )
+  }
+
+  /** Apply one micro-batch of ChangeEvents. Exactly-once: a batch whose
+    * (cpId, batchId) is already committed is skipped entirely.
+    * Returns the per-bucket ledger stats of the commit (empty if skipped).
+    */
+  def merge(events: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+    if (committed(cpId, batchId)) return Seq.empty
+    val snap = currentSnapshot()
+    val version = snap.fold(0)(_.version) + 1
+
+    val incoming = clean(events).withColumn("b", bucketCol()).persist()
+    try {
+      val affected: Set[Int] =
+        incoming.select("b").distinct().collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) { // empty batch still commits (records the id)
+        val prev = snap.getOrElse(emptySnapshot)
+        commitSnapshot(prev.copy(version = version,
+          committed = prev.committed :+ s"$cpId/$batchId"))
+        return Seq.empty
+      }
+
+      val toWrite = mode match {
+        case ApplyMode.MergeOnRead =>
+          // write-optimised: only dedup within the batch, append as delta
+          latestPerKey(incoming)
+        case ApplyMode.CopyOnWrite =>
+          // read existing rows of affected buckets ONLY (bucket pruning),
+          // union with the batch, keep max-LSN row per key. Existing rows
+          // carry their lsn, so the max-LSN guard (ignore events at or
+          // below the applied lsn of a key) falls out of the same window.
+          val existing = readResolved(Some(affected)).withColumn("b", bucketCol())
+          latestPerKey(existing.unionByName(incoming, allowMissingColumns = true))
+      }
+
+      val commitDir = s"$dataDir/c$version"
+      val out = toWrite.repartition(math.max(affected.size, 1), col("b")).persist()
+      try {
+        out.write.partitionBy("b").mode("overwrite").parquet(commitDir)
+        val stats = out.groupBy("b").agg(
+          count(lit(1)).as("rows"), min("lsn").as("minLsn"), max("lsn").as("maxLsn"),
+          sum(when(!col("deleted"), 1L).otherwise(0L)).as("live"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("tombstones")
+        ).collect().map(r => BucketStats(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+
+        val newEntries = stats.flatMap { st =>
+          listParquet(s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+        }
+        val prev = snap.getOrElse(emptySnapshot)
+        val kept = mode match {
+          case ApplyMode.CopyOnWrite => prev.files.filterNot(f => affected(f.bucket))
+          case ApplyMode.MergeOnRead => prev.files // deltas stack; compact() folds
+        }
+        val schemaDdl = toWrite.drop("b").schema.toDDL
+        val batchHwm = stats.map(_.maxLsn).max
+        commitSnapshot(Snapshot(
+          version = version,
+          schemaDdl = schemaDdl,
+          nBuckets = nBuckets,
+          files = kept ++ newEntries,
+          committed = prev.committed :+ s"$cpId/$batchId",
+          hwm = math.max(prev.hwm, batchHwm),
+          totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum
+        ))
+        stats.toSeq
+      } finally out.unpersist()
+    } finally incoming.unpersist()
+  }
+
+  /** Fold MergeOnRead deltas down to one resolved file set per bucket —
+    * the write-optimised path's periodic compaction.
+    */
+  def compact(): Unit = {
+    val snap = currentSnapshot().getOrElse(return)
+    val resolved = readResolved().withColumn("b", bucketCol())
+    val version = snap.version + 1
+    val commitDir = s"$dataDir/c$version"
+    val out = resolved.repartition(nBuckets, col("b")).persist()
+    try {
+      out.write.partitionBy("b").mode("overwrite").parquet(commitDir)
+      val stats = out.groupBy("b").agg(
+        count(lit(1)).as("rows"), min("lsn").as("minLsn"), max("lsn").as("maxLsn")
+      ).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val entries = stats.flatMap { case (b, rows, mn, mx) =>
+        listParquet(s"$commitDir/b=$b").map(p => FileEntry(b, p, rows, mn, mx))
+      }
+      commitSnapshot(snap.copy(version = version, files = entries.toSeq,
+        totalRows = entries.map(_.rows).sum))
+    } finally out.unpersist()
+  }
+
+  private def emptySnapshot =
+    Snapshot(0, graft.model.Schemas.repoRow.toDDL, nBuckets, Seq.empty, Seq.empty, 0L, 0L)
+}
+
+object LakeTable {
+  final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
+                               live: Long, tombstones: Long)
+
+  /** W5 latest-value-per-key (SURVEY.md §2.6): max-LSN row per (repo, path);
+    * tie-break total on (commit, deleted) so replays with duplicate LSNs are
+    * deterministic (reference precedent: year==max latest-per-key,
+    * population_pipeline_stuttgart.py:52-53).
+    */
+  def latestPerKey(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("repo", "path")
+      .orderBy(col("lsn").desc, col("commit").desc, col("deleted").desc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  def listParquet(dir: String): Seq[String] = {
+    val d = new File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+  }
+}
+
+/** Hand-rolled JSON codec for snapshot metadata — flat, versioned, no
+  * external deps beyond the JDK (snapshot files must stay readable by any
+  * tool; format documented in SURVEY.md §7.2).
+  */
+object SnapshotIO {
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  def write(s: Snapshot): String = {
+    val files = s.files.map(f =>
+      s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}}"""
+    ).mkString("[", ",", "]")
+    val committed = s.committed.map(q).mkString("[", ",", "]")
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"hwm":${s.hwm},"totalRows":${s.totalRows},"files":$files,"committed":$committed}"""
+  }
+
+  def read(path: java.nio.file.Path): Snapshot = {
+    val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+    parse(txt)
+  }
+
+  // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers).
+  def parse(txt: String): Snapshot = {
+    val v = JsonMini.parse(txt).asInstanceOf[Map[String, Any]]
+    Snapshot(
+      version = v("version").asInstanceOf[Double].toInt,
+      schemaDdl = v("schemaDdl").asInstanceOf[String],
+      nBuckets = v("nBuckets").asInstanceOf[Double].toInt,
+      files = v("files").asInstanceOf[Seq[Any]].map { fa =>
+        val f = fa.asInstanceOf[Map[String, Any]]
+        FileEntry(f("bucket").asInstanceOf[Double].toInt, f("path").asInstanceOf[String],
+          f("rows").asInstanceOf[Double].toLong, f("minLsn").asInstanceOf[Double].toLong,
+          f("maxLsn").asInstanceOf[Double].toLong)
+      },
+      committed = v("committed").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
+      hwm = v("hwm").asInstanceOf[Double].toLong,
+      totalRows = v("totalRows").asInstanceOf[Double].toLong
+    )
+  }
+}
+
+/** Tiny JSON parser (JDK-only) for snapshot/ledger files. */
+object JsonMini {
+  def parse(s: String): Any = { val p = new P(s); val v = p.value(); p.ws(); v }
+  private final class P(s: String) {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def value(): Any = { ws(); s.charAt(i) match {
+      case '{' => obj(); case '[' => arr(); case '"' => str()
+      case 't' => i += 4; true
+      case 'f' => i += 5; false
+      case 'n' => i += 4; null
+      case _ => num()
+    }}
+    def obj(): Map[String, Any] = {
+      i += 1; ws(); val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+      if (s.charAt(i) == '}') { i += 1; return m.toMap }
+      while (true) {
+        ws(); val k = str(); ws(); require(s.charAt(i) == ':'); i += 1
+        m(k) = value(); ws()
+        if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == '}'); i += 1; return m.toMap }
+      }
+      m.toMap
+    }
+    def arr(): Seq[Any] = {
+      i += 1; ws(); val b = scala.collection.mutable.ArrayBuffer[Any]()
+      if (s.charAt(i) == ']') { i += 1; return b.toSeq }
+      while (true) {
+        b += value(); ws()
+        if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == ']'); i += 1; return b.toSeq }
+      }
+      b.toSeq
+    }
+    def str(): String = {
+      require(s.charAt(i) == '"'); i += 1; val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c => sb += c
+          }
+        } else sb += s.charAt(i)
+        i += 1
+      }
+      i += 1; sb.toString
+    }
+    def num(): Double = {
+      val st = i
+      while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
+      s.substring(st, i).toDouble
+    }
+  }
+}
