@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.Schemas
-import graft.table.{ApplyMode, LakeTable, Ledger}
+import graft.table.LakeTable
 
 /** Structured Streaming WAL tail → lake upsert (SURVEY.md §7.3, §2.1 S8).
   *
@@ -28,7 +28,6 @@ object IngestStream {
   def start(spark: SparkSession, walDir: String, table: LakeTable, cpId: String,
             checkpointDir: String, maxFilesPerTrigger: Int = 4,
             onBatch: (Long, Seq[LakeTable.BucketStats]) => Unit = (_, _) => ()): StreamingQuery = {
-    val ledger = new Ledger(table.root)
     spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -38,9 +37,8 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // merge writes the lineage ledger entry itself, inside the commit
         val stats = table.merge(batch, cpId, batchId)
-        if (stats.nonEmpty)
-          ledger.record(Ledger.Entry(cpId, batchId, stats, stats.map(_.maxLsn).max))
         onBatch(batchId, stats)
       }
       .start()

@@ -5,7 +5,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -65,6 +64,7 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
 
   private val metaDir = s"$root/meta"
   private val dataDir = s"$root/data"
+  val ledger = new Ledger(root)
 
   def bucketCol(repo: String = "repo", path: String = "path") =
     pmod(xxhash64(col(repo), col(path)), lit(nBuckets.toLong)).cast("int")
@@ -201,6 +201,10 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
         }
         val schemaDdl = toWrite.drop("b").schema.toDDL
         val batchHwm = stats.map(_.maxLsn).max
+        // Ledger entry goes down BEFORE the VERSION flip: if we crash in
+        // between, the batch is uncommitted, the retry re-merges and
+        // overwrites the same entry idempotently — no lineage gaps.
+        ledger.record(Ledger.Entry(cpId, batchId, stats.toSeq, math.max(prev.hwm, batchHwm)))
         commitSnapshot(Snapshot(
           version = version,
           schemaDdl = schemaDdl,
@@ -246,14 +250,23 @@ object LakeTable {
                                live: Long, tombstones: Long)
 
   /** W5 latest-value-per-key (SURVEY.md §2.6): max-LSN row per (repo, path);
-    * tie-break total on (commit, deleted) so replays with duplicate LSNs are
-    * deterministic (reference precedent: year==max latest-per-key,
+    * tie-break total on (commit, then payload) so replays with duplicate
+    * LSNs are deterministic (reference precedent: year==max latest-per-key,
     * population_pipeline_stuttgart.py:52-53).
+    *
+    * Implemented as `max(struct(lsn, commit, payload...))` rather than a
+    * `row_number` window: hash aggregation gets map-side partial combine,
+    * so a hot key with millions of events in one batch reduces locally on
+    * every partition before the shuffle — the window form would funnel the
+    * whole hot key through one task. This is the skew story for the dedup
+    * stage; no salting needed because the aggregate is associative.
     */
   def latestPerKey(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("repo", "path")
-      .orderBy(col("lsn").desc, col("commit").desc, col("deleted").desc)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val payload = df.columns.toSeq.filterNot(c => c == "repo" || c == "path" || c == "lsn" || c == "commit")
+    val ordered = Seq("lsn", "commit") ++ payload
+    df.groupBy("repo", "path")
+      .agg(max(struct(ordered.map(col): _*)).as("__m"))
+      .select(col("repo") +: col("path") +: ordered.map(c => col(s"__m.`$c`").as(c)): _*)
   }
 
   def listParquet(dir: String): Seq[String] = {

@@ -6,10 +6,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Per-batch, per-partition lineage ledger (SURVEY.md §2.2 K5/K6) — the
   * engine's `run_info.json` (reference: stuttgart_comprehensive_script.py:870-889,
   * outputs/stuttgart_maps_030/run_info.json): which batch, which bucket,
-  * how many rows, the applied-LSN high watermark. Written AFTER the
-  * snapshot commit; idempotence is carried by the snapshot's committed set,
-  * so a crash between snapshot-commit and ledger-write is repaired on
-  * replay (the batch is detected as committed, the entry re-written).
+  * how many rows, the applied-LSN high watermark. Written by the merge
+  * JUST BEFORE the snapshot VERSION flip: a crash in between leaves the
+  * batch uncommitted, the replay re-merges and overwrites the same entry
+  * idempotently — ledger and table can never diverge.
   */
 final class Ledger(root: String) {
   import Ledger.Entry

@@ -26,7 +26,8 @@ object OracleApplier {
   def replay(events: Seq[Ev]): Map[(String, String), St] =
     events.sortBy(e => (e.lsn, e.commit)).foldLeft(Map.empty[(String, String), St]) { (m, e) =>
       val k = (e.repo, e.path)
-      if (m.get(k).exists(_.lsn >= e.lsn)) m
+      // same total order as the engine: max (lsn, commit) wins
+      if (m.get(k).exists(s => s.lsn > e.lsn || (s.lsn == e.lsn && s.commit >= e.commit))) m
       else m.updated(k, St(e.commit, lang(e.path),
         Option(e.content).map(sha256).orNull, e.lsn, e.op == "D"))
     }
