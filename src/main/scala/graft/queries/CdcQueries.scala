@@ -1,0 +1,156 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.model.LangRules
+import graft.table.{ApplyMode, LakeTable}
+
+/** The engine's own end-to-end queries: generate the seeded WAL fixture,
+  * apply it through the real merge path in several batches, and expose the
+  * final snapshot — which the driver cross-checks against an INDEPENDENT
+  * DuckDB replay (window latest-per-key over the same WAL parquet + the
+  * same lang rule table + sha256). This is the BASELINE.json correctness
+  * criterion (final-table row-for-row equality under the sha256(content)
+  * invariant) wired into the oracle gate.
+  */
+object CdcQueries {
+
+  val FixtureRoot = "/tmp/graft_fixtures"
+  val LakeRoot = "/tmp/graft_lakes"
+
+  /** the oracle fixture — FIXED regardless of sfDir so the static oracle
+    * SQL always refers to the same data (FIXTURES.md `sm`).
+    */
+  val smCfg = GenConfig(seed = 42L, events = 50000L, repos = 25, filesPerRepo = 40, hotShare = 0.5)
+  val smWal = s"$FixtureRoot/wal_sm"
+  val smBatches = 5
+  val smBuckets = 16
+
+  def deleteRec(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  }
+
+  def ensureSmWal(spark: SparkSession): Unit =
+    ChangeLogGen.writeWal(spark, smCfg, smWal, segments = 10)
+
+  /** Build (or reuse) the sm lake. The engine is deterministic and
+    * idempotent, so a fully-committed lake is reusable as-is; anything
+    * partial (crash mid-build) is detected via the committed count and
+    * rebuilt from zero.
+    */
+  def smLake(spark: SparkSession): LakeTable = {
+    ensureSmWal(spark)
+    val dir = s"$LakeRoot/sm_cow"
+    val t = new LakeTable(spark, dir, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t.currentSnapshot().exists(s => s.committed.size == smBatches && s.hwm == smCfg.events)
+    if (!ok) {
+      deleteRec(dir)
+      val fresh = new LakeTable(spark, dir, smBuckets, ApplyMode.CopyOnWrite)
+      val wal = spark.read.parquet(smWal)
+      val per = smCfg.events / smBatches
+      (0 until smBatches).foreach { i =>
+        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "sm", i.toLong)
+      }
+      return fresh
+    }
+    t
+  }
+
+  /** final snapshot of the engine after the 5-batch apply — compared
+    * row-for-row against the DuckDB replay oracle.
+    */
+  def cdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    smLake(s).read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+
+  /** publish-layer rollup over the snapshot (A1 over the lake). */
+  def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
+    smLake(s).read()
+      .groupBy("lang").agg(count(lit(1)).as("n_files"))
+      .orderBy("lang")
+
+  /** live + tombstone accounting per repo of the hot-skewed fixture. */
+  def cdcRepoStats(s: SparkSession, dir: String): DataFrame =
+    smLake(s).readResolved()
+      .groupBy("repo")
+      .agg(sum(when(!col("deleted"), 1L).otherwise(0L)).as("live"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("tombstones"),
+        max("lsn").as("max_lsn"))
+      .orderBy("repo")
+
+  /** lineage ledger audit (rows-only check — JSON files from the engine). */
+  def cdcLedger(s: SparkSession, dir: String): DataFrame = {
+    val t = smLake(s)
+    s.read.json(s"${t.root}/ledger")
+      .select(col("batchId"), col("appliedLsnHwm"), size(col("buckets")).as("n_buckets"))
+      .orderBy("batchId")
+  }
+
+  /** throughput fixture — sized by sfDir, rebuilt from zero every call so
+    * Bench measures the full upsert-apply path (no oracle; rows-only).
+    */
+  def cdcIngestBench(s: SparkSession, dir: String): DataFrame = {
+    val sf = dir.split("/").last
+    val (name, events) = sf match {
+      case "sf0.001" => ("wal_xs", 10000L)
+      case "sf0.1"   => ("wal_bench", 1000000L)
+      case _          => ("wal_md", 200000L)
+    }
+    val cfg = GenConfig(seed = 42L, events = events, repos = math.max(20, (events / 2000).toInt), filesPerRepo = 50)
+    val wal = s"$FixtureRoot/$name"
+    ChangeLogGen.writeWal(s, cfg, wal, segments = math.max(4, (events / 50000).toInt))
+    val lakeDir = s"$LakeRoot/bench_$name"
+    deleteRec(lakeDir)
+    val t = new LakeTable(s, lakeDir, 32, ApplyMode.MergeOnRead)
+    val walDf = s.read.parquet(wal)
+    val nb = 8; val per = events / nb
+    (0 until nb).foreach { i =>
+      t.merge(walDf.where(col("lsn").between(i * per + 1, (i + 1) * per)), "bench", i.toLong)
+    }
+    t.compact()
+    t.read().groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+  }
+
+  private def walSrc = s"read_parquet('$smWal/*.parquet')"
+
+  val oracles: Map[String, String] = Map(
+    "cdc_snapshot" -> s"""
+      SELECT repo, path, "commit", ${LangRules.langSqlCase("path")} AS lang,
+             sha256(content) AS content_sha
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""",
+    "cdc_lang_counts" -> s"""
+      SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n_files
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1""",
+    "cdc_repo_stats" -> s"""
+      SELECT repo,
+             CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS live,
+             CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+             max(lsn) AS max_lsn
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot" -> cdcSnapshot _,
+    "cdc_lang_counts" -> cdcLangCounts _,
+    "cdc_repo_stats" -> cdcRepoStats _,
+    "cdc_ledger" -> cdcLedger _,
+    "cdc_ingest_bench" -> cdcIngestBench _
+  )
+}

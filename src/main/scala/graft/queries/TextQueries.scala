@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import RelationalQueries.T
+
+/** Text-analysis + deduplication battery over `documents` — the operations
+  * a large-scale training-data pipeline needs: exact dedup, fingerprinting,
+  * token/quality stats, language-ID heuristics, n-gram Jaccard, and
+  * MinHash+LSH / SimHash near-dup (the latter two oracle-less: they depend
+  * on Spark's xxhash64, verified against hand-computed fixtures in
+  * TextOpsSpec instead).
+  *
+  * Everything is built from codegen'd built-ins and higher-order functions
+  * (transform / aggregate / zip_with) — no UDFs — so whole-stage codegen
+  * spans the hot path and all ops scale by plain hash-shuffle.
+  */
+object TextQueries {
+
+  /** whitespace tokenisation shared by all text ops */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  // ---- oracle-backed ------------------------------------------------------
+
+  // sha256 per-row invariant (the engine's content_sha) over a neutral table.
+  def q17ShaDocs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), countDistinct(sha2(col("text"), 256)).as("n_sha"))
+      .orderBy("lang")
+
+  // exact deduplication: hash-groupBy on md5(text) — dup_rows per lang.
+  def q18DedupExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_rows"))
+      .orderBy("lang")
+
+  // token counting + length stats per lang.
+  def q19TokenStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("toks"), length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(sum("toks").as("total_tokens"), round(avg("chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+
+  // quality scoring: alpha-and-space ratio + mean token length.
+  def q20Quality(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"),
+        (length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") / length(col("text"))).as("alpha_ratio"),
+        (length(col("text")).cast("double") / size(tokens(col("text")))).as("chars_per_tok"))
+      .groupBy("lang")
+      .agg(round(avg("alpha_ratio"), 6).as("avg_alpha"), round(avg("chars_per_tok"), 6).as("avg_ctok"))
+      .orderBy("lang")
+
+  // language-ID heuristic: stopword-pattern rules (n-gram heuristic per the
+  // brief); a CASE chain like the engine's lang rule table, cross-checked
+  // against the dataset's own lang label.
+  def q21LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val predicted = when(t.like("% the %") || t.like("% a %") || t.like("% of %"), "en")
+      .when(t.like("% der %") || t.like("% und %") || t.like("% die %"), "de")
+      .when(t.like("% le %") || t.like("% la %") || t.like("% et %"), "fr")
+      .otherwise("und")
+    T(s, dir, "documents")
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  // document fingerprinting: md5 over whitespace-normalised lowercase text;
+  // duplicate-fingerprint mass per source.
+  def q22Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    T(s, dir, "documents")
+      .withColumn("fp", fp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fp"))
+      .orderBy("source")
+  }
+
+  // n-gram (word 3-shingle) Jaccard candidate pairs: explode distinct
+  // shingles, drop high-document-frequency shingles (bounds the self-join
+  // fan-out at scale — candidates-then-verify, SURVEY.md §4), equi-join on
+  // shingle, count shared per pair. Fully shuffle-parallel by shingle.
+  def q23ShinglePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
+    val sh = docs.select(col("doc_id"), explode(shingles(col("ws"), 3)).as("sh")).distinct()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 20)
+    val filtered = sh.join(rare.select("sh"), Seq("sh"))
+    val a = filtered.as("a"); val b = filtered.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 10)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** word n-shingles via higher-order functions (no UDF):
+    * transform(sequence(0, size-n), i -> concat_ws(' ', slice(ws, i+1, n)))
+    */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+
+  // ---- oracle-less (hash-dependent; verified in TextOpsSpec) -------------
+
+  /** MinHash signature: k independent min-hashes over the shingle set,
+    * each xxhash64 seeded by the hash index — array_min over a transform,
+    * all codegen'd.
+    */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, x => xxhash64(i, x))))
+
+  /** MinHash + LSH banding: signatures split into bands of `rows` hashes;
+    * docs sharing any band bucket are candidate near-dups; candidates are
+    * verified with exact shingle-set Jaccard (candidates-then-verify).
+    */
+  def q24MinhashLsh(s: SparkSession, dir: String,
+                    k: Int = 16, rows: Int = 4, threshold: Double = 0.4): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      .where(size(col("sh")) > 0)
+    minhashPairs(docs, k, rows, threshold)
+  }
+
+  /** core MinHash+LSH pipeline over (doc_id, sh: array<string>) — split out
+    * so tests can feed hand-built corpora.
+    */
+  def minhashPairs(docs: DataFrame, k: Int, rows: Int, threshold: Double): DataFrame = {
+    val sig = docs.withColumn("sig", minhashSig(col("sh"), k))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(k / rows - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha_"), col("b.sh").as("shb_"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sha_"), col("shb_"))).cast("double"))
+      .where(col("inter") / col("uni") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over the token multiset, via higher-order aggregate:
+    * per token, xxhash64 bits vote +1/-1 into 64 counters; the sign vector
+    * is reassembled into one BIGINT. All built-ins — codegen'd end to end.
+    */
+  def simhash64(toks: Column): Column = {
+    // shiftright/shiftleft take an Int literal in the Scala API; inside a
+    // lambda the shift amount is a Column, so call the SQL function directly.
+    def shr(c: Column, i: Column) = call_function("shiftright", c, i)
+    def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        i => shr(xxhash64(t), i).bitwiseAND(lit(1L))),
+        (a, bit) => a + bit * 2L - 1L))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)), (c, i) => when(c > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  def q25Simhash(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("simhash"))
+      .groupBy("simhash").agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .where(col("n") >= 1)
+      .orderBy(col("n").desc, col("simhash"))
+      .limit(50)
+
+  val oracles: Map[String, String] = Map(
+    "q17_sha_docs" -> """
+      SELECT lang, count(*) AS n, count(DISTINCT sha256(text)) AS n_sha
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q18_dedup_exact" -> """
+      SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+             count(*) - count(DISTINCT md5(text)) AS dup_rows
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q19_token_stats" -> """
+      SELECT lang, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             round(avg(length(text)), 4) AS avg_chars
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q20_quality" -> """
+      SELECT lang,
+             round(avg(length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE / length(text)), 6) AS avg_alpha,
+             round(avg(length(text)::DOUBLE / len(string_split_regex(trim(text), '\s+'))), 6) AS avg_ctok
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q21_langid" -> """
+      SELECT lang, CASE WHEN text LIKE '% the %' OR text LIKE '% a %' OR text LIKE '% of %' THEN 'en'
+                        WHEN text LIKE '% der %' OR text LIKE '% und %' OR text LIKE '% die %' THEN 'de'
+                        WHEN text LIKE '% le %' OR text LIKE '% la %' OR text LIKE '% et %' THEN 'fr'
+                        ELSE 'und' END AS predicted, count(*) AS n
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q22_fingerprint" -> """
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_fp
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q23_shingle_pairs" -> """
+      WITH sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+          WHERE len(ws) >= 3)),
+      rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) WHERE df <= 20),
+      f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_sha_docs" -> q17ShaDocs _, "q18_dedup_exact" -> q18DedupExact _,
+    "q19_token_stats" -> q19TokenStats _, "q20_quality" -> q20Quality _,
+    "q21_langid" -> q21LangId _, "q22_fingerprint" -> q22Fingerprint _,
+    "q23_shingle_pairs" -> q23ShinglePairs _,
+    "q24_minhash_lsh" -> ((s: SparkSession, d: String) => q24MinhashLsh(s, d)),
+    "q25_simhash" -> q25Simhash _
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import RelationalQueries.T
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (candidates only within matching
+  * buckets). Dot products via zip_with + aggregate — codegen'd built-ins,
+  * no UDF.
+  */
+object VectorQueries {
+
+  /** cosine similarity of two double arrays, evaluated left-to-right like
+    * DuckDB's list_cosine_similarity (element order fixed → deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** exact brute-force top-k neighbours for a fixed query subset; ties
+    * broken by neighbour id so the ranking is total.
+    */
+  def q26AnnBrute(s: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q = emb(s, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb(s, dir).select(col("vec_id").as("nid"), col("v").as("cv"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 3).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Multi-table random-hyperplane LSH: L independent tables of b sign
+    * bits each (fixed hyperplanes from a seeded PRNG at plan-build time —
+    * literals in the plan, no runtime randomness). A vector lands in one
+    * bucket per table; candidates = union over tables of same-bucket
+    * vectors, deduped, then exactly scored (candidates-then-verify).
+    * The 100 TB path: b controls candidate-set shrinkage per table
+    * (~2^-b of the corpus), L controls recall (1-(1-p^b)^L); the shuffle
+    * stays a plain equi-join on (table, bucket).
+    */
+  def lshBuckets(v: Column, tables: Seq[Seq[Array[Double]]]): Column = {
+    // array of per-table bucket ids: table index in the high bits
+    val buckets = tables.zipWithIndex.map { case (planes, t) =>
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(zip_with(v, typedlit(p.toSeq), (x, w) => x * w), lit(0.0d), (a, b) => a + b)
+        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      (bits.reduce(_ + _) + lit(t.toLong * 4096L)).as(s"b$t")
+    }
+    array(buckets: _*)
+  }
+
+  def tables(nTables: Int, bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** candidate pairs (qid < nid-free; directed q → c) via multi-table LSH */
+  private def lshCandidates(e: DataFrame, nTables: Int, bits: Int): DataFrame = {
+    val ts = tables(nTables, bits, 64)
+    val withB = e.withColumn("bucket", explode(lshBuckets(col("v"), ts)))
+    val q = withB.select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val c = withB.select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+    q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
+      .select("qid", "qv", "nid", "cv")
+      .dropDuplicates("qid", "nid")
+  }
+
+  def q27AnnLsh(s: SparkSession, dir: String, nTables: Int = 8, bits: Int = 4, k: Int = 5): DataFrame = {
+    val e = emb(s, dir)
+    val cand = lshCandidates(e, nTables, bits).where(col("qid") < 20)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 3).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** embedding-cosine near-duplicate detection: pairs above a similarity
+    * threshold within LSH candidates (the near-dup flavour of q27).
+    */
+  def q28EmbeddingDup(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame =
+    lshCandidates(emb(s, dir), nTables = 8, bits = 4)
+      .where(col("qid") < col("nid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .where(col("sim") >= threshold)
+      .select(col("qid").as("ida"), col("nid").as("idb"), round(col("sim"), 4).as("sim"))
+      .orderBy("ida", "idb")
+
+  val oracles: Map[String, String] = Map(
+    "q26_ann_brute" -> """
+      SELECT qid, rnk, nid, sim FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_ann_brute" -> ((s: SparkSession, d: String) => q26AnnBrute(s, d)),
+    "q27_ann_lsh" -> ((s: SparkSession, d: String) => q27AnnLsh(s, d)),
+    "q28_embedding_dup" -> ((s: SparkSession, d: String) => q28EmbeddingDup(s, d))
+  )
+}
