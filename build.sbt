@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: benchmark runs allocate GBs/s of short-lived
+  // rows; G1's pause targets cost wall-clock and add run-to-run variance
+  "-XX:+UseParallelGC",
 )

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.queries.CdcQueries
+import graft.table.{ApplyMode, LakeTable}
+
+/** The north-rule scaling evidence (BASELINE.json): the SAME upsert-apply
+  * job on the SAME input at two parallelism levels — local[N] and
+  * local[4N] standing in for N and 4N executors in this single-box sandbox
+  * — reporting sustained change-events/sec at each level and the scaling
+  * efficiency (thr_4N / thr_N) / 4. Results are appended to BENCH.md.
+  *
+  * Args: [events] [nLow] [factor] [batches] [mode]
+  */
+object BenchScaling {
+
+  def runApply(spark: SparkSession, walDir: String, events: Long, batches: Int,
+               mode: ApplyMode.Value, lakeDir: String, buckets: Int): Double = {
+    CdcQueries.deleteRec(lakeDir)
+    settle() // flush dirty pages from the previous run OUTSIDE the timing
+    val t = new LakeTable(spark, lakeDir, buckets, mode)
+    val wal = spark.read.parquet(walDir)
+    val per = events / batches
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "bench", i.toLong)
+    }
+    if (mode == ApplyMode.MergeOnRead) t.compact()
+    val live = t.read().count() // force a full read so the result is real
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[scaling] mode=$mode events=$events batches=$batches live=$live sec=$sec%.1f thr=${events / sec}%.0f ev/s")
+    events / sec
+  }
+
+  /** fsync the filesystem so one run's page-cache writeback doesn't stall
+    * the next run's timed section (single-box artifact; a cluster's
+    * executors have independent disks).
+    */
+  def settle(): Unit = {
+    try { Runtime.getRuntime.exec(Array("sync")).waitFor() } catch { case _: Throwable => () }
+    Thread.sleep(1000)
+  }
+
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // keep input splits small so every core has work even when one
+      // micro-batch covers only a few WAL segment files (same setting at
+      // both parallelism levels — a cluster would size this identically)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** single-level mode for tools/run_scaling.sh: one fresh JVM, hard-pinned
+    * to N cores (taskset + ActiveProcessorCount) — the honest single-box
+    * stand-in for an N-core executor. Prints "SCALING_THR <cores> <thr>".
+    * Usage: BenchScaling single <cores> <events> <batches> <cow|mor>
+    */
+  def singleMode(args: Array[String]): Unit = {
+    val cores = args(1).toInt
+    val events = args(2).toLong
+    val batches = args(3).toInt
+    val mode = if (args(4).equalsIgnoreCase("cow")) ApplyMode.CopyOnWrite else ApplyMode.MergeOnRead
+    val scalingRoot = "/dev/shm/graft_scaling"
+    val cfg = GenConfig(seed = 42L, events = events,
+      repos = math.max(50, (events / 2000).toInt), filesPerRepo = 50, maxContentReps = 8)
+    val walDir = s"$scalingRoot/wal_$events"
+    val s = session(cores)
+    ChangeLogGen.writeWal(s, cfg, walDir, segments = math.max(8, (events / 250000L).toInt))
+    // one JIT/cache warm-up, then two measured runs; report the max (noise
+    // on this box is one-sided: interruptions only ever slow a run down)
+    runApply(s, walDir, events, batches, mode, s"$scalingRoot/single_warm_$cores", 32)
+    val thr = (1 to 2).map { i =>
+      runApply(s, walDir, events, batches, mode, s"$scalingRoot/single_${cores}_$i", 32)
+    }.max
+    (1 to 2).foreach(i => CdcQueries.deleteRec(s"$scalingRoot/single_${cores}_$i"))
+    CdcQueries.deleteRec(s"$scalingRoot/single_warm_$cores")
+    println(f"SCALING_THR $cores ${thr}%.0f")
+    s.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length > 0 && args(0) == "single") return singleMode(args)
+    val events = if (args.length > 0) args(0).toLong else 4000000L
+    val nLow = if (args.length > 1) args(1).toInt else 8
+    val factor = if (args.length > 2) args(2).toInt else 4
+    val batches = if (args.length > 3) args(3).toInt else 8
+    val mode = if (args.length > 4 && args(4).equalsIgnoreCase("cow")) ApplyMode.CopyOnWrite else ApplyMode.MergeOnRead
+    val nHigh = nLow * factor
+
+    // Scaling fixture lives on ramfs: a real cluster's executors have
+    // independent disks; on this single box the shared /tmp writeback
+    // dominates variance otherwise. Content ~300 B/event (CDC row-change
+    // scale) so the measurement exercises the engine, not memcpy of one
+    // giant string column.
+    val scalingRoot = "/dev/shm/graft_scaling"
+    val cfg = GenConfig(seed = 42L, events = events,
+      repos = math.max(50, (events / 2000).toInt), filesPerRepo = 50, maxContentReps = 8)
+    val walDir = s"$scalingRoot/wal_$events"
+
+    // generate once at high parallelism (not part of the measurement)
+    val sGen = session(nHigh)
+    ChangeLogGen.writeWal(sGen, cfg, walDir, segments = math.max(8, (events / 250000L).toInt))
+    sGen.stop()
+
+    def measureOnce(cores: Int, tag: String): Double = {
+      val s = session(cores)
+      val dir = s"$scalingRoot/scal_$tag"
+      val thr = runApply(s, walDir, events, batches, mode, dir, 32)
+      s.stop()
+      CdcQueries.deleteRec(dir)
+      thr
+    }
+
+    // Interleaved rounds: each round measures N then 4N under the same
+    // machine/JIT state, so temporal drift (JIT warm-up, page-cache churn,
+    // co-tenancy) cancels out of the ratio. Round 0 is warm-up, discarded.
+    measureOnce(nLow, "warm_low"); measureOnce(nHigh, "warm_high")
+    val rounds = (1 to 3).map { r =>
+      val tl = measureOnce(nLow, s"low_$r")
+      val th = measureOnce(nHigh, s"high_$r")
+      (tl, th, (th / tl) / factor)
+    }
+    val (thrLow, thrHigh, eff) = rounds.sortBy(_._3).apply(1) // median round
+    System.err.println(rounds.map(r => f"round eff=${r._3}%.3f").mkString("[scaling] ", ", ", ""))
+
+    val report =
+      f"""
+         |## Scaling run (mode=$mode, events=$events, batches=$batches)
+         |
+         || parallelism | sustained throughput (change-events/s) |
+         ||---|---|
+         || local[$nLow] (N) | ${thrLow}%.0f |
+         || local[$nHigh] (4N) | ${thrHigh}%.0f |
+         |
+         |**Scaling efficiency (thr_4N / thr_N) / $factor = ${eff}%.3f** (target >= 0.8 per BASELINE.json; single-box thread scaling, shared memory bandwidth)
+         |Reference floor: ~330 features/s single-thread (BASELINE.md) -> this engine is ${thrHigh / 330}%.0f x at 4N.
+         |""".stripMargin
+    println(report)
+    val p = Paths.get("BENCH.md")
+    val prev = if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      else "# BENCH — measured engine throughput + scaling\n"
+    Files.write(p, (prev + report).getBytes(StandardCharsets.UTF_8))
+  }
+}

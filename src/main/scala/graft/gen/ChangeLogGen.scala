@@ -24,7 +24,8 @@ final case class GenConfig(
     repos: Int = 50,
     filesPerRepo: Int = 40,
     hotShare: Double = 0.5,   // fraction of events hitting the single hot repo
-    epochSeconds: Long = 1767225600L // 2026-01-01T00:00:00Z, fixed (no wall clock)
+    epochSeconds: Long = 1767225600L, // 2026-01-01T00:00:00Z, fixed (no wall clock)
+    maxContentReps: Int = 64  // content = 64-char block × 1..maxContentReps
 )
 
 object ChangeLogGen {
@@ -65,7 +66,7 @@ object ChangeLogGen {
 
     // Deterministic pseudo-source text, 64..4096 chars (FIXTURES.md §1):
     // one 64-char sha block repeated 1..64 times. Deletes carry null content.
-    val reps = (lit(1) + pmod(h(cfg, "len"), lit(64L))).cast("int")
+    val reps = (lit(1) + pmod(h(cfg, "len"), lit(cfg.maxContentReps.toLong))).cast("int")
     val base = sha2(concat(commitCol, lit("#content")), 256)
     val contentCol = when(op === "D", lit(null).cast("string"))
       .otherwise(repeat(base, reps))

@@ -119,9 +119,49 @@ object CdcQueries {
     t.read().groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
   }
 
+  // ---- publish-layer metrics over the sm lake (graft.publish.Metrics) ----
+
+  def pubRepoSummary(s: SparkSession, dir: String): DataFrame =
+    graft.publish.Metrics.repoSummary(smLake(s))
+
+  def pubLangEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.publish.Metrics.langEntropyPerRepo(smLake(s))
+
+  def pubContentDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.publish.Metrics.contentDiversity(smLake(s))
+
+  def pubSizeScores(s: SparkSession, dir: String): DataFrame =
+    graft.publish.Metrics.repoSizeScores(smLake(s))
+
   private def walSrc = s"read_parquet('$smWal/*.parquet')"
 
+  /** live rows of the replayed WAL — shared CTE body for publish oracles */
+  private def liveSql =
+    s"""SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+       |               ORDER BY lsn DESC, "commit" DESC) AS rn FROM $walSrc)
+       |WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pub_repo_summary" -> s"""
+      SELECT repo, count(*) AS n_files,
+             CAST(sum(length(content)) AS BIGINT) AS total_bytes,
+             max(lsn) AS max_lsn
+      FROM ($liveSql) GROUP BY 1 ORDER BY 1""",
+    "pub_lang_entropy" -> s"""
+      SELECT repo, round(-sum(p * ln(p)), 6) AS lang_entropy FROM (
+        SELECT repo, cnt / sum(cnt) OVER (PARTITION BY repo) AS p FROM (
+          SELECT repo, ${graft.model.LangRules.langSqlCase("path")} AS lang, count(*)::DOUBLE AS cnt
+          FROM ($liveSql) GROUP BY 1, 2))
+      GROUP BY repo ORDER BY repo""",
+    "pub_content_diversity" -> s"""
+      SELECT repo, count(*) AS n_files, count(DISTINCT sha256(content)) AS n_distinct
+      FROM ($liveSql) GROUP BY 1 ORDER BY 1""",
+    "pub_size_scores" -> s"""
+      SELECT repo, bytes, round((bytes - lo) / greatest(hi - lo, 1), 6) AS size_score
+      FROM (SELECT repo, CAST(sum(length(content)) AS BIGINT) AS bytes FROM ($liveSql) GROUP BY 1),
+           (SELECT CAST(min(bytes) AS BIGINT) AS lo, CAST(max(bytes) AS BIGINT) AS hi
+            FROM (SELECT CAST(sum(length(content)) AS BIGINT) AS bytes FROM ($liveSql) GROUP BY repo))
+      ORDER BY repo""",
     "cdc_snapshot" -> s"""
       SELECT repo, path, "commit", ${LangRules.langSqlCase("path")} AS lang,
              sha256(content) AS content_sha
@@ -151,6 +191,10 @@ object CdcQueries {
     "cdc_lang_counts" -> cdcLangCounts _,
     "cdc_repo_stats" -> cdcRepoStats _,
     "cdc_ledger" -> cdcLedger _,
-    "cdc_ingest_bench" -> cdcIngestBench _
+    "cdc_ingest_bench" -> cdcIngestBench _,
+    "pub_repo_summary" -> pubRepoSummary _,
+    "pub_lang_entropy" -> pubLangEntropy _,
+    "pub_content_diversity" -> pubContentDiversity _,
+    "pub_size_scores" -> pubSizeScores _
   )
 }

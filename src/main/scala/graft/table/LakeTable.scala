@@ -156,67 +156,126 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
     if (committed(cpId, batchId)) return Seq.empty
     val snap = currentSnapshot()
     val version = snap.fold(0)(_.version) + 1
+    val prev = snap.getOrElse(emptySnapshot)
 
-    val incoming = clean(events).withColumn("b", bucketCol()).persist()
-    try {
-      val affected: Set[Int] =
-        incoming.select("b").distinct().collect().map(_.getInt(0)).toSet
-      if (affected.isEmpty) { // empty batch still commits (records the id)
-        val prev = snap.getOrElse(emptySnapshot)
-        commitSnapshot(prev.copy(version = version,
-          committed = prev.committed :+ s"$cpId/$batchId"))
-        return Seq.empty
+    val incoming = clean(events).withColumn("b", bucketCol())
+    val (all, affected: Option[Set[Int]]) = mode match {
+      case ApplyMode.MergeOnRead =>
+        // write-optimised: dedup within the batch only, append as delta.
+        // No pre-pass needed — affected buckets fall out of the write.
+        (incoming, None)
+      case ApplyMode.CopyOnWrite =>
+        // affected buckets via a column-pruned pre-pass (reads only the two
+        // key columns), then read existing rows of those buckets ONLY
+        // (bucket pruning) and union with the batch. Existing rows carry
+        // their lsn, so the max-LSN guard (ignore events at or below a
+        // key's applied lsn) falls out of the same latest-per-key resolve.
+        val a = events.select(bucketCol().as("b")).distinct().collect().map(_.getInt(0)).toSet
+        (readResolved(Some(a)).withColumn("b", bucketCol())
+          .unionByName(incoming, allowMissingColumns = true), Some(a))
+    }
+
+    val commitDir = s"$dataDir/c$version"
+    val resolved = bucketResolve(all, math.max(affected.fold(nBuckets)(_.size), 1))
+    // live/tombstone ledger counts ride along the write job via observe():
+    // no extra pass over the data.
+    val obs = org.apache.spark.sql.Observation(s"merge-$version")
+    resolved.observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("deleted"), 1L).otherwise(0L)).as("tombstones"))
+      .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    val totalRows = obs.get("rows").asInstanceOf[Long]
+    val tombstones = obs.get("tombstones").asInstanceOf[Long]
+
+    // per-bucket (rows, min/max lsn) from the parquet FOOTERS of the files
+    // just written — driver-side metadata reads, no Spark job.
+    val stats = footerStats(commitDir)
+    if (stats.isEmpty) { // empty batch still commits (records the id)
+      commitSnapshot(prev.copy(version = version,
+        committed = prev.committed :+ s"$cpId/$batchId"))
+      return Seq.empty
+    }
+
+    val newEntries = stats.flatMap { st =>
+      listParquet(s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+    }
+    val kept = mode match {
+      case ApplyMode.CopyOnWrite => prev.files.filterNot(f => affected.get(f.bucket))
+      case ApplyMode.MergeOnRead => prev.files // deltas stack; compact() folds
+    }
+    val schemaDdl = resolved.drop("b").schema.toDDL
+    val batchHwm = stats.map(_.maxLsn).max
+    // Ledger entry goes down BEFORE the VERSION flip: if we crash in
+    // between, the batch is uncommitted, the retry re-merges and
+    // overwrites the same entry idempotently — no lineage gaps.
+    ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(prev.hwm, batchHwm),
+      totalRows - tombstones, tombstones))
+    commitSnapshot(Snapshot(
+      version = version,
+      schemaDdl = schemaDdl,
+      nBuckets = nBuckets,
+      files = kept ++ newEntries,
+      committed = prev.committed :+ s"$cpId/$batchId",
+      hwm = math.max(prev.hwm, batchHwm),
+      totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum
+    ))
+    stats
+  }
+
+  /** per-bucket (rows, min/max lsn) read from parquet footers on the
+    * driver — metadata only, no executor work. Files per commit are few
+    * (≈ one per affected bucket), so this is microseconds per file.
+    */
+  private def footerStats(commitDir: String): Seq[BucketStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new File(commitDir)
+    if (!base.exists()) return Seq.empty
+    val dirs = base.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("b="))
+    // footer reads are independent — do them on a parallel collection so a
+    // 32-bucket commit costs one footer-read latency, not 32
+    import scala.collection.parallel.CollectionConverters._
+    dirs.par.flatMap { d =>
+      val bucket = d.getName.stripPrefix("b=").toInt
+      var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
+      listParquet(d.getAbsolutePath).foreach { p =>
+        val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          (0 until blocks.size()).foreach { i =>
+            val blk = blocks.get(i)
+            rows += blk.getRowCount
+            (0 until blk.getColumns.size()).foreach { c =>
+              val col = blk.getColumns.get(c)
+              if (col.getPath.toDotString == "lsn" && col.getStatistics != null) {
+                val st = col.getStatistics
+                minLsn = math.min(minLsn, st.genericGetMin.asInstanceOf[java.lang.Long])
+                maxLsn = math.max(maxLsn, st.genericGetMax.asInstanceOf[java.lang.Long])
+              }
+            }
+          }
+        } finally r.close()
       }
+      if (rows == 0) None else Some(BucketStats(bucket, rows, minLsn, maxLsn))
+    }.seq.sortBy(_.bucket)
+  }
 
-      val toWrite = mode match {
-        case ApplyMode.MergeOnRead =>
-          // write-optimised: only dedup within the batch, append as delta
-          latestPerKey(incoming)
-        case ApplyMode.CopyOnWrite =>
-          // read existing rows of affected buckets ONLY (bucket pruning),
-          // union with the batch, keep max-LSN row per key. Existing rows
-          // carry their lsn, so the max-LSN guard (ignore events at or
-          // below the applied lsn of a key) falls out of the same window.
-          val existing = readResolved(Some(affected)).withColumn("b", bucketCol())
-          latestPerKey(existing.unionByName(incoming, allowMissingColumns = true))
-      }
-
-      val commitDir = s"$dataDir/c$version"
-      val out = toWrite.repartition(math.max(affected.size, 1), col("b")).persist()
-      try {
-        out.write.partitionBy("b").mode("overwrite").parquet(commitDir)
-        val stats = out.groupBy("b").agg(
-          count(lit(1)).as("rows"), min("lsn").as("minLsn"), max("lsn").as("maxLsn"),
-          sum(when(!col("deleted"), 1L).otherwise(0L)).as("live"),
-          sum(when(col("deleted"), 1L).otherwise(0L)).as("tombstones")
-        ).collect().map(r => BucketStats(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-
-        val newEntries = stats.flatMap { st =>
-          listParquet(s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
-        }
-        val prev = snap.getOrElse(emptySnapshot)
-        val kept = mode match {
-          case ApplyMode.CopyOnWrite => prev.files.filterNot(f => affected(f.bucket))
-          case ApplyMode.MergeOnRead => prev.files // deltas stack; compact() folds
-        }
-        val schemaDdl = toWrite.drop("b").schema.toDDL
-        val batchHwm = stats.map(_.maxLsn).max
-        // Ledger entry goes down BEFORE the VERSION flip: if we crash in
-        // between, the batch is uncommitted, the retry re-merges and
-        // overwrites the same entry idempotently — no lineage gaps.
-        ledger.record(Ledger.Entry(cpId, batchId, stats.toSeq, math.max(prev.hwm, batchHwm)))
-        commitSnapshot(Snapshot(
-          version = version,
-          schemaDdl = schemaDdl,
-          nBuckets = nBuckets,
-          files = kept ++ newEntries,
-          committed = prev.committed :+ s"$cpId/$batchId",
-          hwm = math.max(prev.hwm, batchHwm),
-          totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum
-        ))
-        stats.toSeq
-      } finally out.unpersist()
-    } finally incoming.unpersist()
+  /** The single-shuffle resolve: repartition by bucket, then latest-per-key
+    * as a row_number window over (b, repo, path). HashPartitioning(b)
+    * already satisfies ClusteredDistribution(b, repo, path) — b is a pure
+    * function of the key — so Catalyst plans NO second exchange: one
+    * shuffle moves each payload byte exactly once, straight into its
+    * bucket-aligned output file. (The previous plan shuffled content twice:
+    * hash-agg dedup on (repo, path), then repartition on b for the write.)
+    */
+  private def bucketResolve(all: DataFrame, parts: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "repo", "path")
+      .orderBy(col("lsn").desc, col("commit").desc)
+    all.repartition(parts, col("b"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
   /** Fold MergeOnRead deltas down to one resolved file set per bucket —
@@ -224,21 +283,18 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
     */
   def compact(): Unit = {
     val snap = currentSnapshot().getOrElse(return)
-    val resolved = readResolved().withColumn("b", bucketCol())
     val version = snap.version + 1
     val commitDir = s"$dataDir/c$version"
-    val out = resolved.repartition(nBuckets, col("b")).persist()
-    try {
-      out.write.partitionBy("b").mode("overwrite").parquet(commitDir)
-      val stats = out.groupBy("b").agg(
-        count(lit(1)).as("rows"), min("lsn").as("minLsn"), max("lsn").as("maxLsn")
-      ).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      val entries = stats.flatMap { case (b, rows, mn, mx) =>
-        listParquet(s"$commitDir/b=$b").map(p => FileEntry(b, p, rows, mn, mx))
-      }
-      commitSnapshot(snap.copy(version = version, files = entries.toSeq,
-        totalRows = entries.map(_.rows).sum))
-    } finally out.unpersist()
+    // same single-shuffle resolve as merge: raw deltas → bucket partitions
+    // → window latest-per-key (no extra exchange) → bucket-aligned files.
+    bucketResolve(readRaw().withColumn("b", bucketCol()), nBuckets)
+      .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    val stats = footerStats(commitDir)
+    val entries = stats.flatMap { st =>
+      listParquet(s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+    }
+    commitSnapshot(snap.copy(version = version, files = entries,
+      totalRows = entries.map(_.rows).sum))
   }
 
   private def emptySnapshot =
@@ -246,8 +302,7 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
 }
 
 object LakeTable {
-  final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
-                               live: Long, tombstones: Long)
+  final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long)
 
   /** W5 latest-value-per-key (SURVEY.md §2.6): max-LSN row per (repo, path);
     * tie-break total on (commit, then payload) so replays with duplicate

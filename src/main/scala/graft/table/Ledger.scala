@@ -18,10 +18,10 @@ final class Ledger(root: String) {
   def record(e: Entry): Unit = {
     Files.createDirectories(dir)
     val buckets = e.buckets.map(b =>
-      s"""{"bucket":${b.bucket},"rows":${b.rows},"minLsn":${b.minLsn},"maxLsn":${b.maxLsn},"live":${b.live},"tombstones":${b.tombstones}}"""
+      s"""{"bucket":${b.bucket},"rows":${b.rows},"minLsn":${b.minLsn},"maxLsn":${b.maxLsn}}"""
     ).mkString("[", ",", "]")
     val json =
-      s"""{"checkpointId":"${e.cpId}","batchId":${e.batchId},"appliedLsnHwm":${e.appliedLsnHwm},"buckets":$buckets}"""
+      s"""{"checkpointId":"${e.cpId}","batchId":${e.batchId},"appliedLsnHwm":${e.appliedLsnHwm},"liveRows":${e.liveRows},"tombstoneRows":${e.tombstoneRows},"buckets":$buckets}"""
     val path = dir.resolve(s"entry-${e.cpId}-${e.batchId}.json")
     val tmp = dir.resolve(s"entry-${e.cpId}-${e.batchId}.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -46,5 +46,5 @@ final class Ledger(root: String) {
 
 object Ledger {
   final case class Entry(cpId: String, batchId: Long, buckets: Seq[LakeTable.BucketStats],
-                         appliedLsnHwm: Long)
+                         appliedLsnHwm: Long, liveRows: Long = 0L, tombstoneRows: Long = 0L)
 }
