@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with doGenCode) for the two hottest
+  * non-relational kernels. The higher-order-function forms
+  * (TextQueries.simhash64, VectorQueries.cosine) evaluate their lambdas
+  * interpreted, one virtual call per element; these compile to a tight
+  * Java loop inside whole-stage codegen. Semantics are bit-identical to
+  * the HOF forms (asserted in NativeExpressionsSpec), so either can back
+  * the public API.
+  *
+  * Exposed through the function registry (version-stable way to lift an
+  * Expression into a Column) — call `native.register(spark)` once per
+  * session, then `native.simhash64(col)` / SQL `simhash64(tokens)`.
+  */
+object native {
+  @volatile private var registered = Set.empty[String]
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val key = System.identityHashCode(spark).toString
+    if (!registered.contains(key)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      registered += key
+    }
+  }
+
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
+
+/** 64-bit SimHash over array<string> tokens: per token, xxhash64(seed=42)
+  * bits vote +1/-1 into 64 counters; result bit i is set iff counter i > 0.
+  * Matches TextQueries.simhash64 (xxhash64 default seed 42) exactly.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))  // type inferred (AbstractDataType is private[sql])
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    SimHash64.hash(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
+object SimHash64 {
+  /** static kernel shared by interpreted eval and generated code */
+  def hash(arr: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      // element-null → xxhash64 returns the seed, same as the HOF form
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counters(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}
+
+/** cosine similarity of two array<double> vectors, accumulated
+  * left-to-right like the HOF form (deterministic, oracle-identical).
+  * Null or length-mismatched inputs → null.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    CosineSim.cos(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.cos($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(newLeft, newRight)
+}
+
+object CosineSim {
+  def cos(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getDouble(i); val b = y.getDouble(i)
+      dot += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}

@@ -172,13 +172,15 @@ object TextQueries {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  def q25Simhash(s: SparkSession, dir: String): DataFrame =
+  def q25Simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
     T(s, dir, "documents")
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"), graft.functions.native.simhash64(tokens(col("text"))).as("simhash"))
       .groupBy("simhash").agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .where(col("n") >= 1)
       .orderBy(col("n").desc, col("simhash"))
       .limit(50)
+  }
 
   val oracles: Map[String, String] = Map(
     "q17_sha_docs" -> """

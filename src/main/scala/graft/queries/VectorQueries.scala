@@ -30,11 +30,12 @@ object VectorQueries {
     * broken by neighbour id so the ranking is total.
     */
   def q26AnnBrute(s: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    graft.functions.native.register(s)
     val q = emb(s, dir).where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val c = emb(s, dir).select(col("vec_id").as("nid"), col("v").as("cv"))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", graft.functions.native.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 3).as("sim"))
@@ -79,10 +80,11 @@ object VectorQueries {
   }
 
   def q27AnnLsh(s: SparkSession, dir: String, nTables: Int = 8, bits: Int = 4, k: Int = 5): DataFrame = {
+    graft.functions.native.register(s)
     val e = emb(s, dir)
     val cand = lshCandidates(e, nTables, bits).where(col("qid") < 20)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cand.withColumn("sim", cosine(col("qv"), col("cv")))
+    cand.withColumn("sim", graft.functions.native.cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 3).as("sim"))
       .orderBy("qid", "rnk")
@@ -91,13 +93,15 @@ object VectorQueries {
   /** embedding-cosine near-duplicate detection: pairs above a similarity
     * threshold within LSH candidates (the near-dup flavour of q27).
     */
-  def q28EmbeddingDup(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame =
+  def q28EmbeddingDup(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    graft.functions.native.register(s)
     lshCandidates(emb(s, dir), nTables = 8, bits = 4)
       .where(col("qid") < col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", graft.functions.native.cosine(col("qv"), col("cv")))
       .where(col("sim") >= threshold)
       .select(col("qid").as("ida"), col("nid").as("idb"), round(col("sim"), 4).as("sim"))
       .orderBy("ida", "idb")
+  }
 
   val oracles: Map[String, String] = Map(
     "q26_ann_brute" -> """
