@@ -94,5 +94,17 @@ object ChangeLogGen {
       .repartitionByRange(segments, col("lsn"))
       .sortWithinPartitions("lsn")
       .write.mode("overwrite").parquet(dir)
+    // Spark's file stream source orders new files by modification time
+    // (path only tie-breaks); the parallel write finishes segments in
+    // arbitrary order, which would make micro-batches interleave lsn
+    // ranges. Re-stamp mtimes in segment order so the tail delivers the
+    // log IN ORDER — part-NNNNN is the NNNNN-th lsn range because
+    // repartitionByRange assigns ranges by partition index. (The merge is
+    // order-robust regardless — tombstones + the max-LSN guard — this
+    // keeps the delivery contract and the staleRows metric meaningful.)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - files.length * 2000L
+    files.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
   }
 }

@@ -27,11 +27,18 @@ object IngestStream {
     */
   def start(spark: SparkSession, walDir: String, table: LakeTable, cpId: String,
             checkpointDir: String, maxFilesPerTrigger: Int = 4,
+            watermarkDelay: String = "10 minutes",
             onBatch: (Long, Seq[LakeTable.BucketStats]) => Unit = (_, _) => ()): StreamingQuery = {
-    spark.readStream
+    val src = spark.readStream
       .schema(Schemas.changeEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(walDir)
+    // event-time watermark contract (SURVEY.md §2.10): correctness does
+    // NOT depend on it (the merge's max-LSN guard makes stale events
+    // no-ops in any order) — it declares the expected lateness bound,
+    // and the ledger's staleRows counts what actually arrived late.
+    val marked = if (watermarkDelay.nonEmpty) src.withWatermark("ts", watermarkDelay) else src
+    marked
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -50,7 +57,7 @@ object IngestStream {
   def runAvailable(spark: SparkSession, walDir: String, table: LakeTable, cpId: String,
                    checkpointDir: String, maxFilesPerTrigger: Int = 4,
                    onBatch: (Long, Seq[LakeTable.BucketStats]) => Unit = (_, _) => ()): Unit = {
-    val q = start(spark, walDir, table, cpId, checkpointDir, maxFilesPerTrigger, onBatch)
+    val q = start(spark, walDir, table, cpId, checkpointDir, maxFilesPerTrigger, onBatch = onBatch)
     q.awaitTermination()
   }
 }

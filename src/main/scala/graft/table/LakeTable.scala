@@ -127,6 +127,41 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
   /** Live rows — the user-facing `repos` table. */
   def read(): DataFrame = readResolved().where(!col("deleted")).drop("deleted")
 
+  /** Register the live table as a temp view so users can `spark.sql` over
+    * it — the engine's DuckDB-SQL-over-pandas analogue
+    * (reference: scripts/prepare_qgis_data.py:17-66).
+    */
+  def createView(name: String): Unit = read().createOrReplaceTempView(name)
+
+  /** Rows changed at or after `fromLsn` — incremental consumption of the
+    * table (a downstream CDC tail). FILE-LEVEL data skipping: the snapshot
+    * stores min/max lsn per file, so files whose whole range is below the
+    * cursor are never opened — the engine's analogue of the reference's
+    * indexed reads (docs/database.md:319-323), and the reader-side use of
+    * the same stats that give the merge its bucket pruning.
+    */
+  def readChangedSince(fromLsn: Long): DataFrame = {
+    currentSnapshot() match {
+      case None => readResolved()
+      case Some(s) =>
+        val schema = StructType.fromDDL(s.schemaDdl)
+        val files = s.files.filter(_.maxLsn >= fromLsn)
+        val raw =
+          if (files.isEmpty) emptyTable(schema)
+          else spark.read.schema(schema).parquet(files.map(_.path): _*)
+        val resolved = if (mode == ApplyMode.CopyOnWrite) raw else latestPerKey(raw)
+        // row-level filter on top of the file-level skip (rowgroup stats
+        // prune further inside the surviving files)
+        resolved.where(col("lsn") >= fromLsn)
+    }
+  }
+
+  /** file paths the current snapshot would scan for `readChangedSince` —
+    * exposed for tests/audits of the data-skipping behaviour.
+    */
+  def filesForLsnRange(fromLsn: Long): Seq[String] =
+    currentSnapshot().fold(Seq.empty[String])(_.files.filter(_.maxLsn >= fromLsn).map(_.path))
+
   // ---- the apply path (SURVEY.md §7.3) ------------------------------------
 
   /** Clean stage: rule-driven lang categorisation + sha256 invariant +
@@ -158,6 +193,20 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
     val version = snap.fold(0)(_.version) + 1
     val prev = snap.getOrElse(emptySnapshot)
 
+    // batch-input accounting: batchRows = events in this batch; staleRows =
+    // events at or below the table's applied-LSN high watermark (the
+    // reference silently DROPS its analogue — rows failing year==latest; we
+    // count them in the ledger, SURVEY.md §2.10). Stale events are correct
+    // no-ops thanks to the max-LSN guard; the count is the late-data
+    // observability contract. A dedicated job, but column-pruned to `lsn`
+    // only — NOT Observation.observe, whose get() never completes inside a
+    // streaming foreachBatch (listener events don't fire for inner
+    // executions).
+    val prevHwm = prev.hwm
+    val inStats = events.agg(count(lit(1)).as("batchRows"),
+      sum(when(col("lsn") <= prevHwm, 1L).otherwise(0L)).as("staleRows")).collect().head
+    val batchRows = inStats.getLong(0)
+    val staleRows = if (inStats.isNullAt(1)) 0L else inStats.getLong(1)
     val incoming = clean(events).withColumn("b", bucketCol())
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -177,19 +226,21 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
 
     val commitDir = s"$dataDir/c$version"
     val resolved = bucketResolve(all, math.max(affected.fold(nBuckets)(_.size), 1))
-    // live/tombstone ledger counts ride along the write job via observe():
-    // no extra pass over the data.
-    val obs = org.apache.spark.sql.Observation(s"merge-$version")
-    resolved.observe(obs,
-        count(lit(1)).as("rows"),
-        sum(when(col("deleted"), 1L).otherwise(0L)).as("tombstones"))
-      .write.partitionBy("b").mode("overwrite").parquet(commitDir)
-    val totalRows = obs.get("rows").asInstanceOf[Long]
-    val tombstones = obs.get("tombstones").asInstanceOf[Long]
+    resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
 
     // per-bucket (rows, min/max lsn) from the parquet FOOTERS of the files
     // just written — driver-side metadata reads, no Spark job.
     val stats = footerStats(commitDir)
+    val totalRows = stats.map(_.rows).sum
+    // tombstone count: one column-pruned pass over the written files'
+    // `deleted` column (KBs of IO per batch).
+    val tombstones =
+      if (stats.isEmpty) 0L
+      else {
+        val t = spark.read.parquet(commitDir)
+          .agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
+        if (t.isNullAt(0)) 0L else t.getLong(0)
+      }
     if (stats.isEmpty) { // empty batch still commits (records the id)
       commitSnapshot(prev.copy(version = version,
         committed = prev.committed :+ s"$cpId/$batchId"))
@@ -209,7 +260,7 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
     // between, the batch is uncommitted, the retry re-merges and
     // overwrites the same entry idempotently — no lineage gaps.
     ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(prev.hwm, batchHwm),
-      totalRows - tombstones, tombstones))
+      totalRows - tombstones, tombstones, batchRows, staleRows))
     commitSnapshot(Snapshot(
       version = version,
       schemaDdl = schemaDdl,

@@ -21,7 +21,7 @@ final class Ledger(root: String) {
       s"""{"bucket":${b.bucket},"rows":${b.rows},"minLsn":${b.minLsn},"maxLsn":${b.maxLsn}}"""
     ).mkString("[", ",", "]")
     val json =
-      s"""{"checkpointId":"${e.cpId}","batchId":${e.batchId},"appliedLsnHwm":${e.appliedLsnHwm},"liveRows":${e.liveRows},"tombstoneRows":${e.tombstoneRows},"buckets":$buckets}"""
+      s"""{"checkpointId":"${e.cpId}","batchId":${e.batchId},"appliedLsnHwm":${e.appliedLsnHwm},"liveRows":${e.liveRows},"tombstoneRows":${e.tombstoneRows},"batchRows":${e.batchRows},"staleRows":${e.staleRows},"buckets":$buckets}"""
     val path = dir.resolve(s"entry-${e.cpId}-${e.batchId}.json")
     val tmp = dir.resolve(s"entry-${e.cpId}-${e.batchId}.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -46,5 +46,6 @@ final class Ledger(root: String) {
 
 object Ledger {
   final case class Entry(cpId: String, batchId: Long, buckets: Seq[LakeTable.BucketStats],
-                         appliedLsnHwm: Long, liveRows: Long = 0L, tombstoneRows: Long = 0L)
+                         appliedLsnHwm: Long, liveRows: Long = 0L, tombstoneRows: Long = 0L,
+                         batchRows: Long = 0L, staleRows: Long = 0L)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.queries.RelationalQueries
+import graft.table.{ApplyMode, LakeTable}
+
+/** Physical-plan audits (the ".explain and iterate" contract): filters
+  * reach the parquet scan, projections prune columns, small dims broadcast,
+  * top-k avoids a global sort, and the merge resolve stage has exactly ONE
+  * Exchange. These pin the plan shapes that make the engine scale; a
+  * regression here is a performance bug even if results stay correct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (PushedFilters)") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") > 40).select("l_orderkey")
+    val p = planOf(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), p)
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val p = planOf(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("dim joins broadcast (no shuffle of the fact side for the join)") {
+    val p = planOf(RelationalQueries.q3JoinAgg(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort materialisation)") {
+    val p = planOf(RelationalQueries.q2TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("merge resolve stage contains exactly one Exchange") {
+    val t = new LakeTable(spark, tmpDir("audit"), nBuckets = 8, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, GenConfig(seed = 9, events = 2000, repos = 8, filesPerRepo = 10))
+    // reproduce the resolve plan shape the merge writes
+    val b = pmod(xxhash64(col("repo"), col("path")), lit(8L)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "repo", "path").orderBy(col("lsn").desc, col("commit").desc)
+    val resolved = wal.withColumn("b", b).repartition(8, col("b"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val exchanges = "Exchange".r.findAllMatchIn(planOf(resolved)).size
+    assert(exchanges == 1, planOf(resolved))
+    // and the real merge still works on top of that shape
+    assert(t.merge(wal, "a", 0L).nonEmpty)
+  }
+
+  test("clean-stage categorisation stays in whole-stage codegen (no UDF)") {
+    val wal = ChangeLogGen.changeLog(spark, GenConfig(seed = 9, events = 100, repos = 3, filesPerRepo = 5))
+    val df = wal.select(graft.model.LangRules.langFor(col("path")).as("lang"))
+    val p = planOf(df)
+    assert(p.linesIterator.next().trim.startsWith("*("), p) // inside codegen
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}
