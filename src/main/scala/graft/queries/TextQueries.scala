@@ -133,18 +133,27 @@ object TextQueries {
   /** core MinHash+LSH pipeline over (doc_id, sh: array<string>) — split out
     * so tests can feed hand-built corpora.
     */
-  def minhashPairs(docs: DataFrame, k: Int, rows: Int, threshold: Double): DataFrame = {
+  def minhashPairs(docsIn: DataFrame, k: Int, rows: Int, threshold: Double): DataFrame = {
+    // materialise the shingled corpus once — it feeds three branches
+    // (banding, and the two candidate re-attach joins); recomputing the
+    // shingle transform per branch costs far more than caching it. At
+    // scale this is the persisted shingle table of the dedup pipeline.
+    val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = docs.withColumn("sig", minhashSig(col("sh"), k))
-    val bands = sig.select(col("doc_id"), col("sh"),
+    // band → bucket join on IDs ONLY: the heavy shingle arrays do NOT ride
+    // the self-join/dedup shuffle — they are re-attached to the (few)
+    // surviving candidate pairs afterwards (candidates-then-verify).
+    val bands = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(k / rows - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha_"), col("b.sh").as("shb_"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))).cast("double"))
       .withColumn("uni", size(array_union(col("sha_"), col("shb_"))).cast("double"))
       .where(col("inter") / col("uni") >= threshold)

@@ -68,15 +68,20 @@ object VectorQueries {
     Seq.fill(nTables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** candidate pairs (qid < nid-free; directed q → c) via multi-table LSH */
+  /** candidate pairs (directed q → c) via multi-table LSH. The bucket
+    * self-join and pair dedup run on IDS ONLY; the 64-dim vectors are
+    * re-attached to the surviving candidates afterwards, so the heavy
+    * columns never ride the candidate-generation shuffles.
+    */
   private def lshCandidates(e: DataFrame, nTables: Int, bits: Int): DataFrame = {
     val ts = tables(nTables, bits, 64)
-    val withB = e.withColumn("bucket", explode(lshBuckets(col("v"), ts)))
-    val q = withB.select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
-    val c = withB.select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+    val withB = e.select(col("vec_id"), explode(lshBuckets(col("v"), ts)).as("bucket"))
+    val q = withB.select(col("vec_id").as("qid"), col("bucket"))
+    val c = withB.select(col("vec_id").as("nid"), col("bucket"))
     q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "cv")
-      .dropDuplicates("qid", "nid")
+      .select("qid", "nid").distinct()
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("cv")), Seq("nid"))
   }
 
   def q27AnnLsh(s: SparkSession, dir: String, nTables: Int = 8, bits: Int = 4, k: Int = 5): DataFrame = {

@@ -27,7 +27,8 @@ final case class Snapshot(
     files: Seq[FileEntry],
     committed: Seq[String], // "checkpointId/batchId" keys — idempotent commits
     hwm: Long,              // applied-LSN high watermark
-    totalRows: Long
+    totalRows: Long,
+    mode: String = "cow"    // apply mode fixed at table creation
 )
 
 object ApplyMode extends Enumeration {
@@ -58,13 +59,25 @@ object ApplyMode extends Enumeration {
   * batch is detected and skipped — the reference's never-overwrite run
   * numbering (stuttgart_comprehensive_script.py:48-68) made transactional.
   */
-final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: Int = 32,
-                      val mode: ApplyMode.Value = ApplyMode.CopyOnWrite) {
+final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets: Int = 32,
+                      defaultMode: ApplyMode.Value = ApplyMode.CopyOnWrite) {
   import LakeTable._
 
   private val metaDir = s"$root/meta"
   private val dataDir = s"$root/data"
   val ledger = new Ledger(root)
+
+  /** Layout parameters are FIXED at table creation and read back from the
+    * snapshot thereafter — reopening an existing table with different
+    * constructor args must not change bucket assignment (pruning would
+    * silently miss files) or read resolution.
+    */
+  def nBuckets: Int = currentSnapshot().map(_.nBuckets).getOrElse(defaultBuckets)
+  def mode: ApplyMode.Value = currentSnapshot()
+    .map(s => if (s.mode == "mor") ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite)
+    .getOrElse(defaultMode)
+  private def modeString(m: ApplyMode.Value): String =
+    if (m == ApplyMode.MergeOnRead) "mor" else "cow"
 
   def bucketCol(repo: String = "repo", path: String = "path") =
     pmod(xxhash64(col(repo), col(path)), lit(nBuckets.toLong)).cast("int")
@@ -192,6 +205,9 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
     val snap = currentSnapshot()
     val version = snap.fold(0)(_.version) + 1
     val prev = snap.getOrElse(emptySnapshot)
+    val mode = snap.map(s => if (s.mode == "mor") ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite)
+      .getOrElse(defaultMode)
+    val nBuckets = snap.map(_.nBuckets).getOrElse(defaultBuckets)
 
     // batch-input accounting: batchRows = events in this batch; staleRows =
     // events at or below the table's applied-LSN high watermark (the
@@ -268,7 +284,8 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
       files = kept ++ newEntries,
       committed = prev.committed :+ s"$cpId/$batchId",
       hwm = math.max(prev.hwm, batchHwm),
-      totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum
+      totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
+      mode = modeString(mode)
     ))
     stats
   }
@@ -349,7 +366,8 @@ final class LakeTable(val spark: SparkSession, val root: String, val nBuckets: I
   }
 
   private def emptySnapshot =
-    Snapshot(0, graft.model.Schemas.repoRow.toDDL, nBuckets, Seq.empty, Seq.empty, 0L, 0L)
+    Snapshot(0, graft.model.Schemas.repoRow.toDDL, defaultBuckets, Seq.empty, Seq.empty, 0L, 0L,
+      modeString(defaultMode))
 }
 
 object LakeTable {
@@ -397,7 +415,7 @@ object SnapshotIO {
       s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}}"""
     ).mkString("[", ",", "]")
     val committed = s.committed.map(q).mkString("[", ",", "]")
-    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"hwm":${s.hwm},"totalRows":${s.totalRows},"files":$files,"committed":$committed}"""
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"files":$files,"committed":$committed}"""
   }
 
   def read(path: java.nio.file.Path): Snapshot = {
@@ -420,7 +438,8 @@ object SnapshotIO {
       },
       committed = v("committed").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
       hwm = v("hwm").asInstanceOf[Double].toLong,
-      totalRows = v("totalRows").asInstanceOf[Double].toLong
+      totalRows = v("totalRows").asInstanceOf[Double].toLong,
+      mode = v.get("mode").map(_.asInstanceOf[String]).getOrElse("cow")
     )
   }
 }

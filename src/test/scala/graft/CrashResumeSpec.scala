@@ -20,7 +20,7 @@ class CrashResumeSpec extends SparkSpec {
     val walDir = tmpDir("wal")
     ChangeLogGen.writeWal(spark, cfg, walDir, segments = 12)
     val tableDir = tmpDir("table"); val cpDir = tmpDir("cp")
-    val t = new LakeTable(spark, tableDir, nBuckets = 8, ApplyMode.CopyOnWrite)
+    val t = new LakeTable(spark, tableDir, defaultBuckets = 8, ApplyMode.CopyOnWrite)
 
     var applied = 0
     val crashed = intercept[StreamingQueryException] {
@@ -41,7 +41,7 @@ class CrashResumeSpec extends SparkSpec {
     assert(t.ledger.entries().size == snap.committed.size, "ledger complete, no gaps")
 
     // final state equals a from-scratch single-batch rebuild
-    val scratch = new LakeTable(spark, tmpDir("scr"), nBuckets = 8, ApplyMode.CopyOnWrite)
+    val scratch = new LakeTable(spark, tmpDir("scr"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
     scratch.merge(spark.read.parquet(walDir), "scr", 0L)
     val cols = Seq("repo", "path", "commit", "lang", "contentSha")
     assert(collectSorted(t.read().selectExpr(cols: _*)) ==
@@ -51,7 +51,7 @@ class CrashResumeSpec extends SparkSpec {
   test("resume with NOTHING new to process is a clean no-op") {
     val walDir = tmpDir("wal2")
     ChangeLogGen.writeWal(spark, GenConfig(seed = 6, events = 1000, repos = 5, filesPerRepo = 8), walDir, 2)
-    val t = new LakeTable(spark, tmpDir("t2"), nBuckets = 4)
+    val t = new LakeTable(spark, tmpDir("t2"), defaultBuckets = 4)
     val cp = tmpDir("cp2")
     IngestStream.runAvailable(spark, walDir, t, "cp2", cp, maxFilesPerTrigger = 2)
     val v = t.currentSnapshot().get.version

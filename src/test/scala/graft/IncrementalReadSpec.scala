@@ -14,7 +14,7 @@ class IncrementalReadSpec extends SparkSpec {
   val cfg = GenConfig(seed = 21, events = 6000, repos = 15, filesPerRepo = 20)
 
   test("readChangedSince skips files by lsn stats and returns exactly the changed keys") {
-    val t = new LakeTable(spark, tmpDir("incr"), nBuckets = 8, ApplyMode.MergeOnRead)
+    val t = new LakeTable(spark, tmpDir("incr"), defaultBuckets = 8, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
       (0 until 3).foreach { i =>
@@ -35,7 +35,7 @@ class IncrementalReadSpec extends SparkSpec {
   }
 
   test("ledger counts stale (late, at-or-below-hwm) events without corrupting state") {
-    val t = new LakeTable(spark, tmpDir("stale"), nBuckets = 8, ApplyMode.CopyOnWrite)
+    val t = new LakeTable(spark, tmpDir("stale"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
       t.merge(wal.where(col("lsn") <= 4000), "s", 0L)
@@ -81,5 +81,20 @@ class IncrementalReadSpec extends SparkSpec {
       .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
     val got = out.collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == recount)
+  }
+
+  test("reopening a table with different constructor params keeps the stored layout") {
+    val dir = tmpDir("reopen")
+    val t = new LakeTable(spark, dir, defaultBuckets = 8, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, GenConfig(seed = 30, events = 1000, repos = 5, filesPerRepo = 8))
+    t.merge(wal, "r", 0L)
+    // misconfigured reopen: different bucket count AND mode
+    val wrong = new LakeTable(spark, dir, defaultBuckets = 64, ApplyMode.CopyOnWrite)
+    assert(wrong.nBuckets == 8, "bucket count comes from the snapshot")
+    assert(wrong.mode == ApplyMode.MergeOnRead, "mode comes from the snapshot")
+    wrong.merge(wal.where(col("lsn") <= 500), "r", 1L) // stale replay through the wrong handle
+    val a = collectSorted(t.read().select("repo", "path", "commit"))
+    val b = collectSorted(wrong.read().select("repo", "path", "commit"))
+    assert(a == b, "no duplicate keys / lost rows after misconfigured reopen")
   }
 }

@@ -45,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("merge resolve stage contains exactly one Exchange") {
-    val t = new LakeTable(spark, tmpDir("audit"), nBuckets = 8, ApplyMode.MergeOnRead)
+    val t = new LakeTable(spark, tmpDir("audit"), defaultBuckets = 8, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, GenConfig(seed = 9, events = 2000, repos = 8, filesPerRepo = 10))
     // reproduce the resolve plan shape the merge writes
     val b = pmod(xxhash64(col("repo"), col("path")), lit(8L)).cast("int")

@@ -42,15 +42,15 @@ class ReplayDeterminismSpec extends SparkSpec {
   }
 
   test("K-batch apply == oracle replay (CopyOnWrite)") {
-    val t = new LakeTable(spark, tmpDir("cow"), nBuckets = 8, ApplyMode.CopyOnWrite)
+    val t = new LakeTable(spark, tmpDir("cow"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
     applyInBatches(t, 7)
     assert(snapshotRows(t) == OracleApplier.liveRows(oracleEvents()))
   }
 
   test("1-batch apply == K-batch apply == oracle (MergeOnRead + compaction)") {
-    val one = new LakeTable(spark, tmpDir("mor1"), nBuckets = 8, ApplyMode.MergeOnRead)
+    val one = new LakeTable(spark, tmpDir("mor1"), defaultBuckets = 8, ApplyMode.MergeOnRead)
     one.merge(wal, "test", 0L)
-    val many = new LakeTable(spark, tmpDir("morK"), nBuckets = 8, ApplyMode.MergeOnRead)
+    val many = new LakeTable(spark, tmpDir("morK"), defaultBuckets = 8, ApplyMode.MergeOnRead)
     (0 until 5).foreach { i =>
       val per = 2000L
       many.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "test", i.toLong)
@@ -68,14 +68,14 @@ class ReplayDeterminismSpec extends SparkSpec {
   test("batch-order permutation converges to the same state (max-LSN guard)") {
     // apply the second half BEFORE the first half: lower-LSN events must
     // not overwrite or resurrect higher-LSN state.
-    val t = new LakeTable(spark, tmpDir("perm"), nBuckets = 8, ApplyMode.CopyOnWrite)
+    val t = new LakeTable(spark, tmpDir("perm"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
     t.merge(wal.where(col("lsn") > 5000), "test", 0L)
     t.merge(wal.where(col("lsn") <= 5000), "test", 1L)
     assert(snapshotRows(t) == OracleApplier.liveRows(oracleEvents()))
   }
 
   test("exactly-once: replaying a committed batchId is a no-op") {
-    val t = new LakeTable(spark, tmpDir("eo"), nBuckets = 8, ApplyMode.CopyOnWrite)
+    val t = new LakeTable(spark, tmpDir("eo"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
     t.merge(wal.where(col("lsn") <= 5000), "test", 0L)
     val v1 = t.currentSnapshot().get.version
     val stats = t.merge(wal.where(col("lsn") <= 5000), "test", 0L) // replay
@@ -91,7 +91,7 @@ class ReplayDeterminismSpec extends SparkSpec {
     try {
       val counts = w.groupBy("repo").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(counts.values.max > hot.events * 0.4, "skew profile present")
-      val t = new LakeTable(spark, tmpDir("skew"), nBuckets = 8)
+      val t = new LakeTable(spark, tmpDir("skew"), defaultBuckets = 8)
       (0 until 4).foreach(i => t.merge(w.where(pmod(col("lsn"), lit(4)) === i), "test", i.toLong))
       val evs = w.collect().toSeq.map(r => OracleApplier.Ev(
         r.getAs[Long]("lsn"), r.getAs[String]("op"), r.getAs[String]("repo"),

@@ -19,7 +19,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   test("additive column arrives mid-stream; old rows null-backfill") {
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
-      val t = new LakeTable(spark, tmpDir("evo"), nBuckets = 8, ApplyMode.CopyOnWrite)
+      val t = new LakeTable(spark, tmpDir("evo"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
       // pre-evolution batch: original envelope
       t.merge(wal.where(col("lsn") <= 3600), "evo", 0L)
       val preSchema = t.currentSnapshot().get.schemaDdl
@@ -55,7 +55,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   test("evolution works in MergeOnRead mode too (deltas with mixed schemas)") {
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
-      val t = new LakeTable(spark, tmpDir("evoMor"), nBuckets = 8, ApplyMode.MergeOnRead)
+      val t = new LakeTable(spark, tmpDir("evoMor"), defaultBuckets = 8, ApplyMode.MergeOnRead)
       t.merge(wal.where(col("lsn") <= 2000), "evo", 0L)
       t.merge(wal.where(col("lsn") > 2000).withColumn("branch", lit("main")), "evo", 1L)
       val out = t.read()
