@@ -72,6 +72,12 @@ object Schemas {
   * (process_layers.py:309).
   */
 object LangRules {
+  /** rule-table version (the reference's rules files carry `version:`
+    * metadata, docs/data_layers.md:276-296); recorded per table in the
+    * catalog properties so a rules change is visible in lineage.
+    */
+  val version = "1"
+
   /** suffix → language; ordered (first match wins, like the rule tables). */
   val rules: Seq[(String, String)] = Seq(
     ".scala" -> "scala",
