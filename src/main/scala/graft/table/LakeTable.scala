@@ -96,6 +96,23 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def committed(cpId: String, batchId: Long): Boolean =
     currentSnapshot().exists(_.committed.contains(s"$cpId/$batchId"))
 
+  /** Time travel: live rows as of snapshot `version` (must still be
+    * retained — see expireSnapshots). Historical files are read under THEIR
+    * snapshot's schema, so pre-evolution snapshots stay readable as
+    * written (SURVEY.md §7.6 "readers must resolve any historic snapshot").
+    */
+  def readAt(version: Int): DataFrame = {
+    val p = Paths.get(metaDir, s"snap-$version.json")
+    require(Files.exists(p), s"snapshot $version expired or never existed")
+    val s = SnapshotIO.read(p)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val raw =
+      if (s.files.isEmpty) emptyTable(schema)
+      else spark.read.schema(schema).parquet(s.files.map(_.path): _*)
+    val resolved = if (s.mode == "mor") latestPerKey(raw) else raw
+    resolved.where(!col("deleted")).drop("deleted")
+  }
+
   private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
     Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
@@ -363,6 +380,49 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
     commitSnapshot(snap.copy(version = version, files = entries,
       totalRows = entries.map(_.rows).sum))
+  }
+
+  /** MergeOnRead maintenance policy: fold deltas when any bucket's file
+    * count exceeds the threshold — bounds read amplification on a
+    * long-running stream. No-op in CopyOnWrite mode (always 1 file/bucket).
+    * Returns true if a compaction ran.
+    */
+  def maybeCompact(maxFilesPerBucket: Int = 8): Boolean = {
+    if (mode != ApplyMode.MergeOnRead) return false
+    val snap = currentSnapshot().getOrElse(return false)
+    val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
+    if (worst > maxFilesPerBucket) { compact(); true } else false
+  }
+
+  /** Snapshot expiry: keep the latest `keep` snapshots; delete older
+    * snapshot JSONs and any data file no retained snapshot references —
+    * the storage-reclamation half of the never-overwrite commit scheme
+    * (time travel across retained snapshots stays intact).
+    */
+  def expireSnapshots(keep: Int = 2): Unit = {
+    val cur = currentSnapshot().getOrElse(return)
+    val all = (1 to cur.version).flatMap { v =>
+      val p = Paths.get(metaDir, s"snap-$v.json")
+      if (Files.exists(p)) Some(v -> SnapshotIO.read(p)) else None
+    }
+    val retained = all.filter(_._1 > cur.version - keep)
+    val live: Set[String] = retained.flatMap(_._2.files.map(_.path)).toSet
+    // delete unreferenced data files, then empty commit dirs, then old meta
+    all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
+      s.files.filterNot(f => live(f.path)).foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+      Files.deleteIfExists(Paths.get(metaDir, s"snap-$v.json"))
+    }
+    val dd = new File(dataDir)
+    if (dd.exists()) dd.listFiles().filter(_.isDirectory).foreach { c =>
+      val walk = Files.walk(c.toPath)
+      val parquets = try walk.filter(p => p.toString.endsWith(".parquet")).count() finally walk.close()
+      if (parquets == 0) { // only markers/empty dirs left → reclaim the commit dir
+        val w2 = Files.walk(c.toPath)
+        try w2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally w2.close()
+      }
+    }
   }
 
   private def emptySnapshot =

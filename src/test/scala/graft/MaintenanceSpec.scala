@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.table.{ApplyMode, LakeTable}
+
+/** Table maintenance: auto-compaction bounds MOR read amplification; expiry
+  * reclaims unreferenced files while retained snapshots stay readable and
+  * the final state never changes.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 33, events = 4000, repos = 10, filesPerRepo = 12)
+
+  def stateOf(t: LakeTable) =
+    collectSorted(t.read().select("repo", "path", "commit", "contentSha"))
+
+  test("maybeCompact folds deltas when a bucket exceeds the file threshold") {
+    val t = new LakeTable(spark, tmpDir("mc"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      (0 until 8).foreach(i => t.merge(wal.where(pmod(col("lsn"), lit(8)) === i), "m", i.toLong))
+      val before = stateOf(t)
+      val filesBefore = t.currentSnapshot().get.files.size
+      assert(t.maybeCompact(maxFilesPerBucket = 4), "compaction should trigger")
+      assert(!t.maybeCompact(maxFilesPerBucket = 4), "second call is a no-op")
+      val filesAfter = t.currentSnapshot().get.files.size
+      assert(filesAfter < filesBefore)
+      assert(t.currentSnapshot().get.files.groupBy(_.bucket).values.forall(_.size == 1))
+      assert(stateOf(t) == before, "state preserved")
+    } finally wal.unpersist()
+  }
+
+  test("expireSnapshots reclaims old files; current state intact; replay still exact-once") {
+    val t = new LakeTable(spark, tmpDir("exp"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      (0 until 4).foreach(i => t.merge(wal.where(col("lsn").between(i * 1000 + 1, (i + 1) * 1000)), "e", i.toLong))
+      val before = stateOf(t)
+      val dataFilesBefore = Files.walk(Paths.get(t.root, "data"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      t.expireSnapshots(keep = 1)
+      val dataFilesAfter = Files.walk(Paths.get(t.root, "data"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      assert(dataFilesAfter < dataFilesBefore, s"$dataFilesAfter < $dataFilesBefore")
+      assert(stateOf(t) == before, "current snapshot unaffected")
+      // exactly-once memory survives expiry (committed set is in the CURRENT snapshot)
+      assert(t.merge(wal.where(col("lsn") <= 1000), "e", 0L).isEmpty)
+      // and the table still accepts new batches afterwards
+      val extra = ChangeLogGen.changeLog(spark, cfg.copy(seed = 34, events = 500))
+      t.merge(extra, "e", 99L)
+      assert(t.read().count() > 0)
+    } finally wal.unpersist()
+  }
+
+  test("time travel: readAt(v) reproduces each retained snapshot's state") {
+    val t = new LakeTable(spark, tmpDir("tt"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      t.merge(wal.where(col("lsn") <= 2000), "t", 0L)
+      val stateV1 = stateOf(t)
+      t.merge(wal.where(col("lsn") > 2000), "t", 1L)
+      val stateV2 = stateOf(t)
+      assert(stateV1 != stateV2)
+      assert(collectSorted(t.readAt(1).select("repo", "path", "commit", "contentSha")) == stateV1)
+      assert(collectSorted(t.readAt(2).select("repo", "path", "commit", "contentSha")) == stateV2)
+      t.expireSnapshots(keep = 1)
+      intercept[IllegalArgumentException](t.readAt(1))
+    } finally wal.unpersist()
+  }
+}
