@@ -28,6 +28,7 @@ object IngestStream {
   def start(spark: SparkSession, walDir: String, table: LakeTable, cpId: String,
             checkpointDir: String, maxFilesPerTrigger: Int = 4,
             watermarkDelay: String = "10 minutes",
+            autoCompactFilesPerBucket: Int = 16,
             onBatch: (Long, Seq[LakeTable.BucketStats]) => Unit = (_, _) => ()): StreamingQuery = {
     val src = spark.readStream
       .schema(Schemas.changeEvent)
@@ -46,6 +47,8 @@ object IngestStream {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // merge writes the lineage ledger entry itself, inside the commit
         val stats = table.merge(batch, cpId, batchId)
+        // MergeOnRead hygiene: fold deltas when read amplification grows
+        if (autoCompactFilesPerBucket > 0) table.maybeCompact(autoCompactFilesPerBucket)
         onBatch(batchId, stats)
       }
       .start()
