@@ -60,7 +60,8 @@ object ApplyMode extends Enumeration {
   * numbering (stuttgart_comprehensive_script.py:48-68) made transactional.
   */
 final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets: Int = 32,
-                      defaultMode: ApplyMode.Value = ApplyMode.CopyOnWrite) {
+                      defaultMode: ApplyMode.Value = ApplyMode.CopyOnWrite,
+                      val prereduceHotKeys: Boolean = false) {
   import LakeTable._
 
   private val metaDir = s"$root/meta"
@@ -240,7 +241,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       sum(when(col("lsn") <= prevHwm, 1L).otherwise(0L)).as("staleRows")).collect().head
     val batchRows = inStats.getLong(0)
     val staleRows = if (inStats.isNullAt(1)) 0L else inStats.getLong(1)
-    val incoming = clean(events).withColumn("b", bucketCol())
+    // Hot-KEY pre-reduce (the apply-path skew lever, SURVEY.md §4): when a
+    // few keys dominate the batch (e.g. one file updated millions of times
+    // in one batch), reduce per-key BEFORE the bucket shuffle with the
+    // hash-aggregate latestPerKey — its map-side partial combine collapses
+    // the hot key on every input partition, so the bucket shuffle moves one
+    // row per key instead of the flood. Off by default: for typical batches
+    // it would add a shuffle without removing bytes.
+    val cleaned0 = clean(events)
+    val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
+    val incoming = cleaned.withColumn("b", bucketCol())
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
         // write-optimised: dedup within the batch only, append as delta.
