@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions path: a session built with GraftExtensions
+  * (or spark.sql.extensions config) gets the native functions in SQL with
+  * no imperative registration.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions(GraftExtensions) exposes simhash64/cosine_sim in SQL") {
+    // newSession would share state; build an isolated session with the
+    // extension the way spark-submit --conf spark.sql.extensions would
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      s.sparkContext.setLogLevel("WARN")
+      val h = s.sql("SELECT simhash64(array('a','b','c')) AS h, cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .collect().head
+      assert(h.getLong(0) != 0L)
+      assert(math.abs(h.getDouble(1) - 1.0) < 1e-12)
+    } finally () // keep the shared context alive for other suites
+  }
+}
