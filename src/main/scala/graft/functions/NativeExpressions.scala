@@ -23,12 +23,31 @@ import org.apache.spark.sql.types._
 object native {
   @volatile private var registered = Set.empty[String]
 
+  /** builder-side arity validation: a wrong-arity SQL call gets a meaningful
+    * analysis-time error instead of an IndexOutOfBoundsException.
+    */
+  private[functions] def requireArity(name: String, signature: String,
+                                      exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument${if (n == 1) "" else "s"}: $signature (got ${exprs.length})")
+
+  private[functions] def buildSimhash(exprs: Seq[Expression]): Expression = {
+    requireArity("simhash64", "simhash64(tokens: array<string>)", exprs, 1)
+    SimHash64(exprs.head)
+  }
+
+  private[functions] def buildCosine(exprs: Seq[Expression]): Expression = {
+    requireArity("cosine_sim", "cosine_sim(a: array<double>, b: array<double>)", exprs, 2)
+    CosineSim(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = synchronized {
     val key = System.identityHashCode(spark).toString
     if (!registered.contains(key)) {
       val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("simhash64", buildSimhash, "built-in")
+      reg.createOrReplaceTempFunction("cosine_sim", buildCosine, "built-in")
       registered += key
     }
   }
@@ -90,36 +109,47 @@ object SimHash64 {
 
 /** cosine similarity of two array<double> vectors, accumulated
   * left-to-right like the HOF form (deterministic, oracle-identical).
-  * Null or length-mismatched inputs → null.
+  *
+  * Malformed-input contract (matches the HOF form in VectorQueries.cosine):
+  * null input, length-mismatched inputs, a null element, or a zero/NaN
+  * denominator all yield NULL — never NaN, never a silent prefix-cosine.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    CosineSim.cos(x, y)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.cos($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.CosineSim.cos($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(newLeft, newRight)
 }
 
 object CosineSim {
-  def cos(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+  /** null (not NaN) on any malformed input — see CosineSim scaladoc */
+  def cos(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val a = x.getDouble(i); val b = y.getDouble(i)
       dot += a * b; nx += a * a; ny += b * b
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val r = dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (java.lang.Double.isNaN(r)) null else r
   }
 }

@@ -88,8 +88,8 @@ object ChangeLogGen {
     * if `dir` already holds a _SUCCESS marker.
     */
   def writeWal(spark: SparkSession, cfg: GenConfig, dir: String, segments: Int): Unit = {
-    val success = new java.io.File(dir, "_SUCCESS")
-    if (success.exists()) return
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    if (fs.exists(s"$dir/_SUCCESS")) return
     changeLog(spark, cfg)
       .repartitionByRange(segments, col("lsn"))
       .sortWithinPartitions("lsn")
@@ -102,9 +102,9 @@ object ChangeLogGen {
     // repartitionByRange assigns ranges by partition index. (The merge is
     // order-robust regardless — tombstones + the max-LSN guard — this
     // keeps the delivery contract and the staleRows metric meaningful.)
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val files = fs.listFiles(dir,
+      n => n.startsWith("part-")).sorted
     val base = System.currentTimeMillis() - files.length * 2000L
-    files.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    files.zipWithIndex.foreach { case (f, i) => fs.setTimes(f, base + i * 2000L) }
   }
 }

@@ -1,8 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,11 +28,8 @@ object CdcQueries {
   val smBatches = 5
   val smBuckets = 16
 
-  def deleteRec(p: String): Unit = {
-    val path = Paths.get(p)
-    if (Files.exists(path))
-      Files.walk(path).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-  }
+  def deleteRec(p: String): Unit =
+    new graft.table.Fs(new org.apache.hadoop.conf.Configuration()).deleteRecursive(p)
 
   def ensureSmWal(spark: SparkSession): Unit =
     ChangeLogGen.writeWal(spark, smCfg, smWal, segments = 10)
@@ -49,7 +43,7 @@ object CdcQueries {
     ensureSmWal(spark)
     val dir = s"$LakeRoot/sm_cow"
     val t = new LakeTable(spark, dir, smBuckets, ApplyMode.CopyOnWrite)
-    val ok = t.currentSnapshot().exists(s => s.committed.size == smBatches && s.hwm == smCfg.events)
+    val ok = t.currentSnapshot().exists(s => s.committedCount == smBatches && s.hwm == smCfg.events)
     if (!ok) {
       deleteRec(dir)
       val fresh = new LakeTable(spark, dir, smBuckets, ApplyMode.CopyOnWrite)

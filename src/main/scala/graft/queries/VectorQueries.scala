@@ -16,11 +16,18 @@ object VectorQueries {
 
   /** cosine similarity of two double arrays, evaluated left-to-right like
     * DuckDB's list_cosine_similarity (element order fixed → deterministic).
+    * Malformed inputs → NULL, same contract as the native CosineSim:
+    * length mismatch or null element → zip_with pads/propagates null;
+    * zero vector (0/0 = NaN) → nanvl to null.
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val d = dot(a, b); val na = dot(a, a); val nb = dot(b, b)
+    // explicit zero-norm guard (ANSI mode: 0/0 raises, and NaN would differ
+    // from the native form's null); lazy CaseWhen keeps the division safe
+    when(na === 0 || nb === 0, lit(null).cast("double"))
+      .otherwise(nanvl(d / (sqrt(na) * sqrt(nb)), lit(null).cast("double")))
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =

@@ -1,8 +1,5 @@
 package graft.table
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.SparkSession
 
 import graft.model.LangRules
@@ -15,10 +12,14 @@ import graft.model.LangRules
   * and the rule-table version it was created with (the reference's rules
   * files carry `version:` metadata, docs/data_layers.md:276-296) —
   * table properties instead of YAML dirs.
+  *
+  * All IO via the Hadoop FileSystem API — the catalog root may be any
+  * registered scheme (`file:`, `hdfs:`, `s3a:`...).
   */
 final class Catalog(spark: SparkSession, root: String) {
 
-  private def propsPath(name: String) = Paths.get(root, name, "table.properties.json")
+  private val fs = new Fs(spark.sessionState.newHadoopConf())
+  private def propsPath(name: String) = s"$root/$name/table.properties.json"
 
   /** open-or-create: properties are written once at creation; later opens
     * take the stored layout (constructor args are creation defaults only).
@@ -27,31 +28,25 @@ final class Catalog(spark: SparkSession, root: String) {
             mode: ApplyMode.Value = ApplyMode.CopyOnWrite): LakeTable = {
     require(name.matches("[A-Za-z0-9_.-]+"), s"bad table name: $name")
     val p = propsPath(name)
-    if (!Files.exists(p)) {
-      Files.createDirectories(p.getParent)
+    if (!fs.exists(p)) {
       val json =
         s"""{"name":"$name","nBuckets":$nBuckets,"mode":"${if (mode == ApplyMode.MergeOnRead) "mor" else "cow"}","rulesVersion":"${LangRules.version}","format":"graft-lake-v1"}"""
-      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      fs.atomicWrite(p, json)
     }
-    val props = JsonMini.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .asInstanceOf[Map[String, Any]]
+    val props = JsonMini.parse(fs.readString(p)).asInstanceOf[Map[String, Any]]
     new LakeTable(spark, s"$root/$name",
-      props("nBuckets").asInstanceOf[Double].toInt,
+      SnapshotIO.asInt(props("nBuckets")),
       if (props("mode") == "mor") ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite)
   }
 
   def properties(name: String): Map[String, Any] =
-    JsonMini.parse(new String(Files.readAllBytes(propsPath(name)), StandardCharsets.UTF_8))
-      .asInstanceOf[Map[String, Any]]
+    JsonMini.parse(fs.readString(propsPath(name))).asInstanceOf[Map[String, Any]]
 
-  def list(): Seq[String] = {
-    val d = new java.io.File(root)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq.filter(f => f.isDirectory && Files.exists(propsPath(f.getName)))
-      .map(_.getName).sorted
-  }
+  def list(): Seq[String] =
+    fs.listDirs(root)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName)
+      .filter(n => fs.exists(propsPath(n)))
+      .sorted
 
   /** register every tenant table as `<prefix><name>` temp views */
   def createViews(prefix: String = ""): Unit =

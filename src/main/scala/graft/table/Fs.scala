@@ -1,0 +1,107 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** All table metadata/listing IO goes through the Hadoop `FileSystem` API —
+  * the engine's tables live on HDFS/S3/GCS on a real cluster, not the local
+  * disk. Roots may be plain paths, `file:` URIs, `hdfs://...`, or any
+  * registered scheme; the filesystem is resolved per path from the Hadoop
+  * configuration (the same one Spark's own parquet IO uses, so data and
+  * metadata always land on the same store).
+  *
+  * Atomicity: metadata writes are write-temp + rename. On HDFS and local
+  * filesystems rename is atomic; on S3A it is copy+delete (non-atomic but
+  * still all-or-nothing per object since the temp object is complete before
+  * the copy) — the standard lake-format caveat (Iceberg/Delta document the
+  * same; a production S3 deployment fronts commits with a catalog lock).
+  */
+final class Fs(@transient private val conf: Configuration) extends Serializable {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def exists(path: String): Boolean = { val p = new Path(path); fs(p).exists(p) }
+
+  def readString(path: String): String = {
+    val p = new Path(path)
+    val in = fs(p).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** write-temp + atomic rename-with-overwrite (FileContext gives the
+    * POSIX-style overwrite rename that plain FileSystem.rename lacks).
+    */
+  def atomicWrite(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try FileContext.getFileContext(f.getUri, conf).rename(tmp, p, Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // scheme has a FileSystem but no AbstractFileSystem binding (e.g. a
+        // custom test FS): plain rename — POSIX-overwriting on local FSs,
+        // delete-then-rename otherwise (documented non-atomic window).
+        if (!f.rename(tmp, p)) {
+          f.delete(p, false)
+          require(f.rename(tmp, p), s"rename failed: $tmp -> $p")
+        }
+    }
+  }
+
+  def delete(path: String): Boolean = { val p = new Path(path); fs(p).delete(p, false) }
+  def deleteRecursive(path: String): Boolean = { val p = new Path(path); fs(p).delete(p, true) }
+  def mkdirs(path: String): Boolean = { val p = new Path(path); fs(p).mkdirs(p) }
+
+  /** immediate children that are directories (no recursion) */
+  def listDirs(path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.toString).sorted
+  }
+
+  /** immediate children files whose NAME matches the predicate */
+  def listFiles(path: String, name: String => Boolean): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(s => s.isFile && name(s.getPath.getName))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** recursive count of files whose name matches (for reclaim checks).
+    * Manual listStatus recursion rather than FileSystem.listFiles(recursive):
+    * the latter materialises LocatedFileStatus eagerly (permission IO that
+    * breaks on re-schemed local filesystems); we only need names.
+    */
+  def countFilesRecursive(path: String, name: String => Boolean): Long = {
+    val root = new Path(path)
+    val f = fs(root)
+    if (!f.exists(root)) return 0L
+    var n = 0L
+    val stack = scala.collection.mutable.Stack(root)
+    while (stack.nonEmpty) {
+      f.listStatus(stack.pop()).foreach { s =>
+        if (s.isDirectory) stack.push(s.getPath)
+        else if (name(s.getPath.getName)) n += 1
+      }
+    }
+    n
+  }
+
+  def setTimes(path: String, mtimeMs: Long): Unit = {
+    val p = new Path(path)
+    fs(p).setTimes(p, mtimeMs, -1L)
+  }
+}

@@ -1,9 +1,5 @@
 package graft.table
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -16,20 +12,48 @@ import graft.model.LangRules
   */
 final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, maxLsn: Long)
 
+/** Per-checkpoint commit progress: the max CONTIGUOUS committed batchId
+  * (`hwm`, -1 = none) plus a small out-of-order set (`pending`, batchIds
+  * above hwm+1 that arrived early). Streaming batchIds are monotonic per
+  * checkpoint, so `pending` stays empty in practice and snapshot metadata
+  * is O(#checkpoints), not O(#batches) — a long-running stream no longer
+  * rewrites its whole commit history into every snapshot JSON.
+  */
+final case class CommitState(hwm: Long = -1L, pending: Seq[Long] = Nil) {
+  def contains(batchId: Long): Boolean = batchId <= hwm || pending.contains(batchId)
+  def absorb(batchId: Long): CommitState =
+    if (contains(batchId)) this
+    else {
+      var h = hwm
+      val p = scala.collection.mutable.SortedSet[Long](pending: _*) += batchId
+      while (p.contains(h + 1)) { h += 1; p -= h }
+      CommitState(h, p.toSeq)
+    }
+  /** number of distinct committed batchIds (batchIds start at 0) */
+  def count: Long = hwm + 1 + pending.size
+}
+
 /** An immutable table snapshot — the engine's `run_info.json`
   * (reference: stuttgart_comprehensive_script.py:870-889): schema version,
-  * live file list, committed-batch set (exactly-once), LSN high watermark.
+  * live file list, committed-batch progress (exactly-once), LSN high watermark.
   */
 final case class Snapshot(
     version: Int,
     schemaDdl: String,
     nBuckets: Int,
     files: Seq[FileEntry],
-    committed: Seq[String], // "checkpointId/batchId" keys — idempotent commits
+    committed: Map[String, CommitState], // checkpointId -> commit progress
     hwm: Long,              // applied-LSN high watermark
     totalRows: Long,
     mode: String = "cow"    // apply mode fixed at table creation
-)
+) {
+  def isCommitted(cpId: String, batchId: Long): Boolean =
+    committed.get(cpId).exists(_.contains(batchId))
+  def withCommit(cpId: String, batchId: Long): Map[String, CommitState] =
+    committed.updated(cpId, committed.getOrElse(cpId, CommitState()).absorb(batchId))
+  /** total distinct committed batches across all checkpoints */
+  def committedCount: Long = committed.valuesIterator.map(_.count).sum
+}
 
 object ApplyMode extends Enumeration {
   /** CopyOnWrite: merge rewrites affected buckets (read-optimised).
@@ -66,7 +90,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
   private val metaDir = s"$root/meta"
   private val dataDir = s"$root/data"
-  val ledger = new Ledger(root)
+  /** all metadata/listing IO via the Hadoop FileSystem API (HDFS/S3-capable) */
+  val fs = new Fs(spark.sessionState.newHadoopConf())
+  val ledger = new Ledger(root, fs)
 
   /** Layout parameters are FIXED at table creation and read back from the
     * snapshot thereafter — reopening an existing table with different
@@ -86,16 +112,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   // ---- snapshot IO -------------------------------------------------------
 
   def currentSnapshot(): Option[Snapshot] = {
-    val vf = Paths.get(metaDir, "VERSION")
-    if (!Files.exists(vf)) None
+    val vf = s"$metaDir/VERSION"
+    if (!fs.exists(vf)) None
     else {
-      val v = new String(Files.readAllBytes(vf), StandardCharsets.UTF_8).trim.toInt
-      Some(SnapshotIO.read(Paths.get(metaDir, s"snap-$v.json")))
+      val v = fs.readString(vf).trim.toInt
+      Some(SnapshotIO.read(fs.readString(s"$metaDir/snap-$v.json")))
     }
   }
 
   def committed(cpId: String, batchId: Long): Boolean =
-    currentSnapshot().exists(_.committed.contains(s"$cpId/$batchId"))
+    currentSnapshot().exists(_.isCommitted(cpId, batchId))
 
   /** Time travel: live rows as of snapshot `version` (must still be
     * retained — see expireSnapshots). Historical files are read under THEIR
@@ -103,9 +129,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * written (SURVEY.md §7.6 "readers must resolve any historic snapshot").
     */
   def readAt(version: Int): DataFrame = {
-    val p = Paths.get(metaDir, s"snap-$version.json")
-    require(Files.exists(p), s"snapshot $version expired or never existed")
-    val s = SnapshotIO.read(p)
+    val p = s"$metaDir/snap-$version.json"
+    require(fs.exists(p), s"snapshot $version expired or never existed")
+    val s = SnapshotIO.read(fs.readString(p))
     val schema = StructType.fromDDL(s.schemaDdl)
     val raw =
       if (s.files.isEmpty) emptyTable(schema)
@@ -114,16 +140,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     resolved.where(!col("deleted")).drop("deleted")
   }
 
-  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
   private def commitSnapshot(s: Snapshot): Unit = {
-    atomicWrite(Paths.get(metaDir, s"snap-${s.version}.json"), SnapshotIO.write(s))
-    atomicWrite(Paths.get(metaDir, "VERSION"), s.version.toString)
+    fs.atomicWrite(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s))
+    fs.atomicWrite(s"$metaDir/VERSION", s.version.toString)
   }
 
   // ---- read paths --------------------------------------------------------
@@ -286,18 +305,27 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       }
     if (stats.isEmpty) { // empty batch still commits (records the id)
       commitSnapshot(prev.copy(version = version,
-        committed = prev.committed :+ s"$cpId/$batchId"))
+        committed = prev.withCommit(cpId, batchId)))
       return Seq.empty
     }
 
     val newEntries = stats.flatMap { st =>
-      listParquet(s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
     }
     val kept = mode match {
       case ApplyMode.CopyOnWrite => prev.files.filterNot(f => affected.get(f.bucket))
       case ApplyMode.MergeOnRead => prev.files // deltas stack; compact() folds
     }
-    val schemaDdl = resolved.drop("b").schema.toDDL
+    // Table schema = UNION of the previous snapshot schema and this batch's
+    // schema (field-wise, new fields nullable) in BOTH modes. Computing it
+    // from the batch alone is only safe in CopyOnWrite (the union with
+    // existing rows carries old columns forward); in MergeOnRead a batch
+    // WITHOUT a previously-evolved column would silently regress the table
+    // schema, drop that column's data on every read, and a later compact()
+    // would make the loss permanent.
+    val prevSchema = snap.map(s => StructType.fromDDL(s.schemaDdl))
+    val batchSchema = resolved.drop("b").schema
+    val schemaDdl = prevSchema.fold(batchSchema)(p => LakeTable.unionSchema(p, batchSchema)).toDDL
     val batchHwm = stats.map(_.maxLsn).max
     // Ledger entry goes down BEFORE the VERSION flip: if we crash in
     // between, the batch is uncommitted, the retry re-merges and
@@ -309,7 +337,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       schemaDdl = schemaDdl,
       nBuckets = nBuckets,
       files = kept ++ newEntries,
-      committed = prev.committed :+ s"$cpId/$batchId",
+      committed = prev.withCommit(cpId, batchId),
       hwm = math.max(prev.hwm, batchHwm),
       totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
       mode = modeString(mode)
@@ -325,16 +353,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val base = new File(commitDir)
-    if (!base.exists()) return Seq.empty
-    val dirs = base.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("b="))
+    if (!fs.exists(commitDir)) return Seq.empty
+    val dirs = fs.listDirs(commitDir)
+      .filter(d => new org.apache.hadoop.fs.Path(d).getName.startsWith("b="))
     // footer reads are independent — do them on a parallel collection so a
     // 32-bucket commit costs one footer-read latency, not 32
     import scala.collection.parallel.CollectionConverters._
     dirs.par.flatMap { d =>
-      val bucket = d.getName.stripPrefix("b=").toInt
+      val bucket = new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b=").toInt
       var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
-      listParquet(d.getAbsolutePath).foreach { p =>
+      listParquet(fs, d).foreach { p =>
         val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
         val r = ParquetFileReader.open(in)
         try {
@@ -386,7 +414,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
     val stats = footerStats(commitDir)
     val entries = stats.flatMap { st =>
-      listParquet(s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
     }
     commitSnapshot(snap.copy(version = version, files = entries,
       totalRows = entries.map(_.rows).sum))
@@ -412,36 +440,50 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def expireSnapshots(keep: Int = 2): Unit = {
     val cur = currentSnapshot().getOrElse(return)
     val all = (1 to cur.version).flatMap { v =>
-      val p = Paths.get(metaDir, s"snap-$v.json")
-      if (Files.exists(p)) Some(v -> SnapshotIO.read(p)) else None
+      val p = s"$metaDir/snap-$v.json"
+      if (fs.exists(p)) Some(v -> SnapshotIO.read(fs.readString(p))) else None
     }
     val retained = all.filter(_._1 > cur.version - keep)
     val live: Set[String] = retained.flatMap(_._2.files.map(_.path)).toSet
     // delete unreferenced data files, then empty commit dirs, then old meta
     all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
-      s.files.filterNot(f => live(f.path)).foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-      Files.deleteIfExists(Paths.get(metaDir, s"snap-$v.json"))
+      s.files.filterNot(f => live(f.path)).foreach(f => fs.delete(f.path))
+      fs.delete(s"$metaDir/snap-$v.json")
     }
-    val dd = new File(dataDir)
-    if (dd.exists()) dd.listFiles().filter(_.isDirectory).foreach { c =>
-      val walk = Files.walk(c.toPath)
-      val parquets = try walk.filter(p => p.toString.endsWith(".parquet")).count() finally walk.close()
-      if (parquets == 0) { // only markers/empty dirs left → reclaim the commit dir
-        val w2 = Files.walk(c.toPath)
-        try w2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally w2.close()
-      }
+    fs.listDirs(dataDir).foreach { c =>
+      // only markers/empty dirs left → reclaim the whole commit dir
+      if (fs.countFilesRecursive(c, _.endsWith(".parquet")) == 0) fs.deleteRecursive(c)
     }
   }
 
   private def emptySnapshot =
-    Snapshot(0, graft.model.Schemas.repoRow.toDDL, defaultBuckets, Seq.empty, Seq.empty, 0L, 0L,
+    Snapshot(0, graft.model.Schemas.repoRow.toDDL, defaultBuckets, Seq.empty, Map.empty, 0L, 0L,
       modeString(defaultMode))
 }
 
 object LakeTable {
   final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long)
+
+  /** Additive schema evolution (SURVEY.md §1.3): previous fields keep their
+    * position; fields new in `next` are appended as NULLABLE; a field absent
+    * from `next` survives (readers null-backfill files that lack it). Type
+    * changes are rejected — the engine's evolution rules are add-only.
+    */
+  def unionSchema(prev: StructType, next: StructType): StructType = {
+    val prevNames = prev.fieldNames.toSet
+    val byName = next.fields.map(f => f.name -> f).toMap
+    val kept = prev.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(n) =>
+          require(n.dataType == f.dataType,
+            s"schema evolution: column '${f.name}' type change ${f.dataType} -> ${n.dataType} not allowed")
+          f.copy(nullable = f.nullable || n.nullable)
+        case None => f.copy(nullable = true) // absent from batch: null-backfilled
+      }
+    }
+    val added = next.fields.filterNot(f => prevNames(f.name)).map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
 
   /** W5 latest-value-per-key (SURVEY.md §2.6): max-LSN row per (repo, path);
     * tie-break total on (commit, then payload) so replays with duplicate
@@ -463,11 +505,8 @@ object LakeTable {
       .select(col("repo") +: col("path") +: ordered.map(c => col(s"__m.`$c`").as(c)): _*)
   }
 
-  def listParquet(dir: String): Seq[String] = {
-    val d = new File(dir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-  }
+  def listParquet(fs: Fs, dir: String): Seq[String] =
+    fs.listFiles(dir, _.endsWith(".parquet"))
 }
 
 /** Hand-rolled JSON codec for snapshot metadata — flat, versioned, no
@@ -480,35 +519,54 @@ object SnapshotIO {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   } + "\""
 
+  /** integral JSON numbers parse as Long (64-bit exact — upstream WAL LSNs
+    * are arbitrary 64-bit values, Double would corrupt above 2^53); these
+    * helpers accept both shapes.
+    */
+  def asLong(v: Any): Long = v match {
+    case l: Long => l; case d: Double => d.toLong
+    case other => throw new IllegalArgumentException(s"not a number: $other")
+  }
+  def asInt(v: Any): Int = asLong(v).toInt
+
   def write(s: Snapshot): String = {
     val files = s.files.map(f =>
       s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}}"""
     ).mkString("[", ",", "]")
-    val committed = s.committed.map(q).mkString("[", ",", "]")
+    val committed = s.committed.toSeq.sortBy(_._1).map { case (cp, c) =>
+      s"""${q(cp)}:{"hwm":${c.hwm},"pending":${c.pending.mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
     s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"files":$files,"committed":$committed}"""
   }
 
-  def read(path: java.nio.file.Path): Snapshot = {
-    val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-    parse(txt)
-  }
+  def read(txt: String): Snapshot = parse(txt)
 
   // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers).
   def parse(txt: String): Snapshot = {
+    import SnapshotIO.{asInt, asLong}
     val v = JsonMini.parse(txt).asInstanceOf[Map[String, Any]]
     Snapshot(
-      version = v("version").asInstanceOf[Double].toInt,
+      version = asInt(v("version")),
       schemaDdl = v("schemaDdl").asInstanceOf[String],
-      nBuckets = v("nBuckets").asInstanceOf[Double].toInt,
+      nBuckets = asInt(v("nBuckets")),
       files = v("files").asInstanceOf[Seq[Any]].map { fa =>
         val f = fa.asInstanceOf[Map[String, Any]]
-        FileEntry(f("bucket").asInstanceOf[Double].toInt, f("path").asInstanceOf[String],
-          f("rows").asInstanceOf[Double].toLong, f("minLsn").asInstanceOf[Double].toLong,
-          f("maxLsn").asInstanceOf[Double].toLong)
+        FileEntry(asInt(f("bucket")), f("path").asInstanceOf[String],
+          asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")))
       },
-      committed = v("committed").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
-      hwm = v("hwm").asInstanceOf[Double].toLong,
-      totalRows = v("totalRows").asInstanceOf[Double].toLong,
+      committed = v("committed") match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map { case (cp, cv) =>
+          val c = cv.asInstanceOf[Map[String, Any]]
+          cp -> CommitState(asLong(c("hwm")), c("pending").asInstanceOf[Seq[Any]].map(asLong))
+        }
+        case s: Seq[_] => // v1 format: flat "cpId/batchId" list
+          s.map(_.asInstanceOf[String].split('/')).groupBy(_.head).map { case (cp, xs) =>
+            cp -> xs.map(_.last.toLong).sorted.foldLeft(CommitState())(_.absorb(_))
+          }
+        case other => throw new IllegalArgumentException(s"bad committed: $other")
+      },
+      hwm = asLong(v("hwm")),
+      totalRows = asLong(v("totalRows")),
       mode = v.get("mode").map(_.asInstanceOf[String]).getOrElse("cow")
     )
   }
@@ -561,10 +619,16 @@ object JsonMini {
       }
       i += 1; sb.toString
     }
-    def num(): Double = {
+    /** integral → Long (exact 64-bit), fractional/exponent → Double */
+    def num(): Any = {
       val st = i
-      while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
-      s.substring(st, i).toDouble
+      var integral = true
+      while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) {
+        if (s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E') integral = false
+        i += 1
+      }
+      val t = s.substring(st, i)
+      if (integral) java.lang.Long.parseLong(t) else t.toDouble
     }
   }
 }

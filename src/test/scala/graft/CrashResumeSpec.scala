@@ -35,10 +35,12 @@ class CrashResumeSpec extends SparkSpec {
     IngestStream.runAvailable(spark, walDir, t, "cp1", cpDir, maxFilesPerTrigger = 2)
 
     val snap = t.currentSnapshot().get
-    assert(snap.committed.distinct.size == snap.committed.size, "no duplicate commits")
-    assert(snap.committed.size == 6, "all 6 batches committed exactly once")
+    // hwm-based commit state is duplicate-free by construction; 6 batches,
+    // contiguous (no out-of-order leftovers)
+    assert(snap.committedCount == 6, "all 6 batches committed exactly once")
+    assert(snap.committed("cp1") == graft.table.CommitState(5L, Nil), "contiguous hwm, empty pending")
     assert(snap.hwm == cfg.events)
-    assert(t.ledger.entries().size == snap.committed.size, "ledger complete, no gaps")
+    assert(t.ledger.entries().size == snap.committedCount, "ledger complete, no gaps")
 
     // final state equals a from-scratch single-batch rebuild
     val scratch = new LakeTable(spark, tmpDir("scr"), defaultBuckets = 8, ApplyMode.CopyOnWrite)

@@ -35,6 +35,36 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(df.where(col("hof") =!= col("nat")).count() == 0)
   }
 
+  test("cosine malformed inputs -> null in BOTH forms (mismatch, zero, null elem)") {
+    native.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("mismatch", Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),
+      ("zero_left", Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      ("zero_both", Seq(0.0, 0.0), Seq(0.0, 0.0)),
+      ("ok", Seq(1.0, 0.0), Seq(1.0, 0.0))
+    ).toDF("case", "a", "b")
+      .select(col("case"),
+        VectorQueries.cosine(col("a"), col("b")).as("hof"),
+        native.cosine(col("a"), col("b")).as("nat"))
+    val rows = df.collect().map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rows("mismatch") == (true, true), "length mismatch must be null, not prefix-cosine")
+    assert(rows("zero_left") == (true, true), "zero vector must be null, not NaN")
+    assert(rows("zero_both") == (true, true))
+    assert(rows("ok") == (false, false))
+    // null element → null (both forms)
+    val ne = spark.sql("SELECT cosine_sim(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS c")
+    assert(ne.collect().head.isNullAt(0))
+  }
+
+  test("wrong arity is a meaningful error, not IndexOutOfBounds") {
+    native.register(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT cosine_sim(array(1.0d))").collect())
+    assert(e1.getMessage.contains("cosine_sim requires exactly 2 arguments"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT simhash64()").collect())
+    assert(e2.getMessage.contains("simhash64 requires exactly 1 argument"), e2.getMessage)
+  }
+
   test("native expressions run inside WholeStageCodegen") {
     native.register(spark)
     val df = spark.read.parquet(s"$dir/documents.parquet")

@@ -52,6 +52,50 @@ class SchemaEvolutionSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("MOR: a NARROWER batch after evolution must not regress the schema") {
+    // regression (round-1 advice): a post-evolution batch that lacks the
+    // evolved column used to reset schemaDdl to the batch schema, silently
+    // dropping the column on every read and permanently on compact().
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      val t = new LakeTable(spark, tmpDir("evoNarrow"), defaultBuckets = 8, ApplyMode.MergeOnRead)
+      t.merge(wal.where(col("lsn") <= 1500), "evo", 0L)
+      // batch 1 evolves: adds `branch`
+      t.merge(wal.where(col("lsn") > 1500 && col("lsn") <= 2500)
+        .withColumn("branch", lit("main")), "evo", 1L)
+      // batch 2 arrives from a fixed-schema source WITHOUT `branch`
+      t.merge(wal.where(col("lsn") > 2500), "evo", 2L)
+
+      assert(t.currentSnapshot().get.schemaDdl.contains("branch"),
+        "schema regressed: evolved column lost after a narrower batch")
+      val out = t.read()
+      assert(out.columns.contains("branch"))
+      // keys last touched in the evolved batch keep their branch value
+      val evolvedLive = out.where(col("lsn") > 1500 && col("lsn") <= 2500)
+      assert(evolvedLive.count() > 0 && evolvedLive.where(col("branch").isNull).count() == 0)
+
+      t.compact()
+      val out2 = t.read()
+      assert(out2.columns.contains("branch"), "compact() dropped the evolved column")
+      assert(collectSorted(out.select("repo", "path", "commit", "branch")) ==
+        collectSorted(out2.select("repo", "path", "commit", "branch")))
+    } finally wal.unpersist()
+  }
+
+  test("unionSchema: add-only, null-backfill, type change rejected") {
+    import org.apache.spark.sql.types._
+    val prev = StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = true)))
+    val next = StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("c", IntegerType, nullable = false)))
+    val u = LakeTable.unionSchema(prev, next)
+    assert(u.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(u("b").nullable, "field absent from batch must become nullable")
+    assert(u("c").nullable, "new field must be nullable")
+    val bad = StructType(Seq(StructField("a", StringType)))
+    intercept[IllegalArgumentException](LakeTable.unionSchema(prev, bad))
+  }
+
   test("evolution works in MergeOnRead mode too (deltas with mixed schemas)") {
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
