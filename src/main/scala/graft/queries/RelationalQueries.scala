@@ -72,19 +72,30 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
-  // W2 ranking: dense_rank over per-user event counts.
+  // W2 ranking: top-20 users by event count. The rank ordering includes a
+  // unique tiebreaker, so dense_rank == row_number and "rnk <= 20" is just
+  // top-k: TakeOrderedAndProject (no global window, no single-task funnel);
+  // ranks are then assigned over the 20 survivors via the partitioned
+  // distributed-rank operator — zero unpartitioned windows in the plan.
   def q7Rank(s: SparkSession, dir: String): DataFrame = {
     val counts = T(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
-    counts.withColumn("rnk", dense_rank().over(Window.orderBy(col("n").desc, col("user_id"))))
-      .where(col("rnk") <= 20)
-      .select("rnk", "user_id", "n")
+    val top = counts.orderBy(col("n").desc, col("user_id")).limit(20)
+    graft.operators.DistributedRank
+      .withRowNumber(top, Seq(col("n").desc, col("user_id")), "rnk", parts = 1)
+      .select(col("rnk").cast("long").as("rnk"), col("user_id"), col("n"))
       .orderBy("rnk", "user_id")
   }
 
-  // W3 quantile binning: ntile(5) over per-user total cents.
+  // W3 quantile binning: exact ntile(5) over per-user total cents WITHOUT a
+  // global window — distributed rank (range partition + per-partition
+  // window + broadcast offsets) then the NTILE split formula. Identical
+  // buckets to SQL NTILE at any scale.
   def q8Ntile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistributedRank
     val per = T(s, dir, "events").groupBy("user_id").agg(sum(cents(col("value"))).as("user_cents"))
-    per.withColumn("bucket", ntile(5).over(Window.orderBy(col("user_cents"), col("user_id"))))
+    val m = per.count()
+    val ranked = DistributedRank.withRowNumber(per, Seq(col("user_cents"), col("user_id")), "__rank")
+    ranked.withColumn("bucket", DistributedRank.ntileFromRank(col("__rank"), m, 5))
       .groupBy("bucket").agg(count(lit(1)).as("users"), sum("user_cents").as("sum_cents"))
       .orderBy("bucket")
   }
@@ -139,15 +150,29 @@ object RelationalQueries {
     Seq((u, e, i)).toDF("union_n", "except_n", "intersect_n")
   }
 
-  // P8 quantile/threshold filter via percent_rank (W1). NOTE scale: a
-  // global (unpartitioned) rank window collapses to one task — fine for
-  // the oracle battery; at 10^10 rows use approx_percentile + filter.
-  def q13PercentRankFilter(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .withColumn("pr", percent_rank().over(Window.orderBy("value")))
-      .where(col("pr") >= 0.8)
-      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  // P8/W1 quantile-threshold filter, EXACT percent_rank semantics with no
+  // window at all: pr(v) = cntLess(v)/(n-1) >= 0.8  <=>  v > x_k where
+  // x_k is the ceil(0.8*(n-1))-th smallest value (ties included on both
+  // sides of the equivalence). x_k comes from the exact distributed
+  // order-statistic operator (histogram refinement — 3-4 column-pruned
+  // scans, no row movement), so the plan scales to 10^10 rows while
+  // matching the oracle's percent_rank SQL row-for-row.
+  def q13PercentRankFilter(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val n = ev.count()
+    val filtered =
+      if (n <= 1) ev
+      else {
+        val k = math.ceil(0.8 * (n - 1)).toLong
+        if (k < 1) ev
+        else {
+          val t = graft.operators.Quantiles.kthSmallest(ev, col("value"), k)
+          ev.where(col("value") > t)
+        }
+      }
+    filtered.groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
 
   // §2.10 tumbling-window aggregation (event-time bucketing).
   def q14Tumbling(s: SparkSession, dir: String): DataFrame =
