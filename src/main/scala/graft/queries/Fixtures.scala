@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Candidate-dump pattern for oracling hash-dependent pipelines: the
+  * candidate GENERATION stage (MinHash bands, LSH buckets — functions of
+  * Spark's xxhash64, not expressible in DuckDB) dumps its ID pairs to a
+  * fixture path; the exact VERIFICATION stage (Jaccard/cosine + threshold /
+  * top-k) is then computed from the re-read fixture by BOTH engines, so the
+  * driver's DuckDB oracle checks every output row end-to-end. Recall of the
+  * generation stage itself is pinned separately in ScalaTest
+  * (TextOpsSpec/VectorOpsSpec vs brute force).
+  */
+object Fixtures {
+  /** write-then-reread so the verify stage (both engines) sees the exact
+    * same materialised candidate set, not a recomputation
+    */
+  def dump(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  def sfTag(dir: String): String = dir.split("/").filter(_.nonEmpty).last
+}

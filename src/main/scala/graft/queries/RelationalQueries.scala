@@ -140,14 +140,18 @@ object RelationalQueries {
 
   // U1/U3/U4 set ops across tables (bag→set semantics like the reference's
   // index-membership anti joins, stuttgart_comprehensive_script.py:258).
+  // One full-outer-join pass computes union/except/intersect cardinalities
+  // together — one shuffle, one action, no driver-side loop (the round-1
+  // form ran three separate jobs).
   def q12SetOps(s: SparkSession, dir: String): DataFrame = {
     val users = T(s, dir, "events").select(col("user_id").as("k")).distinct()
-    val custs = T(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
-    val u = users.union(custs).distinct().count()
-    val e = users.except(custs).count()
-    val i = users.intersect(custs).count()
-    import s.implicits._
-    Seq((u, e, i)).toDF("union_n", "except_n", "intersect_n")
+      .withColumn("l", lit(1))
+    val custs = T(s, dir, "orders").select(col("o_custkey").as("ck")).distinct()
+      .withColumn("r", lit(1))
+    users.join(custs, col("k") === col("ck"), "full_outer")
+      .agg(count(lit(1)).as("union_n"),
+        sum(when(col("l").isNotNull && col("r").isNull, 1L).otherwise(0L)).as("except_n"),
+        sum(when(col("l").isNotNull && col("r").isNotNull, 1L).otherwise(0L)).as("intersect_n"))
   }
 
   // P8/W1 quantile-threshold filter, EXACT percent_rank semantics with no

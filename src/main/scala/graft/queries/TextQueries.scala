@@ -127,13 +127,18 @@ object TextQueries {
     val docs = T(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
       .where(size(col("sh")) > 0)
-    minhashPairs(docs, k, rows, threshold)
+    // candidate pairs dumped so the DuckDB oracle verifies the exact-Jaccard
+    // stage end-to-end (banding itself is xxhash64-dependent → ScalaTest)
+    minhashPairs(docs, k, rows, threshold,
+      dumpPath = Some(s"${CdcQueries.FixtureRoot}/q24_cands_${Fixtures.sfTag(dir)}"))
   }
 
   /** core MinHash+LSH pipeline over (doc_id, sh: array<string>) — split out
-    * so tests can feed hand-built corpora.
+    * so tests can feed hand-built corpora. `dumpPath` materialises the
+    * candidate ID pairs for the oracle's independent verify stage.
     */
-  def minhashPairs(docsIn: DataFrame, k: Int, rows: Int, threshold: Double): DataFrame = {
+  def minhashPairs(docsIn: DataFrame, k: Int, rows: Int, threshold: Double,
+                   dumpPath: Option[String] = None): DataFrame = {
     // materialise the shingled corpus once — it feeds three branches
     // (banding, and the two candidate re-attach joins); recomputing the
     // shingle transform per branch costs far more than caching it. At
@@ -147,10 +152,11 @@ object TextQueries {
       posexplode(transform(sequence(lit(0), lit(k / rows - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
     val a = bands.as("a"); val b = bands.as("b")
-    val cand = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+    val cand0 = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val cand = dumpPath.fold(cand0)(p => Fixtures.dump(cand0, p))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), Seq("doc_b"))
@@ -228,7 +234,23 @@ object TextQueries {
       f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2"""
+      GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2""",
+    // verify stage of MinHash+LSH: exact shingle-set Jaccard + threshold
+    // over the dumped candidate pairs (banding recall pinned in TextOpsSpec)
+    "q24_minhash_lsh" -> s"""
+      WITH shs AS (
+        SELECT doc_id, list(DISTINCT sh) AS sset FROM (
+          SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+          WHERE len(ws) >= 3)
+        GROUP BY doc_id),
+      cand AS (SELECT doc_a, doc_b FROM read_parquet('${CdcQueries.FixtureRoot}/q24_cands_sf0.01/*.parquet'))
+      SELECT doc_a, doc_b, round(inter / uni, 4) AS jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.sset, b.sset))::DOUBLE AS inter,
+               len(list_distinct(a.sset || b.sset))::DOUBLE AS uni
+        FROM cand c JOIN shs a ON a.doc_id = c.doc_a JOIN shs b ON b.doc_id = c.doc_b)
+      WHERE inter / uni >= 0.4 ORDER BY doc_a, doc_b"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -35,6 +35,13 @@ object VectorQueries {
 
   /** exact brute-force top-k neighbours for a fixed query subset; ties
     * broken by neighbour id so the ranking is total.
+    *
+    * SCALE CONTRACT: this is the EXACTNESS BASELINE, not a path — the join
+    * is deliberately O(nQueries × |corpus|), bounded only by the explicit
+    * nQueries cap (20). It exists to define correctness for q27 (the LSH
+    * path, whose candidate set is ~2^-bits of the corpus per table) and to
+    * give the oracle an exactly-computable target. Never run it with an
+    * unbounded query side.
     */
   def q26AnnBrute(s: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
     graft.functions.native.register(s)
@@ -75,10 +82,10 @@ object VectorQueries {
     Seq.fill(nTables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** candidate pairs (directed q → c) via multi-table LSH. The bucket
-    * self-join and pair dedup run on IDS ONLY; the 64-dim vectors are
-    * re-attached to the surviving candidates afterwards, so the heavy
-    * columns never ride the candidate-generation shuffles.
+  /** candidate ID pairs (directed q → c) via multi-table LSH. The bucket
+    * self-join and pair dedup run on IDS ONLY — the 64-dim vectors are
+    * re-attached by the caller to the (few) surviving candidates, so the
+    * heavy columns never ride the candidate-generation shuffles.
     */
   private def lshCandidates(e: DataFrame, nTables: Int, bits: Int): DataFrame = {
     val ts = tables(nTables, bits, 64)
@@ -87,14 +94,21 @@ object VectorQueries {
     val c = withB.select(col("vec_id").as("nid"), col("bucket"))
     q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
-      .join(e.select(col("vec_id").as("nid"), col("v").as("cv")), Seq("nid"))
   }
 
+  /** ANN via LSH, with the exact verification stage oracle-checked: the
+    * hash-dependent candidate pairs are dumped to a fixture; scoring +
+    * per-query top-k run from the re-read fixture, and the DuckDB oracle
+    * recomputes exactly that from the same fixture + embeddings table.
+    */
   def q27AnnLsh(s: SparkSession, dir: String, nTables: Int = 8, bits: Int = 4, k: Int = 5): DataFrame = {
     graft.functions.native.register(s)
     val e = emb(s, dir)
-    val cand = lshCandidates(e, nTables, bits).where(col("qid") < 20)
+    val cand0 = lshCandidates(e, nTables, bits).where(col("qid") < 20)
+    val cand = Fixtures.dump(cand0,
+        s"${CdcQueries.FixtureRoot}/q27_cands_${Fixtures.sfTag(dir)}")
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("cv")), Seq("nid"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     cand.withColumn("sim", graft.functions.native.cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -102,18 +116,34 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** embedding-cosine near-duplicate detection: pairs above a similarity
-    * threshold within LSH candidates (the near-dup flavour of q27).
+  /** The documents' embeddings are unit-norm random vectors (max random
+    * pairwise cosine ≈ 0.46), so a 0.95-near-dup query over the raw table
+    * proves nothing. The corpus is AUGMENTED with deterministic planted
+    * near-duplicates — vec_id < 40 re-emitted as id+1000000 with +0.125 on
+    * element 0 (cosine ≥ 0.992 to the original for unit vectors, far above
+    * threshold, so 8×4-bit LSH recall is ~1-3e-7 per pair) — the identical
+    * expression the DuckDB oracle applies. Candidate pairs are dumped like
+    * q27; every output row is oracle-verified exact cosine.
     */
   def q28EmbeddingDup(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     graft.functions.native.register(s)
-    lshCandidates(emb(s, dir), nTables = 8, bits = 4)
-      .where(col("qid") < col("nid"))
+    val e = emb(s, dir)
+    val planted = e.where(col("vec_id") < 40).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + lit(0.125d)).otherwise(x)).as("v"))
+    val aug = e.unionByName(planted)
+    val cand0 = lshCandidates(aug, nTables = 8, bits = 4).where(col("qid") < col("nid"))
+    Fixtures.dump(cand0,
+        s"${CdcQueries.FixtureRoot}/q28_cands_${Fixtures.sfTag(dir)}")
+      .join(aug.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(aug.select(col("vec_id").as("nid"), col("v").as("cv")), Seq("nid"))
       .withColumn("sim", graft.functions.native.cosine(col("qv"), col("cv")))
       .where(col("sim") >= threshold)
       .select(col("qid").as("ida"), col("nid").as("idb"), round(col("sim"), 4).as("sim"))
       .orderBy("ida", "idb")
   }
+
+  private val embSrc = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
 
   val oracles: Map[String, String] = Map(
     "q26_ann_brute" -> """
@@ -124,7 +154,34 @@ object VectorQueries {
                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 20)
-      WHERE rnk <= 5 ORDER BY qid, rnk"""
+      WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // verify stage of the LSH path: exact cosine top-k over the dumped
+    // candidate pairs (generation recall pinned in VectorOpsSpec)
+    "q27_ann_lsh" -> s"""
+      WITH cand AS (SELECT qid, nid FROM read_parquet('${CdcQueries.FixtureRoot}/q27_cands_sf0.01/*.parquet'))
+      SELECT qid, rnk, nid, sim FROM (
+        SELECT c.qid, c.nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 3) AS sim,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, c.nid) AS rnk
+        FROM cand c JOIN $embSrc q ON q.vec_id = c.qid
+                    JOIN $embSrc n ON n.vec_id = c.nid)
+      WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // near-dup verify stage: same planted-duplicate augmentation, exact
+    // cosine + threshold over the dumped candidates
+    "q28_embedding_dup" -> s"""
+      WITH aug AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM $embSrc
+        UNION ALL
+        SELECT vec_id + 1000000,
+               [CASE WHEN i = 1 THEN v[i] + 0.125 ELSE v[i] END FOR i IN generate_series(1, len(v))]
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embSrc WHERE vec_id < 40)),
+      cand AS (SELECT qid, nid FROM read_parquet('${CdcQueries.FixtureRoot}/q28_cands_sf0.01/*.parquet'))
+      SELECT c.qid AS ida, c.nid AS idb,
+             round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      FROM cand c JOIN aug a ON a.id = c.qid JOIN aug b ON b.id = c.nid
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+      ORDER BY ida, idb"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
