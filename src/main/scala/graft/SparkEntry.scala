@@ -35,7 +35,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ MultimodalQueries.queries
+      VectorQueries.queries ++ MultimodalQueries.queries ++ IoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-dependent ops (MinHash,
@@ -44,5 +44,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++ IoQueries.oracles
 }

@@ -139,6 +139,19 @@ object CdcQueries {
     t.read().groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
   }
 
+  /** S5: the lake read through the DataSourceV2 `graft` format — pruned
+    * columns + an lsn predicate that the scan uses for file-level skipping
+    * (GraftSourceSpec pins the plan shape; here the RESULT is oracle-checked
+    * against the independent WAL replay).
+    */
+  def q30Dsv2(s: SparkSession, dir: String): DataFrame = {
+    val t = smLake(s)
+    s.read.format("graft").load(t.root)
+      .where(col("lsn") > 25000)
+      .groupBy("lang").agg(count(lit(1)).as("n"), max("lsn").as("max_lsn"))
+      .orderBy("lang")
+  }
+
   // ---- publish-layer metrics over the sm lake (graft.publish.Metrics) ----
 
   def pubRepoSummary(s: SparkSession, dir: String): DataFrame =
@@ -212,7 +225,10 @@ object CdcQueries {
              max(lsn) AS applied_lsn_hwm,
              count(*) AS batch_rows,
              CAST(0 AS BIGINT) AS stale_rows
-      FROM $walSrc GROUP BY 1 ORDER BY 1"""
+      FROM $walSrc GROUP BY 1 ORDER BY 1""",
+    "q30_dsv2" -> s"""
+      SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n, max(lsn) AS max_lsn
+      FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,6 +237,7 @@ object CdcQueries {
     "cdc_repo_stats" -> cdcRepoStats _,
     "cdc_ledger" -> cdcLedger _,
     "cdc_ingest_bench" -> cdcIngestBench _,
+    "q30_dsv2" -> q30Dsv2 _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

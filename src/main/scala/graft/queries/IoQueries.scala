@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import RelationalQueries.{cents, T}
+
+/** Interchange-format IO battery (SURVEY.md §2.1 S4, §2.2 K2/K3): CSV
+  * ingestion with a declared schema (the reference's CSV fetch + schema
+  * repair, population_pipeline_stuttgart.py:27-68) and the publish-layer
+  * export sink with its manifest (data_loader.py:253-261). Both queries
+  * round-trip through the text format and are oracle-checked by DuckDB
+  * reading the very same files.
+  */
+object IoQueries {
+
+  /** S4: semicolon-separated CSV with header, read back under a DECLARED
+    * schema (never inferred — schema repair is explicit typing), then
+    * aggregated. The fixture is the events table re-encoded to CSV.
+    */
+  def q32CsvIngest(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = s"${CdcQueries.FixtureRoot}/events_csv_${Fixtures.sfTag(dir)}"
+    T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("ts_epoch"))
+      .write.mode("overwrite").option("sep", ";").option("header", "true").csv(csvDir)
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_epoch BIGINT")
+      .option("sep", ";").option("header", "true")
+      .csv(csvDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"),
+        max("ts_epoch").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  /** K2/K3: manifest-stamped CSV export of a publish-layer frame, read back
+    * under the declared schema — the oracle is the SOURCE frame's own SQL,
+    * so a lossy or incomplete export fails the gate.
+    */
+  def q33Export(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${CdcQueries.FixtureRoot}/export_repo_summary_${Fixtures.sfTag(dir)}"
+    graft.publish.Export.exportDir(CdcQueries.pubRepoSummary(s, dir), out, "csv")
+    s.read
+      .schema("repo STRING, n_files BIGINT, total_bytes BIGINT, max_lsn BIGINT")
+      .option("header", "true").csv(out)
+      .orderBy("repo")
+  }
+
+  private def csvSrc =
+    s"""read_csv('${CdcQueries.FixtureRoot}/events_csv_sf0.01/*.csv', delim=';', header=true,
+       |  columns={'event_id':'BIGINT','user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE','ts_epoch':'BIGINT'})""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q32_csv_ingest" -> s"""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+             max(ts_epoch) AS max_ts
+      FROM $csvSrc GROUP BY 1 ORDER BY 1""",
+    "q33_export" -> CdcQueries.oracles("pub_repo_summary")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_csv_ingest" -> q32CsvIngest _,
+    "q33_export" -> q33Export _
+  )
+}

@@ -187,6 +187,17 @@ object TextQueries {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** pair→cluster dedup: connected components over the verified near-dup
+    * pairs (q24's output), each node labelled with its cluster's canonical
+    * (min) doc id. Oracle: DuckDB recursive-CTE transitive closure over the
+    * same verified pair set.
+    */
+  def q31DupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents
+      .clusters(q24MinhashLsh(s, dir), a = "doc_a", b = "doc_b")
+      .select(col("node").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+
   def q25Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.native.register(s)
     T(s, dir, "documents")
@@ -238,20 +249,39 @@ object TextQueries {
     // verify stage of MinHash+LSH: exact shingle-set Jaccard + threshold
     // over the dumped candidate pairs (banding recall pinned in TextOpsSpec)
     "q24_minhash_lsh" -> s"""
-      WITH shs AS (
+      WITH $q24ScoredCtes
+      SELECT doc_a, doc_b, round(inter / uni, 4) AS jaccard FROM scored
+      WHERE inter / uni >= 0.4 ORDER BY doc_a, doc_b""",
+    // pair->cluster: transitive closure over the SAME verified pair set;
+    // cluster = min reachable doc id (the canonical member)
+    "q31_dup_clusters" -> s"""
+      WITH RECURSIVE $q24ScoredCtes,
+      verified AS (SELECT doc_a, doc_b FROM scored WHERE inter / uni >= 0.4),
+      und AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+      reach AS (
+        SELECT u AS a, u AS b FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT r.a, e.v AS b FROM reach r JOIN und e ON e.u = r.b)
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY 1 ORDER BY 1"""
+  )
+
+  /** shared oracle CTEs: per-doc distinct shingle sets + exact Jaccard
+    * scores of the dumped q24 candidate pairs
+    */
+  private def q24ScoredCtes: String = s"""
+      shs AS (
         SELECT doc_id, list(DISTINCT sh) AS sset FROM (
           SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS sh
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
           WHERE len(ws) >= 3)
         GROUP BY doc_id),
-      cand AS (SELECT doc_a, doc_b FROM read_parquet('${CdcQueries.FixtureRoot}/q24_cands_sf0.01/*.parquet'))
-      SELECT doc_a, doc_b, round(inter / uni, 4) AS jaccard FROM (
+      cand AS (SELECT doc_a, doc_b FROM read_parquet('${CdcQueries.FixtureRoot}/q24_cands_sf0.01/*.parquet')),
+      scored AS (
         SELECT c.doc_a, c.doc_b,
                len(list_intersect(a.sset, b.sset))::DOUBLE AS inter,
                len(list_distinct(a.sset || b.sset))::DOUBLE AS uni
-        FROM cand c JOIN shs a ON a.doc_id = c.doc_a JOIN shs b ON b.doc_id = c.doc_b)
-      WHERE inter / uni >= 0.4 ORDER BY doc_a, doc_b"""
-  )
+        FROM cand c JOIN shs a ON a.doc_id = c.doc_a JOIN shs b ON b.doc_id = c.doc_b)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_sha_docs" -> q17ShaDocs _, "q18_dedup_exact" -> q18DedupExact _,
@@ -259,6 +289,7 @@ object TextQueries {
     "q21_langid" -> q21LangId _, "q22_fingerprint" -> q22Fingerprint _,
     "q23_shingle_pairs" -> q23ShinglePairs _,
     "q24_minhash_lsh" -> ((s: SparkSession, d: String) => q24MinhashLsh(s, d)),
-    "q25_simhash" -> q25Simhash _
+    "q25_simhash" -> q25Simhash _,
+    "q31_dup_clusters" -> q31DupClusters _
   )
 }

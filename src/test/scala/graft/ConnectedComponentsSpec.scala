@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+/** pair→cluster correctness on planted graphs (exact expected components). */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.clusters(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("disjoint pairs, a chain, and a clique resolve to min-id clusters") {
+    val edges = Seq(
+      (1L, 2L),                               // pair
+      (10L, 11L), (11L, 12L), (12L, 13L),     // chain of 4
+      (20L, 21L), (20L, 22L), (21L, 22L),     // triangle
+      (31L, 30L)                              // reversed pair
+    )
+    val got = cc(edges)
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("bridge edge merges two clusters") {
+    val base = Seq((1L, 2L), (3L, 4L))
+    assert(cc(base).values.toSet == Set(1L, 3L))
+    assert(cc(base :+ (2L, 3L)).values.toSet == Set(1L))
+  }
+
+  test("long chain needs multiple rounds but converges (and maxIter trips when too low)") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(0L) && got.size == 41)
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      ConnectedComponents.clusters(chain.toDF("a", "b"), maxIter = 2).collect()
+    }
+  }
+}

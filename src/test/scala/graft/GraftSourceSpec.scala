@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.sources.GraftScan
+import graft.table.{ApplyMode, LakeTable}
+
+/** DataSourceV2 `graft` format: spark.read.format("graft").load(root) must
+  * equal LakeTable.read(), push column pruning + lsn filters into the scan
+  * (file-level skipping), serve time travel, and refuse un-compacted MOR.
+  */
+class GraftSourceSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 31, events = 4000, repos = 12, filesPerRepo = 15)
+
+  private def buildCow(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("dsv2"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "dsv2", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "dsv2", 1L)
+    t
+  }
+
+  test("format(graft).load == LakeTable.read (live rows, no tombstones)") {
+    val t = buildCow()
+    val viaDsv2 = spark.read.format("graft").load(t.root)
+    assert(!viaDsv2.columns.contains("deleted"))
+    val cols = Seq("repo", "path", "commit", "lang", "contentSha", "lsn")
+    assert(collectSorted(viaDsv2.select(cols.map(col): _*)) ==
+      collectSorted(t.read().select(cols.map(col): _*)))
+  }
+
+  test("column pruning and lsn filters reach the graft scan; files skipped") {
+    // second commit touches ONE key (one bucket), so the other buckets keep
+    // their low-lsn files — exactly the shape lsn skipping prunes
+    val t = new LakeTable(spark, tmpDir("dsv2skip"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "skip", 0L)
+    t.merge(wal.where(col("lsn") === 3500), "skip", 1L)
+    val df = spark.read.format("graft").load(t.root)
+      .where(col("lsn") >= 3000).select("repo", "lsn")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.size == 1)
+    val scan = scans.head.scan.asInstanceOf[GraftScan]
+    assert(scan.readSchema().fieldNames.toSet == Set("repo", "lsn"), "columns not pruned")
+    assert(scan.description().contains("GreaterThanOrEqual(lsn,3000)"), scan.description())
+    // commit 1 rewrote the affected buckets; files whose whole lsn range is
+    // below the cursor are skipped at plan time
+    val total = t.currentSnapshot().get.files.size
+    val scanned = scan.planInputPartitions().length
+    assert(scanned < total, s"expected file skipping: $scanned/$total")
+    // and the result equals the LakeTable path
+    assert(collectSorted(df) ==
+      collectSorted(t.read().where(col("lsn") >= 3000).select("repo", "lsn")))
+  }
+
+  test("SQL over the DSv2 table (temp view)") {
+    val t = buildCow()
+    spark.read.format("graft").load(t.root).createOrReplaceTempView("dsv2_repos")
+    val n = spark.sql("SELECT lang, count(*) n FROM dsv2_repos GROUP BY 1").count()
+    assert(n > 0)
+  }
+
+  test("time travel via option(snapshot)") {
+    val t = buildCow()
+    val v1 = spark.read.format("graft").option("snapshot", 1).load(t.root)
+    val expect = t.readAt(1).select("repo", "path", "lsn")
+    assert(collectSorted(v1.select("repo", "path", "lsn")) == collectSorted(expect))
+  }
+
+  test("schema evolution: pre-evolution files read back null-backfilled") {
+    val t = new LakeTable(spark, tmpDir("dsv2evo"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "evo", 0L)
+    t.merge(wal.where(col("lsn") > 2000).withColumn("branch", lit("main")), "evo", 1L)
+    val df = spark.read.format("graft").load(t.root)
+    assert(df.columns.contains("branch"))
+    assert(collectSorted(df.select("repo", "path", "branch")) ==
+      collectSorted(t.read().select("repo", "path", "branch")))
+  }
+
+  test("un-compacted MergeOnRead is refused with a useful error; compacted works") {
+    val t = new LakeTable(spark, tmpDir("dsv2mor"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "mor", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "mor", 1L)
+    val e = intercept[Exception](spark.read.format("graft").load(t.root).count())
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    t.compact()
+    assert(collectSorted(spark.read.format("graft").load(t.root).select("repo", "path", "lsn")) ==
+      collectSorted(t.read().select("repo", "path", "lsn")))
+  }
+}
