@@ -206,7 +206,71 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  // J6 proportional-split row expansion (the reference's areal
+  // interpolation, population_pipeline_stuttgart.py:99-129): each order's
+  // price is split across its lineitems proportional to quantity, then
+  // re-aggregated. Allocation in exact integer micro-cents via integral
+  // floor division — identical arithmetic in both engines, no float-sum
+  // nondeterminism. The per-order weight sum is a PARTITIONED window.
+  def q34PropSplit(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    val withSum = li.withColumn("qty_sum", sum("qty").over(Window.partitionBy("l_orderkey")))
+    val o = T(s, dir, "orders").select(col("o_orderkey"), cents(col("o_totalprice")).as("pc"))
+    withSum.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("alloc", expr("(pc * 10000 * qty) DIV qty_sum"))
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(sum("alloc").as("alloc_microcents"), count(lit(1)).as("n"))
+      .orderBy("rf")
+  }
+
+  // W6/§2.10 sliding (overlapping) event-time windows: 1-hour windows
+  // every 30 minutes — each event contributes to exactly 2 windows.
+  def q35Sliding(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("n"), col("cents"))
+      .orderBy("win_start")
+
+  // A10 exact global quantiles at scale: the distributed order-statistic
+  // operator (histogram refinement, no row movement) — semantics pinned to
+  // k = ceil(p*n), the type-1 discontinuous quantile, which the oracle
+  // reproduces with row_number.
+  def q36ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val ev = T(s, dir, "events")
+    val rows = Seq(0.5, 0.9, 0.99).map { p =>
+      (p, Quantiles.exactQuantile(ev, col("value"), p))
+    }
+    import s.implicits._
+    rows.toDF("p", "value_at_p").orderBy("p")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q34_prop_split" -> """
+      WITH li AS (SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      s AS (SELECT l_orderkey AS sk, CAST(sum(qty) AS BIGINT) AS qty_sum FROM li GROUP BY 1),
+      o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders)
+      SELECT l_returnflag AS rf,
+             CAST(sum((pc * 10000 * qty) // qty_sum) AS BIGINT) AS alloc_microcents,
+             count(*) AS n
+      FROM li JOIN s ON sk = l_orderkey JOIN o ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1""",
+    "q35_sliding" -> """
+      SELECT win_start, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM (SELECT unnest([e - (e % 1800), e - (e % 1800) - 1800]) AS win_start, value
+            FROM (SELECT epoch_ms(ts) // 1000 AS e, value FROM events))
+      GROUP BY 1 ORDER BY 1""",
+    "q36_exact_quantiles" -> """
+      SELECT p, value_at_p FROM (
+        SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+      LATERAL (
+        SELECT value AS value_at_p FROM (
+          SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events)
+        WHERE rn = CAST(ceil(p * (SELECT count(*) FROM events)) AS BIGINT))
+      ORDER BY p""",
     "q1_agg_sum" -> """
       SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
              CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -293,6 +357,8 @@ object RelationalQueries {
     "q10_weighted_avg" -> q10WeightedAvg _, "q11_categorize" -> q11Categorize _,
     "q12_set_ops" -> q12SetOps _, "q13_percent_rank_filter" -> q13PercentRankFilter _,
     "q14_tumbling" -> q14Tumbling _, "q15_rollup" -> q15Rollup _,
-    "q16_minmax_norm" -> q16MinMaxNorm _
+    "q16_minmax_norm" -> q16MinMaxNorm _,
+    "q34_prop_split" -> q34PropSplit _, "q35_sliding" -> q35Sliding _,
+    "q36_exact_quantiles" -> q36ExactQuantiles _
   )
 }

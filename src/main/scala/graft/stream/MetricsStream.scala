@@ -15,15 +15,18 @@ import graft.model.Schemas
 object MetricsStream {
 
   /** events per (window, op) with per-window LSN ranges; append-mode output
-    * — rows finalise when the watermark passes the window end.
+    * — rows finalise when the watermark passes the window end. `slide`
+    * (SURVEY.md W6) < window duration makes the windows OVERLAPPING —
+    * each event lands in duration/slide windows; state stays bounded by the
+    * same watermark.
     */
   def windowedOpCounts(spark: SparkSession, walDir: String, window_ : String = "1 hour",
-                       watermark: String = "30 minutes"): DataFrame =
+                       watermark: String = "30 minutes", slide: Option[String] = None): DataFrame =
     spark.readStream
       .schema(Schemas.changeEvent)
       .parquet(walDir)
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_).as("w"), col("op"))
+      .groupBy(window(col("ts"), window_, slide.getOrElse(window_)).as("w"), col("op"))
       .agg(count(lit(1)).as("n"), min("lsn").as("min_lsn"), max("lsn").as("max_lsn"))
       .select(col("w.start").as("window_start"), col("op"), col("n"), col("min_lsn"), col("max_lsn"))
 

@@ -83,6 +83,28 @@ class IncrementalReadSpec extends SparkSpec {
     assert(got == recount)
   }
 
+  test("streaming SLIDING windows: finalized windows match a batch recount") {
+    val walDir = tmpDir("swal")
+    ChangeLogGen.writeWal(spark, cfg, walDir, segments = 4)
+    val q = MetricsStream.windowedOpCounts(spark, walDir, "1 hour", "30 minutes",
+        slide = Some("30 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("wal_metrics_slide")
+      .option("checkpointLocation", tmpDir("scp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.sql("SELECT * FROM wal_metrics_slide")
+    assert(out.count() > 0)
+    val finalized = out.select("window_start").distinct().collect().map(_.get(0)).toSet
+    val recount = spark.read.parquet(walDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("op"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("op"), col("n"))
+      .where(col("window_start").isInCollection(finalized.toSeq))
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = out.collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == recount)
+  }
+
   test("reopening a table with different constructor params keeps the stored layout") {
     val dir = tmpDir("reopen")
     val t = new LakeTable(spark, dir, defaultBuckets = 8, ApplyMode.MergeOnRead)
