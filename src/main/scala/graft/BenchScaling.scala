@@ -31,7 +31,7 @@ object BenchScaling {
     (0 until batches).foreach { i =>
       t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "bench", i.toLong)
     }
-    if (mode == ApplyMode.MergeOnRead) t.compact()
+    if (mode != ApplyMode.CopyOnWrite) t.compact()
     val live = t.read().count() // force a full read so the result is real
     val sec = (System.nanoTime() - t0) / 1e9
     System.err.println(f"[scaling] mode=$mode events=$events batches=$batches live=$live sec=$sec%.1f thr=${events / sec}%.0f ev/s")
@@ -74,7 +74,7 @@ object BenchScaling {
     val cores = args(1).toInt
     val events = args(2).toLong
     val batches = args(3).toInt
-    val mode = if (args(4).equalsIgnoreCase("cow")) ApplyMode.CopyOnWrite else ApplyMode.MergeOnRead
+    val mode = graft.table.LakeTable.modeOf(args(4).toLowerCase)
     val scalingRoot = "/dev/shm/graft_scaling"
     val cfg = GenConfig(seed = 42L, events = events,
       repos = math.max(50, (events / 2000).toInt), filesPerRepo = 50, maxContentReps = 8)
@@ -99,7 +99,7 @@ object BenchScaling {
     val nLow = if (args.length > 1) args(1).toInt else 8
     val factor = if (args.length > 2) args(2).toInt else 4
     val batches = if (args.length > 3) args(3).toInt else 8
-    val mode = if (args.length > 4 && args(4).equalsIgnoreCase("cow")) ApplyMode.CopyOnWrite else ApplyMode.MergeOnRead
+    val mode = if (args.length > 4) graft.table.LakeTable.modeOf(args(4).toLowerCase) else ApplyMode.MergeOnRead
     val nHigh = nLow * factor
 
     // Scaling fixture lives on ramfs: a real cluster's executors have

@@ -23,8 +23,7 @@ object Cli {
     s
   }
 
-  def mode(s: String): ApplyMode.Value =
-    if (s.equalsIgnoreCase("mor")) ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite
+  def mode(s: String): ApplyMode.Value = LakeTable.modeOf(s.toLowerCase)
 }
 
 /** Generate a seeded WAL (idempotent). Args: walDir events segments [seed]. */
@@ -41,7 +40,7 @@ object GenMain {
 }
 
 /** Tail a WAL into a lake table via Structured Streaming.
-  * Args: walDir tableDir checkpointDir [cow|mor] [maxFilesPerTrigger] [nBuckets] [failAfterBatches]
+  * Args: walDir tableDir checkpointDir [cow|mor|dv] [maxFilesPerTrigger] [nBuckets] [failAfterBatches]
   *
   * `failAfterBatches` is crash injection for resume testing: the driver
   * process dies hard AFTER the Nth merge commit but BEFORE Spark's
@@ -51,7 +50,7 @@ object GenMain {
   */
 object IngestMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: IngestMain <walDir> <tableDir> <checkpointDir> [cow|mor] [maxFilesPerTrigger] [nBuckets] [failAfterBatches]")
+    require(args.length >= 3, "usage: IngestMain <walDir> <tableDir> <checkpointDir> [cow|mor|dv] [maxFilesPerTrigger] [nBuckets] [failAfterBatches]")
     val walDir = args(0); val tableDir = args(1); val cpDir = args(2)
     val m = Cli.mode(if (args.length > 3) args(3) else "cow")
     val mfpt = if (args.length > 4) args(4).toInt else 4

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +66,30 @@ object CdcQueries {
     smLake(s).read()
       .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
       .orderBy("repo", "path")
+
+  /** the SAME 5-batch apply through the DeletionVector mode (append new
+    * versions + positional DV sidecars, no bucket rewrites) — must match
+    * the identical row-for-row replay oracle as cdc_snapshot.
+    */
+  def cdcSnapshotDv(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val lakeDir = s"$LakeRoot/sm_dv"
+    val t = new LakeTable(s, lakeDir, smBuckets, ApplyMode.DeletionVector)
+    val ok = t.currentSnapshot().exists(x => x.committedCount == smBatches && x.hwm == smCfg.events)
+    val table = if (ok) t else {
+      deleteRec(lakeDir)
+      val fresh = new LakeTable(s, lakeDir, smBuckets, ApplyMode.DeletionVector)
+      val wal = s.read.parquet(smWal)
+      val per = smCfg.events / smBatches
+      (0 until smBatches).foreach { i =>
+        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smdv", i.toLong)
+      }
+      fresh
+    }
+    table.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
 
   /** publish-layer rollup over the snapshot (A1 over the lake). */
   def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
@@ -229,10 +255,11 @@ object CdcQueries {
     "q30_dsv2" -> s"""
       SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n, max(lsn) AS max_lsn
       FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1"""
-  )
+  ).pipe(m => m + ("cdc_snapshot_dv" -> m("cdc_snapshot"))) // DV apply, same replay oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot" -> cdcSnapshot _,
+    "cdc_snapshot_dv" -> cdcSnapshotDv _,
     "cdc_lang_counts" -> cdcLangCounts _,
     "cdc_repo_stats" -> cdcRepoStats _,
     "cdc_ledger" -> cdcLedger _,

@@ -71,6 +71,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         "graft: MergeOnRead table has un-compacted deltas (latest-per-key needs a shuffle); " +
           "run compact() or read via LakeTable.read()")
     }
+    require(snap.dvFiles.isEmpty,
+      "graft: table has live deletion vectors (per-row anti-join needed); " +
+        "run compact() or read via LakeTable.read()")
     (root, snap)
   }
 

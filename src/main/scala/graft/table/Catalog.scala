@@ -30,13 +30,13 @@ final class Catalog(spark: SparkSession, root: String) {
     val p = propsPath(name)
     if (!fs.exists(p)) {
       val json =
-        s"""{"name":"$name","nBuckets":$nBuckets,"mode":"${if (mode == ApplyMode.MergeOnRead) "mor" else "cow"}","rulesVersion":"${LangRules.version}","format":"graft-lake-v1"}"""
+        s"""{"name":"$name","nBuckets":$nBuckets,"mode":"${LakeTable.modeName(mode)}","rulesVersion":"${LangRules.version}","format":"graft-lake-v1"}"""
       fs.atomicWrite(p, json)
     }
     val props = JsonMini.parse(fs.readString(p)).asInstanceOf[Map[String, Any]]
     new LakeTable(spark, s"$root/$name",
       SnapshotIO.asInt(props("nBuckets")),
-      if (props("mode") == "mor") ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite)
+      LakeTable.modeOf(props("mode").asInstanceOf[String]))
   }
 
   def properties(name: String): Map[String, Any] =

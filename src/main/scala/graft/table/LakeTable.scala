@@ -45,7 +45,9 @@ final case class Snapshot(
     committed: Map[String, CommitState], // checkpointId -> commit progress
     hwm: Long,              // applied-LSN high watermark
     totalRows: Long,
-    mode: String = "cow"    // apply mode fixed at table creation
+    mode: String = "cow",   // apply mode fixed at table creation
+    dvFiles: Seq[String] = Nil, // positional deletion-vector sidecars (dv mode)
+    dvRows: Long = 0L           // total superseded positions across dvFiles
 ) {
   def isCommitted(cpId: String, batchId: Long): Boolean =
     committed.get(cpId).exists(_.contains(batchId))
@@ -59,8 +61,14 @@ object ApplyMode extends Enumeration {
   /** CopyOnWrite: merge rewrites affected buckets (read-optimised).
     * MergeOnRead: merge appends deduped deltas; reads resolve latest-per-key;
     * `compact()` folds deltas down (write-optimised — the 10^10-scale path).
+    * DeletionVector: merge appends ONLY the new row versions and marks the
+    * superseded rows in positional deletion-vector sidecars (file, row
+    * index); reads apply the DVs as an anti-join — no full-bucket rewrites
+    * (CoW's write amplification) AND no latest-per-key shuffle on read
+    * (MoR's read amplification). The update-heavy middle ground; compact()
+    * folds DVs away.
     */
-  val CopyOnWrite, MergeOnRead = Value
+  val CopyOnWrite, MergeOnRead, DeletionVector = Value
 }
 
 /** Iceberg-semantics lake table built from scratch on parquet + JSON
@@ -101,10 +109,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def nBuckets: Int = currentSnapshot().map(_.nBuckets).getOrElse(defaultBuckets)
   def mode: ApplyMode.Value = currentSnapshot()
-    .map(s => if (s.mode == "mor") ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite)
-    .getOrElse(defaultMode)
-  private def modeString(m: ApplyMode.Value): String =
-    if (m == ApplyMode.MergeOnRead) "mor" else "cow"
+    .map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
+  private def modeString(m: ApplyMode.Value): String = LakeTable.modeName(m)
 
   def bucketCol(repo: String = "repo", path: String = "path") =
     pmod(xxhash64(col(repo), col(path)), lit(nBuckets.toLong)).cast("int")
@@ -136,7 +142,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val raw =
       if (s.files.isEmpty) emptyTable(schema)
       else spark.read.schema(schema).parquet(s.files.map(_.path): _*)
-    val resolved = if (s.mode == "mor") latestPerKey(raw) else raw
+    val resolved = s.mode match {
+      case "mor" => latestPerKey(raw)
+      case "dv"  => applyDv(raw, s.dvFiles)
+      case _     => raw
+    }
     resolved.where(!col("deleted")).drop("deleted")
   }
 
@@ -165,13 +175,36 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
   }
 
+  /** Anti-join out the positions marked dead by the deletion-vector
+    * sidecars. No shuffle of the data side in the common case: the DV side
+    * is tiny relative to the table (bounded by maybeCompact), so AQE plans
+    * a broadcast anti-join — the data columns never move.
+    */
+  private def applyDv(raw: DataFrame, dvFiles: Seq[String]): DataFrame =
+    if (dvFiles.isEmpty) raw
+    else {
+      val dv = spark.read.parquet(dvFiles: _*)
+        .select(col("file_path").as("__dvf"), col("row_index").as("__dvr"))
+      raw
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .join(dv, col("__fp") === col("__dvf") && col("__ri") === col("__dvr"), "left_anti")
+        .drop("__fp", "__ri")
+    }
+
   /** Latest version of every key (tombstones still present). In CopyOnWrite
-    * mode stored rows are already resolved; in MergeOnRead this applies the
-    * LSN-ordered dedup at read time.
+    * mode stored rows are already resolved; MergeOnRead applies the
+    * LSN-ordered dedup at read time; DeletionVector anti-joins the dead
+    * positions out.
     */
   def readResolved(buckets: Option[Set[Int]] = None): DataFrame = {
     val raw = readRaw(buckets)
-    if (mode == ApplyMode.CopyOnWrite) raw else latestPerKey(raw)
+    mode match {
+      case ApplyMode.CopyOnWrite    => raw
+      case ApplyMode.MergeOnRead    => latestPerKey(raw)
+      case ApplyMode.DeletionVector =>
+        applyDv(raw, currentSnapshot().map(_.dvFiles).getOrElse(Nil))
+    }
   }
 
   /** Live rows — the user-facing `repos` table. */
@@ -199,7 +232,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val raw =
           if (files.isEmpty) emptyTable(schema)
           else spark.read.schema(schema).parquet(files.map(_.path): _*)
-        val resolved = if (mode == ApplyMode.CopyOnWrite) raw else latestPerKey(raw)
+        val resolved = mode match {
+          case ApplyMode.CopyOnWrite    => raw
+          case ApplyMode.MergeOnRead    => latestPerKey(raw)
+          case ApplyMode.DeletionVector => applyDv(raw, s.dvFiles)
+        }
         // row-level filter on top of the file-level skip (rowgroup stats
         // prune further inside the surviving files)
         resolved.where(col("lsn") >= fromLsn)
@@ -242,8 +279,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val snap = currentSnapshot()
     val version = snap.fold(0)(_.version) + 1
     val prev = snap.getOrElse(emptySnapshot)
-    val mode = snap.map(s => if (s.mode == "mor") ApplyMode.MergeOnRead else ApplyMode.CopyOnWrite)
-      .getOrElse(defaultMode)
+    val mode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
     val nBuckets = snap.map(_.nBuckets).getOrElse(defaultBuckets)
 
     // batch-input accounting: batchRows = events in this batch; staleRows =
@@ -269,6 +305,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // it would add a shuffle without removing bytes.
     val cleaned0 = clean(events)
     val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
+    if (mode == ApplyMode.DeletionVector)
+      return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows)
     val incoming = cleaned.withColumn("b", bucketCol())
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -345,6 +383,98 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     stats
   }
 
+  /** DeletionVector apply (SURVEY.md §7.3 at update-heavy scale): instead
+    * of rewriting whole buckets (CoW), write ONLY the winning new row
+    * versions and mark each superseded live row's (file, row position) in a
+    * deletion-vector sidecar. Per batch this
+    *  - reads just the KEY + ORDER columns (+ positions) of the affected
+    *    buckets — never their payloads;
+    *  - writes O(batch) data instead of O(affected buckets);
+    *  - keeps reads shuffle-free (DV anti-join, broadcast-sized until
+    *    maybeCompact folds the DVs away).
+    * The max-LSN guard lives in the join: an incoming version loses to a
+    * live existing row with a higher (lsn, commit) and is dropped — same
+    * tie-break total order as latestPerKey, so all three modes converge to
+    * the identical table state.
+    */
+  private def mergeDv(events: DataFrame, cleaned: DataFrame, cpId: String, batchId: Long,
+                      prev: Snapshot, version: Int, nBuckets: Int,
+                      batchRows: Long, staleRows: Long): Seq[BucketStats] = {
+    import org.apache.spark.sql.types.StructType
+    val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bucketCol())
+    val affected = events.select(bucketCol().as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val affFiles = prev.files.filter(f => affected(f.bucket))
+
+    // live existing versions of the affected buckets: key + order columns
+    // + positions only (column-pruned — payloads never read)
+    val exSchema = StructType.fromDDL(
+      "repo STRING, path STRING, ex_lsn BIGINT, ex_commit STRING, file_path STRING, row_index BIGINT")
+    val existing =
+      if (affFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], exSchema)
+      else {
+        val raw = spark.read.schema(StructType.fromDDL(prev.schemaDdl))
+          .parquet(affFiles.map(_.path): _*)
+          .select(col("repo"), col("path"), col("lsn").as("ex_lsn"), col("commit").as("ex_commit"),
+            col("_metadata.file_path").as("file_path"), col("_metadata.row_index").as("row_index"))
+        // only LIVE rows can be superseded (or out-compete an incoming
+        // version); already-dead positions must not shadow the live one
+        if (prev.dvFiles.isEmpty) raw
+        else raw.join(
+          spark.read.parquet(prev.dvFiles: _*)
+            .select(col("file_path").as("__dvf"), col("row_index").as("__dvr")),
+          col("file_path") === col("__dvf") && col("row_index") === col("__dvr"), "left_anti")
+      }
+
+    val joined = batch.join(existing, Seq("repo", "path"), "left")
+    val inWins = col("ex_lsn").isNull ||
+      (struct(col("lsn"), col("commit")) > struct(col("ex_lsn"), col("ex_commit")))
+    // one materialisation feeds BOTH outputs (data files + DV sidecar)
+    val keep = joined.where(inWins).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val commitDir = s"$dataDir/c$version"
+      val dataCols = batch.columns.map(col).toSeq
+      keep.select(dataCols: _*)
+        .repartition(math.max(affected.size, 1), col("b"))
+        .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+      val dvNew = keep.where(col("ex_lsn").isNotNull).select("file_path", "row_index")
+      val dvCount = dvNew.count()
+      val dvDir = s"$commitDir/dv"
+      if (dvCount > 0) dvNew.coalesce(1).write.mode("overwrite").parquet(dvDir)
+      val dvPaths = if (dvCount > 0) LakeTable.listParquet(fs, dvDir) else Nil
+
+      val stats = footerStats(commitDir)
+      if (stats.isEmpty && dvCount == 0) {
+        commitSnapshot(prev.copy(version = version, committed = prev.withCommit(cpId, batchId)))
+        return Seq.empty
+      }
+      val newEntries = stats.flatMap { st =>
+        LakeTable.listParquet(fs, s"$commitDir/b=${st.bucket}")
+          .map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+      }
+      val tombstones = {
+        val t = keep.agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
+        if (t.isNullAt(0)) 0L else t.getLong(0)
+      }
+      val prevSchema = StructType.fromDDL(prev.schemaDdl)
+      val schemaDdl = LakeTable.unionSchema(prevSchema, cleaned.schema).toDDL
+      val batchHwm = if (stats.isEmpty) prev.hwm else stats.map(_.maxLsn).max
+      ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(prev.hwm, batchHwm),
+        stats.map(_.rows).sum - tombstones, tombstones, batchRows, staleRows))
+      commitSnapshot(prev.copy(
+        version = version,
+        schemaDdl = schemaDdl,
+        files = prev.files ++ newEntries,
+        committed = prev.withCommit(cpId, batchId),
+        hwm = math.max(prev.hwm, batchHwm),
+        totalRows = prev.totalRows + newEntries.map(_.rows).sum,
+        dvFiles = prev.dvFiles ++ dvPaths,
+        dvRows = prev.dvRows + dvCount
+      ))
+      stats
+    } finally keep.unpersist()
+  }
+
   /** per-bucket (rows, min/max lsn) read from parquet footers on the
     * driver — metadata only, no executor work. Files per commit are few
     * (≈ one per affected bucket), so this is microseconds per file.
@@ -401,8 +531,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Fold MergeOnRead deltas down to one resolved file set per bucket —
-    * the write-optimised path's periodic compaction.
+  /** Fold MergeOnRead deltas / DeletionVector sidecars down to one resolved
+    * file set per bucket — the write-optimised paths' periodic compaction.
     */
   def compact(): Unit = {
     val snap = currentSnapshot().getOrElse(return)
@@ -410,26 +540,37 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val commitDir = s"$dataDir/c$version"
     // same single-shuffle resolve as merge: raw deltas → bucket partitions
     // → window latest-per-key (no extra exchange) → bucket-aligned files.
-    bucketResolve(readRaw().withColumn("b", bucketCol()), nBuckets)
+    // In DV mode the dead positions are anti-joined away first; the window
+    // over the already-unique keys is then a cheap pass-through.
+    val source =
+      if (mode == ApplyMode.DeletionVector) applyDv(readRaw(), snap.dvFiles) else readRaw()
+    bucketResolve(source.withColumn("b", bucketCol()), nBuckets)
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
     val stats = footerStats(commitDir)
     val entries = stats.flatMap { st =>
       listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
     }
     commitSnapshot(snap.copy(version = version, files = entries,
-      totalRows = entries.map(_.rows).sum))
+      totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L))
   }
 
-  /** MergeOnRead maintenance policy: fold deltas when any bucket's file
-    * count exceeds the threshold — bounds read amplification on a
-    * long-running stream. No-op in CopyOnWrite mode (always 1 file/bucket).
-    * Returns true if a compaction ran.
+  /** Maintenance policy: MergeOnRead folds deltas when any bucket's file
+    * count exceeds the threshold (bounds read amplification);
+    * DeletionVector folds when dead positions exceed `dvMaxFraction` of
+    * stored rows (bounds DV anti-join size AND dead-byte storage). No-op in
+    * CopyOnWrite mode (always resolved). Returns true if a compaction ran.
     */
-  def maybeCompact(maxFilesPerBucket: Int = 8): Boolean = {
-    if (mode != ApplyMode.MergeOnRead) return false
+  def maybeCompact(maxFilesPerBucket: Int = 8, dvMaxFraction: Double = 0.3): Boolean = {
     val snap = currentSnapshot().getOrElse(return false)
-    val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
-    if (worst > maxFilesPerBucket) { compact(); true } else false
+    mode match {
+      case ApplyMode.MergeOnRead =>
+        val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
+        if (worst > maxFilesPerBucket) { compact(); true } else false
+      case ApplyMode.DeletionVector =>
+        if (snap.totalRows > 0 && snap.dvRows > snap.totalRows * dvMaxFraction) { compact(); true }
+        else false
+      case ApplyMode.CopyOnWrite => false
+    }
   }
 
   /** Snapshot expiry: keep the latest `keep` snapshots; delete older
@@ -444,10 +585,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       if (fs.exists(p)) Some(v -> SnapshotIO.read(fs.readString(p))) else None
     }
     val retained = all.filter(_._1 > cur.version - keep)
-    val live: Set[String] = retained.flatMap(_._2.files.map(_.path)).toSet
-    // delete unreferenced data files, then empty commit dirs, then old meta
+    val live: Set[String] =
+      retained.flatMap(x => x._2.files.map(_.path) ++ x._2.dvFiles).toSet
+    // delete unreferenced data + DV files, then empty commit dirs, then old meta
     all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
-      s.files.filterNot(f => live(f.path)).foreach(f => fs.delete(f.path))
+      (s.files.map(_.path) ++ s.dvFiles).filterNot(live).foreach(fs.delete)
       fs.delete(s"$metaDir/snap-$v.json")
     }
     fs.listDirs(dataDir).foreach { c =>
@@ -463,6 +605,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
 object LakeTable {
   final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long)
+
+  def modeName(m: ApplyMode.Value): String = m match {
+    case ApplyMode.MergeOnRead    => "mor"
+    case ApplyMode.DeletionVector => "dv"
+    case _                        => "cow"
+  }
+  def modeOf(s: String): ApplyMode.Value = s match {
+    case "mor" => ApplyMode.MergeOnRead
+    case "dv"  => ApplyMode.DeletionVector
+    case _     => ApplyMode.CopyOnWrite
+  }
 
   /** Additive schema evolution (SURVEY.md §1.3): previous fields keep their
     * position; fields new in `next` are appended as NULLABLE; a field absent
@@ -536,7 +689,8 @@ object SnapshotIO {
     val committed = s.committed.toSeq.sortBy(_._1).map { case (cp, c) =>
       s"""${q(cp)}:{"hwm":${c.hwm},"pending":${c.pending.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
-    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"files":$files,"committed":$committed}"""
+    val dvf = s.dvFiles.map(q).mkString("[", ",", "]")
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"dvRows":${s.dvRows},"dvFiles":$dvf,"files":$files,"committed":$committed}"""
   }
 
   def read(txt: String): Snapshot = parse(txt)
@@ -567,7 +721,9 @@ object SnapshotIO {
       },
       hwm = asLong(v("hwm")),
       totalRows = asLong(v("totalRows")),
-      mode = v.get("mode").map(_.asInstanceOf[String]).getOrElse("cow")
+      mode = v.get("mode").map(_.asInstanceOf[String]).getOrElse("cow"),
+      dvFiles = v.get("dvFiles").map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil),
+      dvRows = v.get("dvRows").map(asLong).getOrElse(0L)
     )
   }
 }
