@@ -65,28 +65,89 @@ object BenchScaling {
     s
   }
 
+  /** UPDATE-phase workload (the deletion-vector design point): prebuild the
+    * table from the first (1-share) of the WAL UNTIMED, then time applying
+    * the remaining `share` of events in `batches` SMALL batches + a full
+    * read-back. This is the CDC steady state — a large table receiving
+    * small change batches — where CoW pays a full affected-bucket rewrite
+    * per batch and DV writes only O(batch). Returns updated-events/s.
+    */
+  /** copy a fully-committed table directory for workload reuse (bench-only:
+    * snapshot metadata stores absolute paths, so rewrite the prefix; the
+    * prebuilt template has no deletion vectors — a single bulk merge on an
+    * empty table supersedes nothing — so only the snapshot JSONs need it).
+    */
+  def copyTable(src: String, dst: String): Unit = {
+    CdcQueries.deleteRec(dst)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hfs = org.apache.hadoop.fs.FileSystem.get(conf)
+    org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new org.apache.hadoop.fs.Path(src), hfs, new org.apache.hadoop.fs.Path(dst), false, conf)
+    val f = new graft.table.Fs(conf)
+    f.listFiles(s"$dst/meta", n => n.startsWith("snap-") && n.endsWith(".json")).foreach { p =>
+      f.atomicWrite(p, f.readString(p).replace(src, dst))
+    }
+  }
+
+  def runUpdate(spark: SparkSession, walDir: String, events: Long, batches: Int,
+                mode: ApplyMode.Value, lakeDir: String, buckets: Int,
+                share: Double, template: String): Double = {
+    val wal = spark.read.parquet(walDir)
+    val cut = (events * (1 - share)).toLong
+    // prebuild ONCE per (mode, events, share) — persisted template shared
+    // across rounds/JVMs; each measured run gets a fresh copy
+    val tf = new LakeTable(spark, template, buckets, mode)
+    if (!tf.currentSnapshot().exists(_.hwm == cut)) {
+      CdcQueries.deleteRec(template)
+      val fresh = new LakeTable(spark, template, buckets, mode)
+      fresh.merge(wal.where(col("lsn") <= cut), "prebuild", 0L) // untimed bulk load
+      if (mode == ApplyMode.MergeOnRead) fresh.compact()
+    }
+    copyTable(template, lakeDir)
+    val t = new LakeTable(spark, lakeDir, buckets, mode)
+    val updEvents = events - cut
+    val per = updEvents / batches
+    settle()
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(cut + i * per + 1, cut + (i + 1) * per)), "upd", i.toLong)
+    }
+    val live = t.read().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[scaling-upd] mode=$mode table=$cut upd=$updEvents batches=$batches live=$live sec=$sec%.1f thr=${updEvents / sec}%.0f ev/s")
+    updEvents / sec
+  }
+
   /** single-level mode for tools/run_scaling.sh: one fresh JVM, hard-pinned
     * to N cores (taskset + ActiveProcessorCount) — the honest single-box
     * stand-in for an N-core executor. Prints "SCALING_THR <cores> <thr>".
-    * Usage: BenchScaling single <cores> <events> <batches> <cow|mor>
+    * Usage: BenchScaling single <cores> <events> <batches> <cow|mor|dv> [updateShare]
     */
   def singleMode(args: Array[String]): Unit = {
     val cores = args(1).toInt
     val events = args(2).toLong
     val batches = args(3).toInt
     val mode = graft.table.LakeTable.modeOf(args(4).toLowerCase)
+    val share = if (args.length > 5) args(5).toDouble else 0.0
+    // payload size knob: avg content ≈ reps*32 bytes. The bulk-ingest runs
+    // use 8 (row-change scale); the DV-vs-CoW update comparison uses the
+    // spec's real payload scale (source files, KBs) where write
+    // amplification is payload-dominated.
+    val reps = if (args.length > 6) args(6).toInt else 8
     val scalingRoot = "/dev/shm/graft_scaling"
     val cfg = GenConfig(seed = 42L, events = events,
-      repos = math.max(50, (events / 2000).toInt), filesPerRepo = 50, maxContentReps = 8)
-    val walDir = s"$scalingRoot/wal_$events"
+      repos = math.max(50, (events / 2000).toInt), filesPerRepo = 50, maxContentReps = reps)
+    val walDir = s"$scalingRoot/wal_${events}_r$reps"
     val s = session(cores)
     ChangeLogGen.writeWal(s, cfg, walDir, segments = math.max(8, (events / 250000L).toInt))
+    val template = s"$scalingRoot/tmpl_${graft.table.LakeTable.modeName(mode)}_${events}_$share"
+    def once(dir: String): Double =
+      if (share > 0) runUpdate(s, walDir, events, batches, mode, dir, 32, share, template)
+      else runApply(s, walDir, events, batches, mode, dir, 32)
     // one JIT/cache warm-up, then two measured runs; report the max (noise
     // on this box is one-sided: interruptions only ever slow a run down)
-    runApply(s, walDir, events, batches, mode, s"$scalingRoot/single_warm_$cores", 32)
-    val thr = (1 to 2).map { i =>
-      runApply(s, walDir, events, batches, mode, s"$scalingRoot/single_${cores}_$i", 32)
-    }.max
+    once(s"$scalingRoot/single_warm_$cores")
+    val thr = (1 to 2).map(i => once(s"$scalingRoot/single_${cores}_$i")).max
     (1 to 2).foreach(i => CdcQueries.deleteRec(s"$scalingRoot/single_${cores}_$i"))
     CdcQueries.deleteRec(s"$scalingRoot/single_warm_$cores")
     println(f"SCALING_THR $cores ${thr}%.0f")

@@ -47,6 +47,24 @@ object IoQueries {
       .orderBy("repo")
   }
 
+  /** §2.9 json column functions: serialise per-row structs with to_json,
+    * parse back with from_json under a declared schema, aggregate the
+    * parsed fields. The round-trip is the point — a formatting or parsing
+    * defect breaks the oracle, which aggregates the source table directly.
+    */
+  def q37JsonCols(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val parsedSchema = StructType.fromDDL("doc_id BIGINT, lang STRING, n_toks BIGINT")
+    T(s, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))).as("js"))
+      .select(from_json(col("js"), parsedSchema).as("r"))
+      .select("r.*")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_toks").as("total_toks"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
   private def csvSrc =
     s"""read_csv('${CdcQueries.FixtureRoot}/events_csv_sf0.01/*.csv', delim=';', header=true,
        |  columns={'event_id':'BIGINT','user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE','ts_epoch':'BIGINT'})""".stripMargin
@@ -57,11 +75,17 @@ object IoQueries {
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
              max(ts_epoch) AS max_ts
       FROM $csvSrc GROUP BY 1 ORDER BY 1""",
-    "q33_export" -> CdcQueries.oracles("pub_repo_summary")
+    "q33_export" -> CdcQueries.oracles("pub_repo_summary"),
+    "q37_json_cols" -> """
+      SELECT lang, count(*) AS n,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_toks,
+             max(doc_id) AS max_doc
+      FROM documents GROUP BY 1 ORDER BY 1"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_csv_ingest" -> q32CsvIngest _,
-    "q33_export" -> q33Export _
+    "q33_export" -> q33Export _,
+    "q37_json_cols" -> q37JsonCols _
   )
 }

@@ -438,10 +438,13 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         .repartition(math.max(affected.size, 1), col("b"))
         .write.partitionBy("b").mode("overwrite").parquet(commitDir)
       val dvNew = keep.where(col("ex_lsn").isNotNull).select("file_path", "row_index")
-      val dvCount = dvNew.count()
       val dvDir = s"$commitDir/dv"
-      if (dvCount > 0) dvNew.coalesce(1).write.mode("overwrite").parquet(dvDir)
-      val dvPaths = if (dvCount > 0) LakeTable.listParquet(fs, dvDir) else Nil
+      dvNew.coalesce(1).write.mode("overwrite").parquet(dvDir)
+      // dv row count from the parquet footers just written — driver-side
+      // metadata read, no extra Spark job
+      val dvPaths0 = LakeTable.listParquet(fs, dvDir)
+      val dvCount = dvPaths0.map(parquetRowCount).sum
+      val dvPaths = if (dvCount > 0) dvPaths0 else Nil
 
       val stats = footerStats(commitDir)
       if (stats.isEmpty && dvCount == 0) {
@@ -473,6 +476,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       ))
       stats
     } finally keep.unpersist()
+  }
+
+  /** total row count from one parquet file's footer (driver-side, no job) */
+  private def parquetRowCount(path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
+      spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** per-bucket (rows, min/max lsn) read from parquet footers on the

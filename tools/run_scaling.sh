@@ -6,11 +6,14 @@
 # and runtime threads can't borrow cores the level doesn't own — the honest
 # single-box emulation of an N-core executor.
 #
-# Usage: tools/run_scaling.sh [N] [events] [batches] [mode] [rounds]
+# Usage: tools/run_scaling.sh [N] [events] [batches] [mode] [rounds] [updateShare]
+# updateShare > 0 switches to the UPDATE-phase workload: prebuild (1-share)
+# of the WAL untimed, then time the small update batches (the DV design
+# point: big table, small change batches).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-N="${1:-2}"; EVENTS="${2:-16000000}"; BATCHES="${3:-4}"; MODE="${4:-mor}"; ROUNDS="${5:-3}"
+N="${1:-2}"; EVENTS="${2:-16000000}"; BATCHES="${3:-4}"; MODE="${4:-mor}"; ROUNDS="${5:-3}"; SHARE="${6:-0}"; REPS="${7:-8}"
 HIGH=$((N * 4))
 JAR=$(ls target/scala-2.13/*.jar 2>/dev/null | head -1)
 if [ -z "$JAR" ]; then sbt -batch package >/dev/null; JAR=$(ls target/scala-2.13/*.jar | head -1); fi
@@ -23,7 +26,7 @@ run_level() { # cores -> throughput (ev/s)
     --conf spark.driver.extraJavaOptions="-XX:ActiveProcessorCount=$CORES -XX:+UseParallelGC" \
     --conf spark.sql.shuffle.partitions="$CORES" \
     --conf spark.ui.enabled=false \
-    --class graft.BenchScaling "$JAR" single "$CORES" "$EVENTS" "$BATCHES" "$MODE" 2>/dev/null \
+    --class graft.BenchScaling "$JAR" single "$CORES" "$EVENTS" "$BATCHES" "$MODE" "$SHARE" "$REPS" 2>/dev/null \
     | awk '/^SCALING_THR/ {print $3}'
 }
 
@@ -34,7 +37,7 @@ for r in $(seq 1 "$ROUNDS"); do
   LOWS+=("$TL"); HIGHS+=("$TH")
 done
 
-python3 - "$N" "$HIGH" "$EVENTS" "$BATCHES" "$MODE" "${LOWS[@]}" -- "${HIGHS[@]}" <<'EOF'
+python3 - "$N" "$HIGH" "$EVENTS" "$BATCHES" "$MODE@share=$SHARE,reps=$REPS" "${LOWS[@]}" -- "${HIGHS[@]}" <<'EOF'
 import sys, statistics
 n, high, events, batches, mode = sys.argv[1:6]
 rest = sys.argv[6:]
