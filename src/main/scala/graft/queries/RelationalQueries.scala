@@ -247,7 +247,32 @@ object RelationalQueries {
     rows.toDF("p", "value_at_p").orderBy("p")
   }
 
+  // W6 frame specs: running (cumulative) totals per user over event time —
+  // a PARTITIONED window with an explicit ROWS frame (unbounded preceding →
+  // current row). Output capped to the first 5 events of the first 20
+  // users so the result stays assertable at any scale.
+  def q38RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .where(col("user_id") < 20)
+      .withColumn("cum_cents", sum(cents(col("value"))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("user_id"), col("rn").cast("long").as("rn"), col("cum_cents"))
+      .orderBy("user_id", "rn")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q38_running_total" -> """
+      SELECT user_id, rn, cum_cents FROM (
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WHERE rn <= 5 ORDER BY user_id, rn""",
     "q34_prop_split" -> """
       WITH li AS (SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
       s AS (SELECT l_orderkey AS sk, CAST(sum(qty) AS BIGINT) AS qty_sum FROM li GROUP BY 1),
@@ -359,6 +384,7 @@ object RelationalQueries {
     "q14_tumbling" -> q14Tumbling _, "q15_rollup" -> q15Rollup _,
     "q16_minmax_norm" -> q16MinMaxNorm _,
     "q34_prop_split" -> q34PropSplit _, "q35_sliding" -> q35Sliding _,
-    "q36_exact_quantiles" -> q36ExactQuantiles _
+    "q36_exact_quantiles" -> q36ExactQuantiles _,
+    "q38_running_total" -> q38RunningTotal _
   )
 }

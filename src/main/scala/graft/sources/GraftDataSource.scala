@@ -96,10 +96,10 @@ final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(rootSnap._2, schema)
+    new GraftScanBuilder(rootSnap._1, rootSnap._2, schema)
 }
 
-final class GraftScanBuilder(snap: Snapshot, fullSchema: StructType)
+final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -132,11 +132,13 @@ final class GraftScanBuilder(snap: Snapshot, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(snap, required, pushed, lsnLo, lsnHi)
+    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi)
 }
 
-final class GraftScan(snap: Snapshot, required: StructType, pushed: Array[Filter],
+final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
                       lsnLo: Long, lsnHi: Long) extends Scan with Batch {
+  // snapshot-stored paths are root-relative (relocatable tables)
+  private def resolve(p: String): String = if (p.startsWith("data/")) s"$root/$p" else p
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -150,7 +152,7 @@ final class GraftScan(snap: Snapshot, required: StructType, pushed: Array[Filter
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    liveFiles.map(f => GraftInputPartition(f.path): InputPartition).toArray
+    liveFiles.map(f => GraftInputPartition(resolve(f.path)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(

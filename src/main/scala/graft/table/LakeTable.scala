@@ -115,6 +115,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def bucketCol(repo: String = "repo", path: String = "path") =
     pmod(xxhash64(col(repo), col(path)), lit(nBuckets.toLong)).cast("int")
 
+  /** resolve a snapshot-stored path against this root (relative "data/..."
+    * = relocatable v2 form; anything else = pre-upgrade absolute)
+    */
+  def resolvePath(p: String): String = if (p.startsWith("data/")) s"$root/$p" else p
+
   // ---- snapshot IO -------------------------------------------------------
 
   def currentSnapshot(): Option[Snapshot] = {
@@ -141,7 +146,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val schema = StructType.fromDDL(s.schemaDdl)
     val raw =
       if (s.files.isEmpty) emptyTable(schema)
-      else spark.read.schema(schema).parquet(s.files.map(_.path): _*)
+      else spark.read.schema(schema).parquet(s.files.map(f => resolvePath(f.path)): _*)
     val resolved = s.mode match {
       case "mor" => latestPerKey(raw)
       case "dv"  => applyDv(raw, s.dvFiles)
@@ -171,7 +176,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val schema = StructType.fromDDL(s.schemaDdl)
         val files = buckets.fold(s.files)(bs => s.files.filter(f => bs(f.bucket)))
         if (files.isEmpty) emptyTable(schema)
-        else spark.read.schema(schema).parquet(files.map(_.path): _*)
+        else spark.read.schema(schema).parquet(files.map(f => resolvePath(f.path)): _*)
     }
   }
 
@@ -180,13 +185,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * is tiny relative to the table (bounded by maybeCompact), so AQE plans
     * a broadcast anti-join — the data columns never move.
     */
+  /** root-relative form of a data-file path column — DV sidecars store
+    * positions as (relative file path, row index) so a relocated table's
+    * DVs still apply; pre-upgrade absolute values relativise the same way.
+    */
+  private def relPathCol(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^.*/data/", "data/")
+
   private def applyDv(raw: DataFrame, dvFiles: Seq[String]): DataFrame =
     if (dvFiles.isEmpty) raw
     else {
-      val dv = spark.read.parquet(dvFiles: _*)
-        .select(col("file_path").as("__dvf"), col("row_index").as("__dvr"))
+      val dv = spark.read.parquet(dvFiles.map(resolvePath): _*)
+        .select(relPathCol(col("file_path")).as("__dvf"), col("row_index").as("__dvr"))
       raw
-        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__fp", relPathCol(col("_metadata.file_path")))
         .withColumn("__ri", col("_metadata.row_index"))
         .join(dv, col("__fp") === col("__dvf") && col("__ri") === col("__dvr"), "left_anti")
         .drop("__fp", "__ri")
@@ -231,7 +243,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val files = s.files.filter(_.maxLsn >= fromLsn)
         val raw =
           if (files.isEmpty) emptyTable(schema)
-          else spark.read.schema(schema).parquet(files.map(_.path): _*)
+          else spark.read.schema(schema).parquet(files.map(f => resolvePath(f.path)): _*)
         val resolved = mode match {
           case ApplyMode.CopyOnWrite    => raw
           case ApplyMode.MergeOnRead    => latestPerKey(raw)
@@ -247,7 +259,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * exposed for tests/audits of the data-skipping behaviour.
     */
   def filesForLsnRange(fromLsn: Long): Seq[String] =
-    currentSnapshot().fold(Seq.empty[String])(_.files.filter(_.maxLsn >= fromLsn).map(_.path))
+    currentSnapshot().fold(Seq.empty[String])(_.files.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
 
   // ---- the apply path (SURVEY.md §7.3) ------------------------------------
 
@@ -348,7 +360,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
 
     val newEntries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
     }
     val kept = mode match {
       case ApplyMode.CopyOnWrite => prev.files.filterNot(f => affected.get(f.bucket))
@@ -414,15 +426,15 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], exSchema)
       else {
         val raw = spark.read.schema(StructType.fromDDL(prev.schemaDdl))
-          .parquet(affFiles.map(_.path): _*)
+          .parquet(affFiles.map(f => resolvePath(f.path)): _*)
           .select(col("repo"), col("path"), col("lsn").as("ex_lsn"), col("commit").as("ex_commit"),
-            col("_metadata.file_path").as("file_path"), col("_metadata.row_index").as("row_index"))
+            relPathCol(col("_metadata.file_path")).as("file_path"), col("_metadata.row_index").as("row_index"))
         // only LIVE rows can be superseded (or out-compete an incoming
         // version); already-dead positions must not shadow the live one
         if (prev.dvFiles.isEmpty) raw
         else raw.join(
-          spark.read.parquet(prev.dvFiles: _*)
-            .select(col("file_path").as("__dvf"), col("row_index").as("__dvr")),
+          spark.read.parquet(prev.dvFiles.map(resolvePath): _*)
+            .select(relPathCol(col("file_path")).as("__dvf"), col("row_index").as("__dvr")),
           col("file_path") === col("__dvf") && col("row_index") === col("__dvr"), "left_anti")
       }
 
@@ -444,7 +456,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       // metadata read, no extra Spark job
       val dvPaths0 = LakeTable.listParquet(fs, dvDir)
       val dvCount = dvPaths0.map(parquetRowCount).sum
-      val dvPaths = if (dvCount > 0) dvPaths0 else Nil
+      val dvPaths = if (dvCount > 0) dvPaths0.map(LakeTable.relPath) else Nil
 
       val stats = footerStats(commitDir)
       if (stats.isEmpty && dvCount == 0) {
@@ -453,7 +465,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       }
       val newEntries = stats.flatMap { st =>
         LakeTable.listParquet(fs, s"$commitDir/b=${st.bucket}")
-          .map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+          .map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
       }
       val tombstones = {
         val t = keep.agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
@@ -561,7 +573,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
     val stats = footerStats(commitDir)
     val entries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, p, st.rows, st.minLsn, st.maxLsn))
+      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
     }
     commitSnapshot(snap.copy(version = version, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L))
@@ -602,7 +614,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       retained.flatMap(x => x._2.files.map(_.path) ++ x._2.dvFiles).toSet
     // delete unreferenced data + DV files, then empty commit dirs, then old meta
     all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
-      (s.files.map(_.path) ++ s.dvFiles).filterNot(live).foreach(fs.delete)
+      (s.files.map(_.path) ++ s.dvFiles).filterNot(live).map(resolvePath).foreach(fs.delete)
       fs.delete(s"$metaDir/snap-$v.json")
     }
     fs.listDirs(dataDir).foreach { c =>
@@ -618,6 +630,18 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
 object LakeTable {
   final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long)
+
+  /** Snapshots store data/DV paths RELATIVE to the table root ("data/..."),
+    * so a table directory can be moved/renamed/replicated and reopened at
+    * the new root (DR, environment promotion). Everything the table writes
+    * lives under `root/data/`, so relativisation = substring from the last
+    * "/data/" — robust to scheme/qualification differences. Pre-upgrade
+    * snapshots hold absolute paths; `resolvePath` passes those through.
+    */
+  def relPath(p: String): String = {
+    val i = p.lastIndexOf("/data/")
+    if (i >= 0) p.substring(i + 1) else p
+  }
 
   def modeName(m: ApplyMode.Value): String = m match {
     case ApplyMode.MergeOnRead    => "mor"

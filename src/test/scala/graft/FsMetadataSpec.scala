@@ -71,6 +71,41 @@ class FsMetadataSpec extends SparkSpec {
     assert(cat.table("tenant_a", nBuckets = 99).nBuckets == 4)
   }
 
+  test("tables are RELOCATABLE: move the directory, reopen at the new root") {
+    // snapshots + DV sidecars store root-relative paths, so a table can be
+    // moved/renamed/replicated (DR, env promotion) and reopened — including
+    // a DeletionVector table with LIVE DVs, whose positions must keep
+    // applying at the new location
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      for (mode <- Seq(ApplyMode.CopyOnWrite, ApplyMode.MergeOnRead, ApplyMode.DeletionVector)) {
+        val src = tmpDir(s"reloc_src_$mode")
+        val t = new LakeTable(spark, src, defaultBuckets = 4, mode)
+        t.merge(wal.where(col("lsn") <= 1500), "r", 0L)
+        t.merge(wal.where(col("lsn") > 1500), "r", 1L)
+        val want = collectSorted(t.read().selectExpr("repo", "path", "commit", "lsn"))
+        val vHist = t.currentSnapshot().get.version - 1
+        val wantHist = collectSorted(t.readAt(vHist).selectExpr("repo", "path", "lsn"))
+        if (mode == ApplyMode.DeletionVector)
+          assert(t.currentSnapshot().get.dvRows > 0, "test needs live DVs")
+
+        val dst = tmpDir(s"reloc_dst_$mode") + "_moved"
+        val conf = spark.sessionState.newHadoopConf()
+        val hfs = org.apache.hadoop.fs.FileSystem.get(conf)
+        assert(hfs.rename(new org.apache.hadoop.fs.Path(src), new org.apache.hadoop.fs.Path(dst)))
+
+        val moved = new LakeTable(spark, dst, defaultBuckets = 4, mode)
+        assert(collectSorted(moved.read().selectExpr("repo", "path", "commit", "lsn")) == want,
+          s"mode=$mode: relocated table must read identically")
+        assert(collectSorted(moved.readAt(vHist).selectExpr("repo", "path", "lsn")) == wantHist,
+          s"mode=$mode: time travel must survive relocation")
+        // lifecycle still works at the new root
+        moved.compact()
+        assert(collectSorted(moved.read().selectExpr("repo", "path", "commit", "lsn")) == want)
+      }
+    } finally wal.unpersist()
+  }
+
   test("snapshot metadata is O(1) in committed batch count") {
     val base = Snapshot(1, "a BIGINT", 4, Seq.empty, Map.empty, 0L, 0L, "mor")
     val grown = (0 until 1000).foldLeft(base) { (s, i) =>

@@ -61,7 +61,7 @@ class ReplayDeterminismSpec extends SparkSpec {
     many.compact()
     assert(snapshotRows(many) == oracle, "compaction must preserve state")
     val snap = many.currentSnapshot().get
-    assert(snap.files.groupBy(_.bucket).forall(_._2.map(f => f.path.split("/data/")(1).split("/")(0)).distinct.size == 1),
+    assert(snap.files.groupBy(_.bucket).forall(_._2.map(f => f.path.split("data/").last.split("/")(0)).distinct.size == 1),
       "after compaction each bucket's files come from one commit")
   }
 
