@@ -41,11 +41,14 @@ import graft.table.{Fs, Snapshot, SnapshotIO}
   *    Pushed filters remain in the residual (Spark re-applies them row-wise)
   *    so skipping can never change semantics.
   *
-  * Scope: serves RESOLVED snapshots — CopyOnWrite tables always; MergeOnRead
-  * tables once compacted to ≤1 file per bucket (un-compacted MOR deltas need
-  * the latest-per-key shuffle, which a scan cannot do — use
-  * LakeTable.read()). Tombstones are filtered inside the reader; `deleted`
-  * is not exposed.
+  * Scope: serves CopyOnWrite and DeletionVector tables always (live DVs are
+  * applied INSIDE each partition reader: the per-file dead-position set is
+  * collected from the DV sidecars at plan time — sidecar size is bounded by
+  * the table's dv-fraction compaction policy — and rows at dead positions
+  * are skipped during the scan, no join needed); MergeOnRead tables once
+  * compacted to ≤1 file per bucket (un-compacted MOR deltas need the
+  * latest-per-key shuffle, which a scan cannot do — use LakeTable.read()).
+  * Tombstones are filtered inside the reader; `deleted` is not exposed.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -71,9 +74,6 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         "graft: MergeOnRead table has un-compacted deltas (latest-per-key needs a shuffle); " +
           "run compact() or read via LakeTable.read()")
     }
-    require(snap.dvFiles.isEmpty,
-      "graft: table has live deletion vectors (per-row anti-join needed); " +
-        "run compact() or read via LakeTable.read()")
     (root, snap)
   }
 
@@ -147,12 +147,22 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
 
   override def description(): String = {
     val total = snap.files.size
-    s"graft v${snap.version} files=${liveFiles.size}/$total " +
+    s"graft v${snap.version} files=${liveFiles.size}/$total dvRows=${snap.dvRows} " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    liveFiles.map(f => GraftInputPartition(resolve(f.path)): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // live deletion vectors: per-file dead-position sets, collected once at
+    // plan time (sidecar volume is bounded by the dv-fraction compaction
+    // policy) and shipped to each file's reader — rows at dead positions
+    // are skipped during the scan, no join in the plan
+    val dv = GraftScan.loadDvPositions(root, snap.dvFiles,
+      SparkSession.active.sessionState.newHadoopConf())
+    liveFiles.map { f =>
+      GraftInputPartition(resolve(f.path),
+        dv.getOrElse(GraftScan.relPath(f.path), Array.empty)): InputPartition
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
@@ -161,21 +171,71 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   }
 }
 
-final case class GraftInputPartition(path: String) extends InputPartition
+object GraftScan {
+  def relPath(p: String): String = {
+    val i = p.lastIndexOf("/data/")
+    if (i >= 0) p.substring(i + 1) else p
+  }
+
+  /** driver-side load of the DV sidecars → relative data-file path →
+    * sorted dead row indexes
+    */
+  def loadDvPositions(root: String, dvFiles: Seq[String],
+                      conf: Configuration): Map[String, Array[Long]] = {
+    if (dvFiles.isEmpty) return Map.empty
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    dvFiles.foreach { f0 =>
+      val f = if (f0.startsWith("data/")) s"$root/$f0" else f0
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = rr.read()
+            acc.getOrElseUpdate(relPath(g.getString("file_path", 0)),
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += g.getLong("row_index", 0)
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+      } finally reader.close()
+    }
+    acc.map { case (k, v) => k -> v.toArray.sorted }.toMap
+  }
+}
+
+final case class GraftInputPartition(path: String, deadPositions: Array[Long])
+  extends InputPartition
 
 final class GraftReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].path,
-      required, conf.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.path, required, conf.value, p.deadPositions)
+  }
 }
 
 /** Row-by-row parquet reader over the parquet-mr example Group API —
   * projection-pruned to the required columns (+ `deleted`, filtered here),
-  * null-backfilling columns the file predates (schema evolution).
+  * null-backfilling columns the file predates (schema evolution), skipping
+  * rows whose file position is marked dead by a deletion vector.
   */
-final class GraftPartitionReader(path: String, required: StructType, conf: Configuration)
+final class GraftPartitionReader(path: String, required: StructType, conf: Configuration,
+                                 deadPositions: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
+
+  private val dead: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](math.max(16, deadPositions.length * 2))
+    deadPositions.foreach(p => s.add(p))
+    s
+  }
+  private var rowOrdinal: Long = -1L // position within the file (all row groups)
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
@@ -214,10 +274,13 @@ final class GraftPartitionReader(path: String, required: StructType, conf: Confi
       if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
       while (rowsLeftInGroup > 0) {
         rowsLeftInGroup -= 1
+        rowOrdinal += 1
         val g = recordReader.read()
-        // tombstones are not part of the user-facing table
-        if (deletedIdx < 0 || g.getFieldRepetitionCount(deletedIdx) == 0 ||
-          !g.getBoolean(deletedIdx, 0)) {
+        // deletion-vector dead positions and tombstones are not part of
+        // the user-facing table
+        if (!dead.contains(rowOrdinal) &&
+          (deletedIdx < 0 || g.getFieldRepetitionCount(deletedIdx) == 0 ||
+            !g.getBoolean(deletedIdx, 0))) {
           current = toRow(g)
           return true
         }

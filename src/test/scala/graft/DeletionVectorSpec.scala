@@ -84,6 +84,10 @@ class DeletionVectorSpec extends SparkSpec {
       val before = collectSorted(t.read().selectExpr(cols: _*))
       val changed = collectSorted(t.readChangedSince(5000).selectExpr(cols: _*))
       val vPre = t.currentSnapshot().get.version
+      // DSv2 serves LIVE-DV snapshots: dead positions skipped inside the
+      // partition readers, no join in the plan
+      assert(t.currentSnapshot().get.dvRows > 0)
+      assert(collectSorted(spark.read.format("graft").load(t.root).selectExpr(cols: _*)) == before)
       t.compact()
       val snap = t.currentSnapshot().get
       assert(snap.dvFiles.isEmpty && snap.dvRows == 0)
@@ -92,7 +96,7 @@ class DeletionVectorSpec extends SparkSpec {
       assert(collectSorted(t.readChangedSince(5000).selectExpr(cols: _*)) == changed)
       // pre-compact snapshot still time-travels with ITS deletion vectors
       assert(collectSorted(t.readAt(vPre).selectExpr(cols: _*)) == before)
-      // DSv2 refuses live DVs pre-compact but serves the compacted table
+      // and the compacted (DV-free) table reads identically through DSv2
       assert(collectSorted(spark.read.format("graft").load(t.root).selectExpr(cols: _*)) == before)
     } finally wal.unpersist()
   }
