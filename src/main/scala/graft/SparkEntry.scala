@@ -44,5 +44,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ IoQueries.oracles
+      VectorQueries.oracles ++ IoQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -38,8 +38,12 @@ object MultimodalQueries {
         length(col("text")).cast("long").as("n_bytes"),
         lit(16000).as("sample_rate")).as("meta"))
 
-  /** decode → feature-extract → aggregate per media type. Rows-only check;
-    * the per-stage invariants are asserted in MultimodalSpec.
+  /** decode → feature-extract → aggregate per media type. Oracle-checked:
+    * the deterministic fake decode (sha256-derived features) is reproduced
+    * in DuckDB SQL, so the whole binary-column pipeline — payload encode,
+    * typed metadata struct, per-type batching, feature extraction,
+    * aggregation — is verified end-to-end; per-stage invariants (payload
+    * round-trip, feature bounds) are additionally pinned in MultimodalSpec.
     */
   def q29Multimodal(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
@@ -50,6 +54,21 @@ object MultimodalQueries {
         sum(col("meta.n_bytes")).as("total_bytes"),
         round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
       .orderBy("media_type")
+
+  val oracles: Map[String, String] = Map(
+    // the fake decoder replayed in SQL: f0 = int(first 6 hex chars of
+    // sha256(payload)) / 0xFFFFFF — exact integer arithmetic, one double
+    // division, identical in both engines
+    "q29_multimodal" -> """
+      SELECT media_type, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+             round(avg(f0), 6) AS avg_f0
+      FROM (
+        SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+               text,
+               list_aggregate([(strpos('0123456789abcdef', hx[i]) - 1) * CAST(pow(16, 6 - i) AS BIGINT) FOR i IN range(1, 7)], 'sum') / 16777215.0 AS f0
+        FROM (SELECT doc_id, text, sha256(text) AS hx FROM documents))
+      GROUP BY 1 ORDER BY 1"""
+  )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal" -> q29Multimodal _

@@ -23,5 +23,10 @@ class CatalogSpec extends SparkSpec {
     val na = spark.sql("SELECT count(*) FROM tenant_a").collect().head.getLong(0)
     val nb = spark.sql("SELECT count(*) FROM tenant_b").collect().head.getLong(0)
     assert(na > 0 && nb > 0 && na != nb)
+    // third apply mode persists through catalog properties too
+    val c = cat.table("tenant_c", nBuckets = 4, mode = ApplyMode.DeletionVector)
+    c.merge(ChangeLogGen.changeLog(spark, GenConfig(seed = 3, events = 400, repos = 3, filesPerRepo = 5)), "c", 0L)
+    assert(cat.table("tenant_c", mode = ApplyMode.CopyOnWrite).mode == ApplyMode.DeletionVector)
+    assert(cat.properties("tenant_c")("mode") == "dv")
   }
 }

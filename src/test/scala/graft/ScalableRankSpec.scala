@@ -59,6 +59,20 @@ class ScalableRankSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile agrees with the exact operator (the documented fallback)") {
+    // the built-in sketch path (one aggregate, no driver loop) is the
+    // alternative when 3-4 scans are too many; with accuracy >= n it is
+    // exact, and its answer must be bracketed by exact order statistics
+    import graft.operators.Quantiles
+    val n = events.count()
+    val approx = events.agg(
+      percentile_approx(col("value"), lit(0.9), lit(1000000)).as("v")).collect().head.getDouble(0)
+    val k = math.max(1L, math.ceil(0.9 * n).toLong)
+    val lo = Quantiles.kthSmallest(events, col("value"), math.max(1L, k - 1))
+    val hi = Quantiles.kthSmallest(events, col("value"), math.min(n, k + 1))
+    assert(approx >= lo && approx <= hi, s"approx=$approx not in [$lo, $hi]")
+  }
+
   test("q13 scalable form == literal percent_rank form") {
     val literal = events
       .withColumn("pr", percent_rank().over(Window.orderBy("value")))
