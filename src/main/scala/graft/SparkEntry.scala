@@ -26,6 +26,10 @@ object SparkEntry {
     CdcQueries.deleteRec(dir)
     val t = new LakeTable(spark, dir, 8, ApplyMode.CopyOnWrite)
     val wal = ChangeLogGen.changeLog(spark, cfg)
+    // INTENTIONAL abuse: pmod(lsn, 3) batching delivers interleaved,
+    // non-contiguous LSN ranges — a worst-case ordering the merge must
+    // absorb (tombstones + max-LSN guard make it order-robust); real
+    // streams deliver contiguous ranges
     (0 until 3).foreach { i =>
       t.merge(wal.where(pmod(col("lsn"), lit(3)) === i), "entry", i.toLong)
     }

@@ -47,7 +47,8 @@ object IngestStream {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // merge writes the lineage ledger entry itself, inside the commit
         val stats = table.merge(batch, cpId, batchId)
-        // MergeOnRead hygiene: fold deltas when read amplification grows
+        // maintenance: MergeOnRead folds deltas when read amplification
+        // grows; DeletionVector folds when the dead-position fraction does
         if (autoCompactFilesPerBucket > 0) table.maybeCompact(autoCompactFilesPerBucket)
         onBatch(batchId, stats)
       }
