@@ -23,7 +23,11 @@ object DistributedRank {
                     parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
+    // persisted: the offsets pass (collect below) and the caller's rank
+    // pass both consume it — without the cache the input (and its range
+    // shuffle) would be computed twice. Spill-safe; evicted LRU.
     val ranged = df.repartitionByRange(p, order: _*).withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
     // per-partition counts -> cumulative offsets (P rows on the driver)
