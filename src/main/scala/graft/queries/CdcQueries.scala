@@ -36,28 +36,31 @@ object CdcQueries {
   def ensureSmWal(spark: SparkSession): Unit =
     ChangeLogGen.writeWal(spark, smCfg, smWal, segments = 10)
 
-  /** Build (or reuse) the sm lake. The engine is deterministic and
-    * idempotent, so a fully-committed lake is reusable as-is; anything
-    * partial (crash mid-build) is detected via the committed count and
-    * rebuilt from zero.
+  /** Build (or reuse) an sm lake in the given apply mode. The engine is
+    * deterministic and idempotent, so a fully-committed lake is reusable
+    * as-is; anything partial (crash mid-build) is detected via the
+    * committed count and rebuilt from zero.
     */
-  def smLake(spark: SparkSession): LakeTable = {
+  def smLakeMode(spark: SparkSession, mode: ApplyMode.Value, name: String, cp: String): LakeTable = {
     ensureSmWal(spark)
-    val dir = s"$LakeRoot/sm_cow"
-    val t = new LakeTable(spark, dir, smBuckets, ApplyMode.CopyOnWrite)
+    val dir = s"$LakeRoot/$name"
+    val t = new LakeTable(spark, dir, smBuckets, mode)
     val ok = t.currentSnapshot().exists(s => s.committedCount == smBatches && s.hwm == smCfg.events)
     if (!ok) {
       deleteRec(dir)
-      val fresh = new LakeTable(spark, dir, smBuckets, ApplyMode.CopyOnWrite)
+      val fresh = new LakeTable(spark, dir, smBuckets, mode)
       val wal = spark.read.parquet(smWal)
       val per = smCfg.events / smBatches
       (0 until smBatches).foreach { i =>
-        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "sm", i.toLong)
+        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), cp, i.toLong)
       }
       return fresh
     }
     t
   }
+
+  def smLake(spark: SparkSession): LakeTable =
+    smLakeMode(spark, ApplyMode.CopyOnWrite, "sm_cow", "sm")
 
   /** final snapshot of the engine after the 5-batch apply — compared
     * row-for-row against the DuckDB replay oracle.
@@ -71,22 +74,35 @@ object CdcQueries {
     * versions + positional DV sidecars, no bucket rewrites) — must match
     * the identical row-for-row replay oracle as cdc_snapshot.
     */
-  def cdcSnapshotDv(s: SparkSession, dir: String): DataFrame = {
-    ensureSmWal(s)
-    val lakeDir = s"$LakeRoot/sm_dv"
-    val t = new LakeTable(s, lakeDir, smBuckets, ApplyMode.DeletionVector)
-    val ok = t.currentSnapshot().exists(x => x.committedCount == smBatches && x.hwm == smCfg.events)
-    val table = if (ok) t else {
-      deleteRec(lakeDir)
-      val fresh = new LakeTable(s, lakeDir, smBuckets, ApplyMode.DeletionVector)
-      val wal = s.read.parquet(smWal)
-      val per = smCfg.events / smBatches
-      (0 until smBatches).foreach { i =>
-        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smdv", i.toLong)
-      }
-      fresh
-    }
-    table.read()
+  def cdcSnapshotDv(s: SparkSession, dir: String): DataFrame =
+    smLakeMode(s, ApplyMode.DeletionVector, "sm_dv", "smdv").read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+
+  /** S5 at live-DV state: the DV lake read through the DSv2 scan — dead
+    * positions are applied INSIDE the partition readers (sidecar paths in
+    * the InputPartitions, positions loaded executor-side; driver plan-time
+    * memory independent of dvRows). Same row-for-row replay oracle as
+    * cdc_snapshot.
+    */
+  def q39Dsv2Dv(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.DeletionVector, "sm_dv", "smdv")
+    require(t.currentSnapshot().exists(_.dvRows > 0),
+      "q39 fixture must carry LIVE deletion vectors")
+    s.read.format("graft").load(t.root)
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** S5 at un-compacted MergeOnRead state: the delta-stacked lake read
+    * through the DSv2 scan, latest-per-key resolved inside the per-bucket
+    * readers — no compact() call, no LakeTable fallback. Same replay oracle.
+    */
+  def q41Dsv2Mor(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_mor", "smmor")
+    val worst = t.currentSnapshot().get.files.groupBy(_.bucket).values.map(_.size).max
+    require(worst > 1, "q41 fixture must be un-compacted (delta stacks per bucket)")
+    s.read.format("graft").load(t.root)
       .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
       .orderBy("repo", "path")
   }
@@ -255,7 +271,10 @@ object CdcQueries {
     "q30_dsv2" -> s"""
       SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n, max(lsn) AS max_lsn
       FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1"""
-  ).pipe(m => m + ("cdc_snapshot_dv" -> m("cdc_snapshot"))) // DV apply, same replay oracle
+  ).pipe(m => m +
+    ("cdc_snapshot_dv" -> m("cdc_snapshot")) + // DV apply, same replay oracle
+    ("q39_dsv2_dv" -> m("cdc_snapshot")) +     // DSv2 over live DVs, same oracle
+    ("q41_dsv2_mor" -> m("cdc_snapshot")))     // DSv2 over un-compacted MOR, same oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot" -> cdcSnapshot _,
@@ -265,6 +284,8 @@ object CdcQueries {
     "cdc_ledger" -> cdcLedger _,
     "cdc_ingest_bench" -> cdcIngestBench _,
     "q30_dsv2" -> q30Dsv2 _,
+    "q39_dsv2_dv" -> q39Dsv2Dv _,
+    "q41_dsv2_mor" -> q41Dsv2Mor _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

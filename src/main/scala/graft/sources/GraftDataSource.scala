@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -19,6 +17,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
@@ -41,40 +40,57 @@ import graft.table.{Fs, Snapshot, SnapshotIO}
   *    Pushed filters remain in the residual (Spark re-applies them row-wise)
   *    so skipping can never change semantics.
   *
-  * Scope: serves CopyOnWrite and DeletionVector tables always (live DVs are
-  * applied INSIDE each partition reader: the per-file dead-position set is
-  * collected from the DV sidecars at plan time — sidecar size is bounded by
-  * the table's dv-fraction compaction policy — and rows at dead positions
-  * are skipped during the scan, no join needed); MergeOnRead tables once
-  * compacted to ≤1 file per bucket (un-compacted MOR deltas need the
-  * latest-per-key shuffle, which a scan cannot do — use LakeTable.read()).
-  * Tombstones are filtered inside the reader; `deleted` is not exposed.
+  * Serving, by table state:
+  *  - CopyOnWrite / compacted buckets: one VECTORIZED columnar partition per
+  *    file (Spark's `VectorizedParquetRecordReader` → `ColumnarBatch`, same
+  *    decode path as `spark.read.parquet`); tombstones are masked per batch.
+  *  - Live deletion vectors: the partition carries the DV sidecar PATHS of
+  *    its file's bucket; each reader loads only its own file's dead
+  *    positions (executor-side, O(bucket's DV rows)) and masks them during
+  *    the scan. Nothing DV-related is materialised on the driver — plan-time
+  *    memory is O(#files + #sidecar paths), independent of dvRows.
+  *  - Un-compacted MergeOnRead buckets: one partition per BUCKET whose
+  *    reader resolves latest-per-key across the bucket's delta files
+  *    (hash-map resolve; memory is O(live keys per bucket), which is what
+  *    `rebucket()` keeps bounded). Ties on (lsn, commit) resolve to the
+  *    later delta file — duplicate (lsn, commit) for a key only arises from
+  *    a replay of the same logical event.
+  * `deleted` is never exposed.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
-  private def loadSnapshot(options: CaseInsensitiveStringMap): (String, Snapshot) = {
-    val root = Option(options.get("path"))
-      .getOrElse(throw new IllegalArgumentException("graft: .load(<table root>) is required"))
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs = new Fs(conf)
-    val snap = Option(options.get("snapshot")) match {
-      case Some(v) =>
-        val p = s"$root/meta/snap-$v.json"
-        require(fs.exists(p), s"graft: snapshot $v expired or never existed under $root")
-        SnapshotIO.read(fs.readString(p))
-      case None =>
-        val vf = s"$root/meta/VERSION"
-        require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
-        SnapshotIO.read(fs.readString(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json"))
+  /** Spark calls inferSchema then getTable with the same options; resolve
+    * the snapshot ONCE and reuse it, so a concurrent commit between the two
+    * calls can never pair one snapshot's schema with another's file list.
+    */
+  private var cached: Option[(String, (String, Snapshot))] = None
+
+  private def cacheKey(options: CaseInsensitiveStringMap): String =
+    s"${options.get("path")}@${Option(options.get("snapshot")).getOrElse("latest")}"
+
+  private def loadSnapshot(options: CaseInsensitiveStringMap): (String, Snapshot) = synchronized {
+    val key = cacheKey(options)
+    cached match {
+      case Some((k, rs)) if k == key => rs
+      case _ =>
+        val root = Option(options.get("path"))
+          .getOrElse(throw new IllegalArgumentException("graft: .load(<table root>) is required"))
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val fs = new Fs(conf)
+        val snap = Option(options.get("snapshot")) match {
+          case Some(v) =>
+            val p = s"$root/meta/snap-$v.json"
+            require(fs.exists(p), s"graft: snapshot $v expired or never existed under $root")
+            SnapshotIO.read(fs.readString(p))
+          case None =>
+            val vf = s"$root/meta/VERSION"
+            require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
+            SnapshotIO.read(fs.readString(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json"))
+        }
+        cached = Some((key, (root, snap)))
+        (root, snap)
     }
-    if (snap.mode == "mor") {
-      val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
-      require(worst <= 1,
-        "graft: MergeOnRead table has un-compacted deltas (latest-per-key needs a shuffle); " +
-          "run compact() or read via LakeTable.read()")
-    }
-    (root, snap)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -96,10 +112,12 @@ final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(rootSnap._1, rootSnap._2, schema)
+    new GraftScanBuilder(rootSnap._1, rootSnap._2, schema,
+      options.getBoolean("vectorized", true))
 }
 
-final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructType)
+final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructType,
+                             vectorized: Boolean)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -132,42 +150,71 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi)
+    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized)
 }
 
 final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
-                      lsnLo: Long, lsnHi: Long) extends Scan with Batch {
+                      lsnLo: Long, lsnHi: Long, vectorized: Boolean) extends Scan with Batch {
   // snapshot-stored paths are root-relative (relocatable tables)
   private def resolve(p: String): String = if (p.startsWith("data/")) s"$root/$p" else p
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // file-level data skipping on the snapshot's per-file lsn stats
-  private def liveFiles = snap.files.filter(f => f.maxLsn >= lsnLo && f.minLsn <= lsnHi)
+  // does any bucket need an in-reader latest-per-key resolve?
+  private lazy val needResolve = snap.mode == "mor" &&
+    snap.files.groupBy(_.bucket).values.exists(_.size > 1)
+
+  /** File-level data skipping on the snapshot's per-file lsn stats.
+    * With un-compacted MOR buckets, UPPER-bound skipping is disabled:
+    * dropping the file holding a key's latest version would resurrect an
+    * older version whose lsn PASSES the residual `lsn <= hi` filter (it is
+    * effectively time travel). Lower-bound skipping stays safe everywhere —
+    * a fake winner surfaced by dropping older files always FAILS the
+    * residual `lsn >= lo` re-filter, so results never change.
+    */
+  private def liveFiles =
+    snap.files.filter(f => f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi))
 
   override def description(): String = {
     val total = snap.files.size
-    s"graft v${snap.version} files=${liveFiles.size}/$total dvRows=${snap.dvRows} " +
+    s"graft v${snap.version} files=${liveFiles.size}/$total dvFiles=${snap.dvFiles.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
   }
 
+  // columnar (vectorized) vs row readers can differ per partition:
+  // resolve partitions are row-based, plain file partitions columnar
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
+
+  /** DV sidecars grouped by target bucket (sidecars are written
+    * bucket-partitioned under `c<N>/dv/b=<k>/`; pre-upgrade un-bucketed
+    * sidecars attach to every bucket — the reader filters to its own file).
+    */
+  private lazy val dvByBucket: Map[Option[Int], Seq[String]] =
+    snap.dvFiles.groupBy(GraftScan.dvBucketOf)
+  private def sidecarsFor(bucket: Int): Seq[String] =
+    (dvByBucket.getOrElse(Some(bucket), Nil) ++ dvByBucket.getOrElse(None, Nil)).map(resolve)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // live deletion vectors: per-file dead-position sets, collected once at
-    // plan time (sidecar volume is bounded by the dv-fraction compaction
-    // policy) and shipped to each file's reader — rows at dead positions
-    // are skipped during the scan, no join in the plan
-    val dv = GraftScan.loadDvPositions(root, snap.dvFiles,
-      SparkSession.active.sessionState.newHadoopConf())
-    liveFiles.map { f =>
-      GraftInputPartition(resolve(f.path),
-        dv.getOrElse(GraftScan.relPath(f.path), Array.empty)): InputPartition
-    }.toArray
+    // Plan-time work is pure metadata: file lists and sidecar PATHS only.
+    // DV positions are loaded inside the partition readers (executor-side),
+    // so driver memory is independent of dvRows.
+    val byBucket = liveFiles.groupBy(_.bucket)
+    byBucket.toSeq.sortBy(_._1).flatMap { case (bucket, files) =>
+      if (snap.mode == "mor" && files.size > 1)
+        // un-compacted MergeOnRead bucket: one reader resolves latest-per-key
+        // across the bucket's delta files (snapshot order = commit order)
+        Seq(GraftInputPartition(files.map(f => resolve(f.path)), Nil, resolveLatest = true))
+      else
+        files.map(f =>
+          GraftInputPartition(Seq(resolve(f.path)), sidecarsFor(bucket), resolveLatest = false))
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new GraftReaderFactory(required, conf)
+    new GraftReaderFactory(required, conf, vectorized)
   }
 }
 
@@ -177,16 +224,24 @@ object GraftScan {
     if (i >= 0) p.substring(i + 1) else p
   }
 
-  /** driver-side load of the DV sidecars → relative data-file path →
-    * sorted dead row indexes
+  /** target bucket of a DV sidecar, parsed from its `dv/b=<k>/` layout
+    * directory; None for pre-upgrade un-bucketed sidecars.
     */
-  def loadDvPositions(root: String, dvFiles: Seq[String],
-                      conf: Configuration): Map[String, Array[Long]] = {
-    if (dvFiles.isEmpty) return Map.empty
-    val acc = scala.collection.mutable.HashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-    dvFiles.foreach { f0 =>
-      val f = if (f0.startsWith("data/")) s"$root/$f0" else f0
+  def dvBucketOf(path: String): Option[Int] = {
+    val m = "/dv/b=(\\d+)/".r.findFirstMatchIn(path)
+    m.map(_.group(1).toInt)
+  }
+
+  /** EXECUTOR-side load of one file's dead positions from its bucket's DV
+    * sidecars: scan the sidecars (small — bounded by the table's
+    * dv-fraction compaction policy) keeping only rows whose file_path is
+    * this reader's file.
+    */
+  def deadPositionsFor(dataFile: String, sidecars: Seq[String],
+                       conf: Configuration): java.util.HashSet[java.lang.Long] = {
+    val mine = relPath(dataFile)
+    val out = new java.util.HashSet[java.lang.Long]()
+    sidecars.foreach { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
       try {
@@ -198,65 +253,72 @@ object GraftScan {
           var i = 0L
           while (i < pages.getRowCount) {
             val g = rr.read()
-            acc.getOrElseUpdate(relPath(g.getString("file_path", 0)),
-              scala.collection.mutable.ArrayBuffer.empty[Long]) += g.getLong("row_index", 0)
+            if (relPath(g.getString("file_path", 0)) == mine) out.add(g.getLong("row_index", 0))
             i += 1
           }
           pages = reader.readNextRowGroup()
         }
       } finally reader.close()
     }
-    acc.map { case (k, v) => k -> v.toArray.sorted }.toMap
+    out
   }
 }
 
-final case class GraftInputPartition(path: String, deadPositions: Array[Long])
-  extends InputPartition
+/** One scan task: `files` to read (one file normally; a whole bucket's
+  * delta files when `resolveLatest`), plus the DV sidecar PATHS that may
+  * hold dead positions for those files. Carries no row data and no
+  * positions — serialized task size is O(paths).
+  */
+final case class GraftInputPartition(files: Seq[String], dvSidecars: Seq[String],
+                                     resolveLatest: Boolean) extends InputPartition
 
-final class GraftReaderFactory(required: StructType, conf: SerializableConfiguration)
-    extends PartitionReaderFactory {
+final class GraftReaderFactory(required: StructType, conf: SerializableConfiguration,
+                               vectorized: Boolean) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized && !partition.asInstanceOf[GraftInputPartition].resolveLatest &&
+      required.fields.forall(f => GraftColumnarReader.supportedType(f.dataType))
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
+    new GraftColumnarReader(p.files.head, required, conf.value, dead)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.path, required, conf.value, p.deadPositions)
+    if (p.resolveLatest) new GraftResolveReader(p.files, required, conf.value)
+    else {
+      val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
+      new GraftPartitionReader(p.files.head, required, conf.value, dead)
+    }
   }
 }
 
-/** Row-by-row parquet reader over the parquet-mr example Group API —
-  * projection-pruned to the required columns (+ `deleted`, filtered here),
-  * null-backfilling columns the file predates (schema evolution), skipping
-  * rows whose file position is marked dead by a deletion vector.
+/** Cursor over one parquet file via the parquet-mr example Group API:
+  * yields the requested `fields` as an Array[Any] per row (Catalyst value
+  * shapes: UTF8String for strings), null-backfilling fields the file
+  * predates (additive schema evolution). Exposes the row's ordinal within
+  * the file (= `_metadata.row_index`, what DV sidecars key on).
   */
-final class GraftPartitionReader(path: String, required: StructType, conf: Configuration,
-                                 deadPositions: Array[Long] = Array.empty)
-    extends PartitionReader[InternalRow] {
-
-  private val dead: java.util.HashSet[java.lang.Long] = {
-    val s = new java.util.HashSet[java.lang.Long](math.max(16, deadPositions.length * 2))
-    deadPositions.foreach(p => s.add(p))
-    s
-  }
-  private var rowOrdinal: Long = -1L // position within the file (all row groups)
-
+private[sources] final class GroupRowCursor(path: String, fields: Array[StructField],
+                                            conf: Configuration) {
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
   private val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
-
-  // projection = (required ∪ deleted) ∩ file columns; evolution gaps → null
-  private val wanted: Seq[String] = (required.fieldNames :+ "deleted").distinct.toSeq
-  private val present: Seq[String] = wanted.filter(fileSchema.containsField)
+  private val present: Seq[String] = fields.map(_.name).filter(fileSchema.containsField).toSeq
   private val projection: MessageType = {
     val types: Seq[org.apache.parquet.schema.Type] =
       present.map(n => fileSchema.getType(fileSchema.getFieldIndex(n)))
     new MessageType(fileSchema.getName, types: _*)
   }
   reader.setRequestedSchema(projection)
-
-  private val fieldIdx: Map[String, Int] = present.zipWithIndex.toMap
-  private val deletedIdx: Int = fieldIdx.getOrElse("deleted", -1)
+  private val fieldIdx: Array[Int] = fields.map(f => present.indexOf(f.name))
 
   private var recordReader: org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
   private var rowsLeftInGroup: Long = 0L
-  private var current: InternalRow = _
+  var ordinal: Long = -1L
+  val values: Array[Any] = new Array[Any](fields.length)
 
   private def advanceRowGroup(): Boolean = {
     val pages = reader.readNextRowGroup()
@@ -269,49 +331,261 @@ final class GraftPartitionReader(path: String, required: StructType, conf: Confi
     }
   }
 
-  override def next(): Boolean = {
-    while (true) {
-      if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
-      while (rowsLeftInGroup > 0) {
-        rowsLeftInGroup -= 1
-        rowOrdinal += 1
-        val g = recordReader.read()
-        // deletion-vector dead positions and tombstones are not part of
-        // the user-facing table
-        if (!dead.contains(rowOrdinal) &&
-          (deletedIdx < 0 || g.getFieldRepetitionCount(deletedIdx) == 0 ||
-            !g.getBoolean(deletedIdx, 0))) {
-          current = toRow(g)
-          return true
+  /** load the next row into `values`; false at end of file */
+  def advance(): Boolean = {
+    if (rowsLeftInGroup == 0 && !advanceRowGroup()) return false
+    rowsLeftInGroup -= 1
+    ordinal += 1
+    val g = recordReader.read()
+    var i = 0
+    while (i < fields.length) {
+      val j = fieldIdx(i)
+      values(i) =
+        if (j < 0 || g.getFieldRepetitionCount(j) == 0) null // evolution gap or null
+        else fields(i).dataType match {
+          case StringType  => UTF8String.fromString(g.getString(j, 0))
+          case LongType    => g.getLong(j, 0)
+          case IntegerType => g.getInteger(j, 0)
+          case DoubleType  => g.getDouble(j, 0)
+          case BooleanType => g.getBoolean(j, 0)
+          case other => throw new UnsupportedOperationException(
+            s"graft scan: unsupported column type $other for ${fields(i).name}")
         }
+      i += 1
+    }
+    true
+  }
+
+  def close(): Unit = reader.close()
+}
+
+/** Row-based single-file reader (the non-vectorized path): projection-pruned
+  * to the required columns (+ `deleted`, filtered here), skipping rows whose
+  * file position is marked dead by a deletion vector.
+  */
+final class GraftPartitionReader(path: String, required: StructType, conf: Configuration,
+                                 dead: java.util.HashSet[java.lang.Long])
+    extends PartitionReader[InternalRow] {
+
+  private val ext: Array[StructField] =
+    required.fields :+ StructField("deleted", BooleanType)
+  private val cursor = new GroupRowCursor(path, ext, conf)
+  private val deletedIdx = required.length
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (cursor.advance()) {
+      val del = cursor.values(deletedIdx)
+      if (!dead.contains(cursor.ordinal) && (del == null || del == false)) {
+        current = new GenericInternalRow(java.util.Arrays.copyOfRange(
+          cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
+        return true
       }
     }
     false
   }
 
-  private def toRow(g: org.apache.parquet.example.data.Group): InternalRow = {
-    val values = new Array[Any](required.length)
-    var i = 0
-    while (i < required.length) {
-      val f = required.fields(i)
-      values(i) = fieldIdx.get(f.name) match {
-        case Some(j) if g.getFieldRepetitionCount(j) > 0 =>
-          f.dataType match {
-            case StringType  => UTF8String.fromString(g.getString(j, 0))
-            case LongType    => g.getLong(j, 0)
-            case IntegerType => g.getInteger(j, 0)
-            case DoubleType  => g.getDouble(j, 0)
-            case BooleanType => g.getBoolean(j, 0)
-            case other => throw new UnsupportedOperationException(
-              s"graft scan: unsupported column type $other for ${f.name}")
+  override def get(): InternalRow = current
+  override def close(): Unit = cursor.close()
+}
+
+/** Un-compacted MergeOnRead bucket reader: resolves latest-per-key across
+  * the bucket's delta files with a hash map keyed on (repo, path), ordered
+  * by (lsn, commit) — ties go to the later delta file. Memory is O(live
+  * keys in the bucket); `rebucket()` is the lever that keeps buckets sized
+  * to executor memory as the table grows. Tombstone winners are dropped at
+  * emit, same as `LakeTable.read()`.
+  */
+final class GraftResolveReader(files: Seq[String], required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  // read schema = required ∪ {repo, path, lsn, commit, deleted}; the extras
+  // drive the resolve and are dropped from the emitted rows
+  private val extraNames =
+    Seq("repo", "path", "lsn", "commit", "deleted").filterNot(required.fieldNames.contains)
+  private val extraTypes: Map[String, org.apache.spark.sql.types.DataType] = Map(
+    "repo" -> StringType, "path" -> StringType, "lsn" -> LongType,
+    "commit" -> StringType, "deleted" -> BooleanType)
+  private val ext: Array[StructField] =
+    required.fields ++ extraNames.map(n => StructField(n, extraTypes(n)))
+  private def idx(n: String): Int = ext.indexWhere(_.name == n)
+  private val repoIdx = idx("repo"); private val pathIdx = idx("path")
+  private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")
+  private val deletedIdx = idx("deleted")
+
+  private val latest = {
+    val m = new java.util.HashMap[(String, String), Array[Any]]()
+    files.foreach { f =>
+      val cursor = new GroupRowCursor(f, ext, conf)
+      try {
+        while (cursor.advance()) {
+          val v = cursor.values
+          val key = (v(repoIdx).toString, v(pathIdx).toString)
+          val prev = m.get(key)
+          val wins = prev == null || {
+            val l = v(lsnIdx).asInstanceOf[Long]; val pl = prev(lsnIdx).asInstanceOf[Long]
+            l > pl || (l == pl &&
+              v(commitIdx).asInstanceOf[UTF8String].compareTo(prev(commitIdx).asInstanceOf[UTF8String]) >= 0)
           }
-        case _ => null // file predates the column (additive evolution) or null value
-      }
-      i += 1
+          if (wins) m.put(key, v.clone())
+        }
+      } finally cursor.close()
     }
-    new GenericInternalRow(values)
+    m.values().iterator()
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (latest.hasNext) {
+      val v = latest.next()
+      val del = v(deletedIdx)
+      if (del == null || del == false) {
+        current = new GenericInternalRow(java.util.Arrays.copyOfRange(
+          v.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = ()
+}
+
+object GraftColumnarReader {
+  def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | BooleanType => true
+    case _ => false
+  }
+}
+
+/** Vectorized single-file reader: Spark's own `VectorizedParquetRecordReader`
+  * decodes straight into `ColumnarBatch`es (the same codegen-friendly path
+  * `spark.read.parquet` uses — the reference's vectorisation goal,
+  * docs/data_layers.md:352-354). Tombstones (`deleted = true`) and DV dead
+  * positions are applied per batch: an all-live batch is passed through
+  * zero-copy (just re-wrapped to the pruned column set); a batch with dead
+  * rows is compacted into on-heap output vectors. Missing columns (files
+  * that predate an additive schema evolution) come back as all-null vectors
+  * from the vectorized reader itself.
+  */
+final class GraftColumnarReader(path: String, required: StructType, conf: Configuration,
+                                dead: java.util.HashSet[java.lang.Long])
+    extends PartitionReader[ColumnarBatch] {
+  import org.apache.hadoop.mapred.FileSplit
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, JobID, TaskType}
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val capacity = 4096
+  // deleted is appended to the read schema (never exposed); it drives the
+  // tombstone mask
+  private val readSchema = StructType(required.fields :+ StructField("deleted", BooleanType))
+  private val deletedIdx = required.length
+
+  private val vreader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
+  locally {
+    val c = new Configuration(conf)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
+    // keys ParquetReadSupport/ParquetToSparkSchemaConverter expect the file
+    // format to have staged into the hadoop conf (Spark defaults)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val len = p.getFileSystem(c).getFileStatus(p).getLen
+    val split = new FileSplit(p, 0, len, Array.empty[String])
+    val attempt = new TaskAttemptID(new TaskID(new JobID(), TaskType.MAP, 0), 0)
+    vreader.initialize(split, new TaskAttemptContextImpl(c, attempt))
+    vreader.initBatch(new StructType(), InternalRow.empty)
+    vreader.enableReturningBatches()
+  }
+
+  private var base = 0L // file ordinal of the current batch's first row
+  private var current: ColumnarBatch = _
+
+  // zero-copy pass-through wrapper over the reader's own vectors, pruned to
+  // the required columns (built lazily: vector objects are stable across
+  // batches)
+  private var passThrough: ColumnarBatch = _
+  // compaction target for batches with dead rows
+  private var outVectors: Array[OnHeapColumnVector] = _
+  private var filtered: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (vreader.nextBatch()) {
+      val rb = vreader.resultBatch()
+      val n = rb.numRows()
+      val delVec = rb.column(deletedIdx)
+      // find dead rows (tombstones or DV positions) in this batch
+      var anyDead = false
+      var i = 0
+      while (i < n && !anyDead) {
+        anyDead = (!delVec.isNullAt(i) && delVec.getBoolean(i)) || dead.contains(base + i)
+        i += 1
+      }
+      if (!anyDead) {
+        if (passThrough == null) {
+          val cols = Array.tabulate[ColumnVector](required.length)(rb.column)
+          passThrough = new ColumnarBatch(cols)
+        }
+        passThrough.setNumRows(n)
+        current = passThrough
+        base += n
+        return true
+      }
+      // compact the live rows into output vectors
+      if (outVectors == null) {
+        outVectors = OnHeapColumnVector.allocateColumns(capacity, required)
+        filtered = new ColumnarBatch(outVectors.map(v => v: ColumnVector))
+      }
+      outVectors.foreach(_.reset())
+      var out = 0
+      i = 0
+      while (i < n) {
+        val isDead = (!delVec.isNullAt(i) && delVec.getBoolean(i)) || dead.contains(base + i)
+        if (!isDead) {
+          var c = 0
+          while (c < required.length) {
+            val src = rb.column(c); val dst = outVectors(c)
+            if (src.isNullAt(i)) dst.putNull(out)
+            else required.fields(c).dataType match {
+              case StringType =>
+                val b = src.getUTF8String(i).getBytes
+                dst.putByteArray(out, b, 0, b.length)
+              case LongType    => dst.putLong(out, src.getLong(i))
+              case IntegerType => dst.putInt(out, src.getInt(i))
+              case DoubleType  => dst.putDouble(out, src.getDouble(i))
+              case BooleanType => dst.putBoolean(out, src.getBoolean(i))
+              case other => throw new UnsupportedOperationException(
+                s"graft scan: unsupported column type $other")
+            }
+            c += 1
+          }
+          out += 1
+        }
+        i += 1
+      }
+      base += n
+      if (out > 0) {
+        filtered.setNumRows(out)
+        current = filtered
+        return true
+      } // else: whole batch dead — read the next one
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = {
+    vreader.close()
+    if (outVectors != null) outVectors.foreach(_.close())
+  }
 }

@@ -405,9 +405,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     *  - keeps reads shuffle-free (DV anti-join, broadcast-sized until
     *    maybeCompact folds the DVs away).
     * The max-LSN guard lives in the join: an incoming version loses to a
-    * live existing row with a higher (lsn, commit) and is dropped — same
-    * tie-break total order as latestPerKey, so all three modes converge to
-    * the identical table state.
+    * live existing row with a higher (lsn, commit) and is dropped.
+    * Tie-break contract: on an EXACT (lsn, commit) tie DV keeps the STORED
+    * row (reading the existing payloads to tie-break on them, as
+    * latestPerKey does, would defeat the whole column-pruned design). A
+    * duplicate (lsn, commit) for a key can only be a replay of the same
+    * logical event — identical payload — so the modes still converge; the
+    * divergence is only reachable if an upstream emits two DIFFERENT
+    * payloads under one (lsn, commit), which violates the WAL contract.
     */
   private def mergeDv(events: DataFrame, cleaned: DataFrame, cpId: String, batchId: Long,
                       prev: Snapshot, version: Int, nBuckets: Int,
@@ -449,12 +454,22 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       keep.select(dataCols: _*)
         .repartition(math.max(affected.size, 1), col("b"))
         .write.partitionBy("b").mode("overwrite").parquet(commitDir)
-      val dvNew = keep.where(col("ex_lsn").isNotNull).select("file_path", "row_index")
+      // DV sidecars are PARTITIONED BY TARGET BUCKET (the dead position's
+      // file determines its bucket): the write parallelises across affected
+      // buckets (no single-task stage), and the DSv2 scan attaches each
+      // bucket's sidecars to that bucket's readers only — dead positions are
+      // loaded executor-side, never on the driver.
+      val dvNew = keep.where(col("ex_lsn").isNotNull)
+        .select(col("file_path"), col("row_index"),
+          regexp_extract(col("file_path"), "/b=(\\d+)/", 1).cast("int").as("b"))
       val dvDir = s"$commitDir/dv"
-      dvNew.coalesce(1).write.mode("overwrite").parquet(dvDir)
+      dvNew.repartition(math.max(affected.size, 1), col("b"))
+        .write.partitionBy("b").mode("overwrite").parquet(dvDir)
       // dv row count from the parquet footers just written — driver-side
       // metadata read, no extra Spark job
-      val dvPaths0 = LakeTable.listParquet(fs, dvDir)
+      val dvPaths0 = fs.listDirs(dvDir)
+        .filter(d => new org.apache.hadoop.fs.Path(d).getName.startsWith("b="))
+        .flatMap(d => LakeTable.listParquet(fs, d))
       val dvCount = dvPaths0.map(parquetRowCount).sum
       val dvPaths = if (dvCount > 0) dvPaths0.map(LakeTable.relPath) else Nil
 

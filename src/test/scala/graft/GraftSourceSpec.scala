@@ -81,15 +81,73 @@ class GraftSourceSpec extends SparkSpec {
       collectSorted(t.read().select("repo", "path", "branch")))
   }
 
-  test("un-compacted MergeOnRead is refused with a useful error; compacted works") {
+  test("un-compacted MergeOnRead served via per-bucket resolve readers; compacted too") {
     val t = new LakeTable(spark, tmpDir("dsv2mor"), defaultBuckets = 4, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, cfg)
     t.merge(wal.where(col("lsn") <= 2000), "mor", 0L)
     t.merge(wal.where(col("lsn") > 2000), "mor", 1L)
-    val e = intercept[Exception](spark.read.format("graft").load(t.root).count())
-    assert(e.getMessage.contains("compact"), e.getMessage)
+    // live deltas: latest-per-key (incl. the tombstone filter) must resolve
+    // INSIDE the scan, no compact() required
+    val df = spark.read.format("graft").load(t.root)
+    assert(collectSorted(df.select("repo", "path", "commit", "lsn")) ==
+      collectSorted(t.read().select("repo", "path", "commit", "lsn")))
+    // one resolve partition per multi-file bucket
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftScan]
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    assert(parts.exists(p => p.resolveLatest && p.files.size > 1), "expected bucket resolve partitions")
     t.compact()
     assert(collectSorted(spark.read.format("graft").load(t.root).select("repo", "path", "lsn")) ==
       collectSorted(t.read().select("repo", "path", "lsn")))
+  }
+
+  test("MOR resolve: upper-bound lsn filter must not resurrect old versions") {
+    val t = new LakeTable(spark, tmpDir("dsv2morhi"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "morhi", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "morhi", 1L)
+    // a key updated after lsn 2000 must NOT come back as its pre-2000
+    // version when the scan skips files by the pushed upper bound
+    val viaDsv2 = spark.read.format("graft").load(t.root)
+      .where(col("lsn") <= 2000).select("repo", "path", "commit", "lsn")
+    val expect = t.read().where(col("lsn") <= 2000).select("repo", "path", "commit", "lsn")
+    assert(collectSorted(viaDsv2) == collectSorted(expect))
+  }
+
+  test("live-DV tables: plan ships sidecar PATHS only; positions load reader-side") {
+    val t = new LakeTable(spark, tmpDir("dsv2dv"), defaultBuckets = 4, ApplyMode.DeletionVector)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "dv", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "dv", 1L)
+    val snap = t.currentSnapshot().get
+    assert(snap.dvRows > 0, "fixture must have live deletion vectors")
+    val df = spark.read.format("graft").load(t.root)
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftScan]
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    // driver-side plan state is O(paths): no partition materialises positions
+    assert(parts.forall(p => !p.productIterator.exists(_.isInstanceOf[Array[Long]])),
+      "InputPartitions must not carry materialised DV positions")
+    assert(parts.exists(_.dvSidecars.nonEmpty), "affected buckets must reference their sidecars")
+    // sidecars are bucket-partitioned: a partition only sees its own bucket's
+    // sidecars (never the whole table's)
+    assert(parts.filter(_.dvSidecars.nonEmpty).forall(_.dvSidecars.size < snap.dvFiles.size + 1))
+    // and the result still equals the engine read path
+    val cols = Seq("repo", "path", "commit", "lang", "contentSha", "lsn")
+    assert(collectSorted(df.select(cols.map(col): _*)) ==
+      collectSorted(t.read().select(cols.map(col): _*)))
+  }
+
+  test("vectorized columnar scan is the default; row fallback agrees") {
+    val t = buildCow()
+    val df = spark.read.format("graft").load(t.root)
+    val exec = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(exec.supportsColumnar, "cow table scan should serve ColumnarBatches")
+    val rowDf = spark.read.format("graft").option("vectorized", "false").load(t.root)
+    val rowExec = rowDf.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(!rowExec.supportsColumnar)
+    val cols = Seq("repo", "path", "commit", "lang", "contentSha", "lsn")
+    assert(collectSorted(df.select(cols.map(col): _*)) ==
+      collectSorted(rowDf.select(cols.map(col): _*)))
   }
 }
