@@ -107,6 +107,20 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** K-layout evolution: the 5-batch MOR apply at 16 buckets, then
+    * `rebucket(32)` — a full-rewrite commit under the new key-hash layout
+    * (folds the deltas too). The snapshot must STILL match the row-for-row
+    * replay oracle, proving layout evolution never touches table state.
+    */
+  def q42Rebucket(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_rb", "smrb")
+    if (t.nBuckets != 32) t.rebucket(32)
+    require(t.nBuckets == 32, "rebucket must update the snapshot's layout")
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
   /** publish-layer rollup over the snapshot (A1 over the lake). */
   def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
     smLake(s).read()
@@ -274,7 +288,8 @@ object CdcQueries {
   ).pipe(m => m +
     ("cdc_snapshot_dv" -> m("cdc_snapshot")) + // DV apply, same replay oracle
     ("q39_dsv2_dv" -> m("cdc_snapshot")) +     // DSv2 over live DVs, same oracle
-    ("q41_dsv2_mor" -> m("cdc_snapshot")))     // DSv2 over un-compacted MOR, same oracle
+    ("q41_dsv2_mor" -> m("cdc_snapshot")) +   // DSv2 over un-compacted MOR, same oracle
+    ("q42_rebucket" -> m("cdc_snapshot")))     // layout evolution, same oracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot" -> cdcSnapshot _,
@@ -286,6 +301,7 @@ object CdcQueries {
     "q30_dsv2" -> q30Dsv2 _,
     "q39_dsv2_dv" -> q39Dsv2Dv _,
     "q41_dsv2_mor" -> q41Dsv2Mor _,
+    "q42_rebucket" -> q42Rebucket _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -451,8 +451,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     try {
       val commitDir = s"$dataDir/c$version"
       val dataCols = batch.columns.map(col).toSeq
+      val kDv = subSplitFactor(math.max(affected.size, 1))
       keep.select(dataCols: _*)
-        .repartition(math.max(affected.size, 1), col("b"))
+        .withColumn("__salt", saltCol(kDv))
+        .repartition(math.max(affected.size, 1) * kDv, col("b"), col("__salt"))
+        .drop("__salt")
         .write.partitionBy("b").mode("overwrite").parquet(commitDir)
       // DV sidecars are PARTITIONED BY TARGET BUCKET (the dead position's
       // file determines its bucket): the write parallelises across affected
@@ -463,7 +466,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         .select(col("file_path"), col("row_index"),
           regexp_extract(col("file_path"), "/b=(\\d+)/", 1).cast("int").as("b"))
       val dvDir = s"$commitDir/dv"
-      dvNew.repartition(math.max(affected.size, 1), col("b"))
+      dvNew.repartition(math.max(affected.size, 1) * kDv, col("b"),
+          pmod(xxhash64(col("file_path"), col("row_index")), lit(kDv.toLong)))
         .write.partitionBy("b").mode("overwrite").parquet(dvDir)
       // dv row count from the parquet footers just written — driver-side
       // metadata read, no extra Spark job
@@ -555,6 +559,27 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }.seq.sortBy(_.bucket)
   }
 
+  /** How many ways to sub-split each bucket's shuffle group, so that
+    * resolve/compact TASK parallelism is decoupled from the FILE layout's
+    * bucket count: a 32-bucket table compacted on a 8000-slot cluster runs
+    * 32×250 tasks, not 32. Defaults to filling the cluster
+    * (defaultParallelism); override with spark.graft.resolve.minParallelism.
+    */
+  private def subSplitFactor(buckets: Int): Int = {
+    val minPar = spark.conf.getOption("spark.graft.resolve.minParallelism")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    math.max(1, math.ceil(minPar.toDouble / math.max(buckets, 1)).toInt)
+  }
+
+  /** pure-function-of-key salt: rows of one key always share it, so any
+    * window partitioned by (b, __salt, repo, path) groups exactly as
+    * (b, repo, path) does. Seeded with an extra literal so the salt is
+    * DECORRELATED from the bucket hash — pmod of the same xxhash64 would
+    * collapse (b, salt) onto the diagonal and sub-split nothing.
+    */
+  private def saltCol(k: Int) =
+    pmod(xxhash64(lit(0x5aL), col("repo"), col("path")), lit(k.toLong)).cast("int")
+
   /** The single-shuffle resolve: repartition by bucket, then latest-per-key
     * as a row_number window over (b, repo, path). HashPartitioning(b)
     * already satisfies ClusteredDistribution(b, repo, path) — b is a pure
@@ -562,35 +587,73 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * shuffle moves each payload byte exactly once, straight into its
     * bucket-aligned output file. (The previous plan shuffled content twice:
     * hash-agg dedup on (repo, path), then repartition on b for the write.)
+    *
+    * When the cluster has more slots than `buckets`, each bucket's group is
+    * sub-split k ways on a key-hash salt — HashPartitioning(b, __salt)
+    * still satisfies the window's ClusteredDistribution(b, __salt, repo,
+    * path) (one Exchange, PlanAuditSpec pins it), tasks scale to the
+    * cluster, and the write still lands ≤ k key-disjoint files per bucket
+    * directory.
     */
-  private def bucketResolve(all: DataFrame, parts: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("b", "repo", "path")
-      .orderBy(col("lsn").desc, col("commit").desc)
-    all.repartition(parts, col("b"))
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  private def bucketResolve(all: DataFrame, buckets: Int): DataFrame = {
+    val k = subSplitFactor(buckets)
+    if (k == 1) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("b", "repo", "path")
+        .orderBy(col("lsn").desc, col("commit").desc)
+      all.repartition(buckets, col("b"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("b", "__salt", "repo", "path")
+        .orderBy(col("lsn").desc, col("commit").desc)
+      all.withColumn("__salt", saltCol(k))
+        .repartition(buckets * k, col("b"), col("__salt"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn", "__salt")
+    }
   }
 
-  /** Fold MergeOnRead deltas / DeletionVector sidecars down to one resolved
+  /** Fold MergeOnRead deltas / DeletionVector sidecars down to a resolved
     * file set per bucket — the write-optimised paths' periodic compaction.
     */
-  def compact(): Unit = {
+  def compact(): Unit = rewriteAll(nBuckets)
+
+  /** Bucket-count evolution: rewrite the whole table under a NEW key-hash
+    * layout (a full-rewrite commit, like compact but re-keyed). The new
+    * count is recorded in the snapshot, so `bucketCol()` and every later
+    * merge prune against the CURRENT layout; mixed layouts are impossible
+    * (the rewrite replaces the full file set atomically at the VERSION
+    * flip). Time travel to pre-rebucket snapshots still reads correctly —
+    * readers take file lists from the historical snapshot, never from the
+    * current layout. This is the escape hatch for a table created at 32
+    * buckets that grew 100× (multi-TB buckets), and what keeps the DSv2
+    * per-bucket resolve readers' memory bounded.
+    */
+  def rebucket(newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"rebucket: bucket count must be positive, got $newBuckets")
+    rewriteAll(newBuckets)
+  }
+
+  private def rewriteAll(newBuckets: Int): Unit = {
     val snap = currentSnapshot().getOrElse(return)
     val version = snap.version + 1
     val commitDir = s"$dataDir/c$version"
     // same single-shuffle resolve as merge: raw deltas → bucket partitions
-    // → window latest-per-key (no extra exchange) → bucket-aligned files.
-    // In DV mode the dead positions are anti-joined away first; the window
-    // over the already-unique keys is then a cheap pass-through.
+    // (sub-split past the bucket count when the cluster is wider) → window
+    // latest-per-key (no extra exchange) → bucket-aligned files. In DV mode
+    // the dead positions are anti-joined away first; the window over the
+    // already-unique keys is then a cheap pass-through.
     val source =
       if (mode == ApplyMode.DeletionVector) applyDv(readRaw(), snap.dvFiles) else readRaw()
-    bucketResolve(source.withColumn("b", bucketCol()), nBuckets)
+    val newB = pmod(xxhash64(col("repo"), col("path")), lit(newBuckets.toLong)).cast("int")
+    bucketResolve(source.withColumn("b", newB), newBuckets)
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
     val stats = footerStats(commitDir)
     val entries = stats.flatMap { st =>
       listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
     }
-    commitSnapshot(snap.copy(version = version, files = entries,
+    commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L))
   }
 

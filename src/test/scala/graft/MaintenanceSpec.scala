@@ -34,6 +34,56 @@ class MaintenanceSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("resolve parallelism decouples from bucket count (sub-split shuffle)") {
+    // force a cluster "wider" than the bucket count: 4 buckets, 16 slots
+    spark.conf.set("spark.graft.resolve.minParallelism", "16")
+    try {
+      val t = new LakeTable(spark, tmpDir("split"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+      val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+      try {
+        t.merge(wal.where(col("lsn") <= 2000), "s", 0L)
+        t.merge(wal.where(col("lsn") > 2000), "s", 1L)
+        val before = stateOf(t)
+        t.compact()
+        val snap = t.currentSnapshot().get
+        // more write tasks than buckets: k = 16/4 = 4 → up to 4 key-disjoint
+        // files per bucket directory, strictly more than one per bucket
+        assert(snap.files.size > 4, s"expected sub-split output, got ${snap.files.size} files")
+        assert(snap.files.groupBy(_.bucket).values.forall(_.size <= 4))
+        assert(stateOf(t) == before, "compaction must not change table state")
+        // DSv2 still serves the multi-file-per-bucket layout
+        assert(collectSorted(spark.read.format("graft").load(t.root)
+          .select("repo", "path", "commit", "contentSha")) == before)
+      } finally wal.unpersist()
+    } finally spark.conf.unset("spark.graft.resolve.minParallelism")
+  }
+
+  test("rebucket(newN) rewrites the layout; reads, merges and time travel stay correct") {
+    val t = new LakeTable(spark, tmpDir("rb"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      t.merge(wal.where(col("lsn") <= 2000), "r", 0L)
+      t.merge(wal.where(col("lsn").between(2001, 3000)), "r", 1L)
+      val before = stateOf(t)
+      val vPre = t.currentSnapshot().get.version
+      t.rebucket(16)
+      val snap = t.currentSnapshot().get
+      assert(snap.nBuckets == 16 && t.nBuckets == 16, "snapshot must record the new layout")
+      assert(snap.files.map(_.bucket).distinct.size > 4, "rows must spread over the new buckets")
+      assert(stateOf(t) == before, "rebucket must not change table state")
+      // time travel to a PRE-rebucket snapshot reads under the old layout
+      assert(collectSorted(t.readAt(vPre).select("repo", "path", "commit", "contentSha")) == before)
+      // a merge AFTER rebucket prunes against the new layout and converges
+      // to the same state as a one-shot reference apply
+      t.merge(wal.where(col("lsn") > 3000), "r", 2L)
+      val ref = new LakeTable(spark, tmpDir("rbref"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+      ref.merge(wal, "ref", 0L)
+      assert(stateOf(t) == stateOf(ref))
+      // reopening with different constructor args still follows the snapshot
+      assert(new LakeTable(spark, t.root, defaultBuckets = 4, ApplyMode.MergeOnRead).nBuckets == 16)
+    } finally wal.unpersist()
+  }
+
   test("expireSnapshots reclaims old files; current state intact; replay still exact-once") {
     val t = new LakeTable(spark, tmpDir("exp"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()

@@ -55,6 +55,16 @@ class PlanAuditSpec extends SparkSpec {
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
     val exchanges = "Exchange".r.findAllMatchIn(planOf(resolved)).size
     assert(exchanges == 1, planOf(resolved))
+    // the SUB-SPLIT variant (bucket × key-salt shuffle, window partitioned
+    // by (b, salt, repo, path)) must also plan exactly one Exchange:
+    // HashPartitioning(b, salt) satisfies the window's clustering
+    val salt = pmod(xxhash64(col("repo"), col("path")), lit(4L)).cast("int")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "__salt", "repo", "path").orderBy(col("lsn").desc, col("commit").desc)
+    val split = wal.withColumn("b", b).withColumn("__salt", salt)
+      .repartition(32, col("b"), col("__salt"))
+      .withColumn("__rn", row_number().over(ws)).where(col("__rn") === 1).drop("__rn", "__salt")
+    assert("Exchange".r.findAllMatchIn(planOf(split)).size == 1, planOf(split))
     // and the real merge still works on top of that shape
     assert(t.merge(wal, "a", 0L).nonEmpty)
   }
