@@ -78,15 +78,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           .getOrElse(throw new IllegalArgumentException("graft: .load(<table root>) is required"))
         val conf = SparkSession.active.sessionState.newHadoopConf()
         val fs = new Fs(conf)
+        def load(p: String) = SnapshotIO.read(fs.readString(p), mp => fs.readString(s"$root/$mp"))
         val snap = Option(options.get("snapshot")) match {
           case Some(v) =>
             val p = s"$root/meta/snap-$v.json"
             require(fs.exists(p), s"graft: snapshot $v expired or never existed under $root")
-            SnapshotIO.read(fs.readString(p))
+            load(p)
           case None =>
             val vf = s"$root/meta/VERSION"
             require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
-            SnapshotIO.read(fs.readString(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json"))
+            load(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json")
         }
         cached = Some((key, (root, snap)))
         (root, snap)

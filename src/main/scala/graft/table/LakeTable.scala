@@ -47,7 +47,16 @@ final case class Snapshot(
     totalRows: Long,
     mode: String = "cow",   // apply mode fixed at table creation
     dvFiles: Seq[String] = Nil, // positional deletion-vector sidecars (dv mode)
-    dvRows: Long = 0L           // total superseded positions across dvFiles
+    dvRows: Long = 0L,          // total superseded positions across dvFiles
+    /** per-bucket MANIFEST pointers (bucket → root-relative manifest JSON
+      * holding that bucket's FileEntry list). When non-empty, the snapshot
+      * JSON stores ONLY these pointers; a commit rewrites just the TOUCHED
+      * buckets' manifests and re-points the rest — per-commit metadata IO is
+      * O(buckets touched), not O(files in table). `files` is hydrated from
+      * the manifests at load. (Iceberg's manifest-list analogue; dvFiles
+      * stay inline — bounded by the dv-fraction compaction policy.)
+      */
+    manifests: Seq[(Int, String)] = Nil
 ) {
   def isCommitted(cpId: String, batchId: Long): Boolean =
     committed.get(cpId).exists(_.contains(batchId))
@@ -122,12 +131,18 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
   // ---- snapshot IO -------------------------------------------------------
 
+  /** load + hydrate a snapshot (per-bucket manifests resolved against this
+    * root — relative pointers keep tables relocatable)
+    */
+  private def loadSnap(path: String): Snapshot =
+    SnapshotIO.read(fs.readString(path), mp => fs.readString(s"$root/$mp"))
+
   def currentSnapshot(): Option[Snapshot] = {
     val vf = s"$metaDir/VERSION"
     if (!fs.exists(vf)) None
     else {
       val v = fs.readString(vf).trim.toInt
-      Some(SnapshotIO.read(fs.readString(s"$metaDir/snap-$v.json")))
+      Some(loadSnap(s"$metaDir/snap-$v.json"))
     }
   }
 
@@ -142,7 +157,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def readAt(version: Int): DataFrame = {
     val p = s"$metaDir/snap-$version.json"
     require(fs.exists(p), s"snapshot $version expired or never existed")
-    val s = SnapshotIO.read(fs.readString(p))
+    val s = loadSnap(p)
     val schema = StructType.fromDDL(s.schemaDdl)
     val raw =
       if (s.files.isEmpty) emptyTable(schema)
@@ -155,8 +170,26 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     resolved.where(!col("deleted")).drop("deleted")
   }
 
-  private def commitSnapshot(s: Snapshot): Unit = {
-    fs.atomicWrite(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s))
+  /** Commit: write the TOUCHED buckets' manifests (a bucket whose file list
+    * is unchanged from `prev` keeps its existing manifest pointer), then the
+    * snapshot JSON (pointers only), then flip VERSION — all atomic renames.
+    * A crash between steps leaves orphan manifest files at most; the old
+    * VERSION still points at a fully-consistent snapshot chain.
+    */
+  private def commitSnapshot(s: Snapshot, prev: Snapshot): Unit = {
+    val prevMan = prev.manifests.toMap
+    val prevBy = prev.files.groupBy(_.bucket)
+    val newBy = s.files.groupBy(_.bucket)
+    val manifests = newBy.toSeq.sortBy(_._1).map { case (b, fl) =>
+      prevMan.get(b) match {
+        case Some(mp) if prevBy.get(b).contains(fl) => b -> mp // untouched: reuse
+        case _ =>
+          val mp = s"meta/man-${s.version}-b$b.json"
+          fs.atomicWrite(s"$root/$mp", SnapshotIO.writeManifest(fl))
+          b -> mp
+      }
+    }
+    fs.atomicWrite(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s.copy(manifests = manifests)))
     fs.atomicWrite(s"$metaDir/VERSION", s.version.toString)
   }
 
@@ -355,7 +388,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       }
     if (stats.isEmpty) { // empty batch still commits (records the id)
       commitSnapshot(prev.copy(version = version,
-        committed = prev.withCommit(cpId, batchId)))
+        committed = prev.withCommit(cpId, batchId)), prev)
       return Seq.empty
     }
 
@@ -391,7 +424,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       hwm = math.max(prev.hwm, batchHwm),
       totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
       mode = modeString(mode)
-    ))
+    ), prev)
     stats
   }
 
@@ -479,7 +512,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
       val stats = footerStats(commitDir)
       if (stats.isEmpty && dvCount == 0) {
-        commitSnapshot(prev.copy(version = version, committed = prev.withCommit(cpId, batchId)))
+        commitSnapshot(prev.copy(version = version, committed = prev.withCommit(cpId, batchId)), prev)
         return Seq.empty
       }
       val newEntries = stats.flatMap { st =>
@@ -504,7 +537,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         totalRows = prev.totalRows + newEntries.map(_.rows).sum,
         dvFiles = prev.dvFiles ++ dvPaths,
         dvRows = prev.dvRows + dvCount
-      ))
+      ), prev)
       stats
     } finally keep.unpersist()
   }
@@ -654,7 +687,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
     }
     commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
-      totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L))
+      totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap)
   }
 
   /** Maintenance policy: MergeOnRead folds deltas when any bucket's file
@@ -685,14 +718,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val cur = currentSnapshot().getOrElse(return)
     val all = (1 to cur.version).flatMap { v =>
       val p = s"$metaDir/snap-$v.json"
-      if (fs.exists(p)) Some(v -> SnapshotIO.read(fs.readString(p))) else None
+      if (fs.exists(p)) Some(v -> loadSnap(p)) else None
     }
     val retained = all.filter(_._1 > cur.version - keep)
     val live: Set[String] =
       retained.flatMap(x => x._2.files.map(_.path) ++ x._2.dvFiles).toSet
-    // delete unreferenced data + DV files, then empty commit dirs, then old meta
+    val liveManifests: Set[String] = retained.flatMap(_._2.manifests.map(_._2)).toSet
+    // delete unreferenced data + DV files + manifests, then empty commit
+    // dirs, then old meta
     all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
       (s.files.map(_.path) ++ s.dvFiles).filterNot(live).map(resolvePath).foreach(fs.delete)
+      s.manifests.map(_._2).filterNot(liveManifests).foreach(mp => fs.delete(s"$root/$mp"))
       fs.delete(s"$metaDir/snap-$v.json")
     }
     fs.listDirs(dataDir).foreach { c =>
@@ -797,18 +833,49 @@ object SnapshotIO {
   }
   def asInt(v: Any): Int = asLong(v).toInt
 
+  private def fileJson(f: FileEntry): String =
+    s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}}"""
+
+  private def parseFile(fa: Any): FileEntry = {
+    val f = fa.asInstanceOf[Map[String, Any]]
+    FileEntry(asInt(f("bucket")), f("path").asInstanceOf[String],
+      asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")))
+  }
+
+  /** one bucket's FileEntry list — the payload of a manifest file */
+  def writeManifest(files: Seq[FileEntry]): String =
+    files.map(fileJson).mkString("""{"files":[""", ",", "]}")
+
+  def readManifest(txt: String): Seq[FileEntry] =
+    JsonMini.parse(txt).asInstanceOf[Map[String, Any]]("files")
+      .asInstanceOf[Seq[Any]].map(parseFile)
+
   def write(s: Snapshot): String = {
-    val files = s.files.map(f =>
-      s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}}"""
-    ).mkString("[", ",", "]")
+    // with manifest pointers the snapshot stores ONLY those; inline file
+    // lists remain for manifest-less snapshots (tests, pre-upgrade format)
+    val body =
+      if (s.manifests.nonEmpty)
+        s""""manifests":${s.manifests.map { case (b, p) => s"""{"bucket":$b,"path":${q(p)}}""" }.mkString("[", ",", "]")}"""
+      else s""""files":${s.files.map(fileJson).mkString("[", ",", "]")}"""
     val committed = s.committed.toSeq.sortBy(_._1).map { case (cp, c) =>
       s"""${q(cp)}:{"hwm":${c.hwm},"pending":${c.pending.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     val dvf = s.dvFiles.map(q).mkString("[", ",", "]")
-    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"dvRows":${s.dvRows},"dvFiles":$dvf,"files":$files,"committed":$committed}"""
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
   }
 
-  def read(txt: String): Snapshot = parse(txt)
+  /** parse WITHOUT a manifest loader — valid only for inline-file snapshots */
+  def read(txt: String): Snapshot = read(txt,
+    mp => throw new IllegalStateException(s"snapshot references manifest $mp but no loader was provided"))
+
+  /** parse + hydrate `files` from the per-bucket manifests via `load`
+    * (root-relative manifest path → manifest JSON text)
+    */
+  def read(txt: String, load: String => String): Snapshot = {
+    val s = parse(txt)
+    if (s.manifests.isEmpty) s
+    else s.copy(files = s.manifests.sortBy(_._1).flatMap(m => readManifest(load(m._2))))
+  }
 
   // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers).
   def parse(txt: String): Snapshot = {
@@ -818,11 +885,11 @@ object SnapshotIO {
       version = asInt(v("version")),
       schemaDdl = v("schemaDdl").asInstanceOf[String],
       nBuckets = asInt(v("nBuckets")),
-      files = v("files").asInstanceOf[Seq[Any]].map { fa =>
-        val f = fa.asInstanceOf[Map[String, Any]]
-        FileEntry(asInt(f("bucket")), f("path").asInstanceOf[String],
-          asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")))
-      },
+      files = v.get("files").map(_.asInstanceOf[Seq[Any]].map(parseFile)).getOrElse(Nil),
+      manifests = v.get("manifests").map(_.asInstanceOf[Seq[Any]].map { ma =>
+        val m = ma.asInstanceOf[Map[String, Any]]
+        asInt(m("bucket")) -> m("path").asInstanceOf[String]
+      }).getOrElse(Nil),
       committed = v("committed") match {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map { case (cp, cv) =>
           val c = cv.asInstanceOf[Map[String, Any]]

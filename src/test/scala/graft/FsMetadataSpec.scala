@@ -106,6 +106,37 @@ class FsMetadataSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("snapshot JSON holds manifest pointers; a commit writes only touched buckets' manifests") {
+    val t = new LakeTable(spark, tmpDir("mani"), defaultBuckets = 8, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      t.merge(wal.where(col("lsn") <= 2500), "m", 0L) // wide commit: all buckets
+      val metaDir = s"${t.root}/meta"
+      def snapJson(v: Int) = t.fs.readString(s"$metaDir/snap-$v.json")
+      def manifestsOf(v: Int) =
+        t.fs.listFiles(metaDir, n => n.startsWith(s"man-$v-") && n.endsWith(".json"))
+      val v1 = t.currentSnapshot().get.version
+      assert(manifestsOf(v1).size == 8, "first commit writes every bucket's manifest")
+      // data-file paths live in the manifests, NOT the snapshot JSON
+      assert(!snapJson(v1).contains(".parquet"), snapJson(v1))
+
+      // single-key batch → exactly ONE bucket touched → exactly one new
+      // manifest; the other 7 pointers are reused from v1
+      t.merge(wal.where(col("lsn") === 2600), "m", 1L)
+      val v2 = t.currentSnapshot().get.version
+      assert(manifestsOf(v2).size == 1, s"expected 1 new manifest, got ${manifestsOf(v2)}")
+      val snap = t.currentSnapshot().get
+      assert(snap.manifests.count(_._2.contains(s"man-$v1-")) == 7, snap.manifests.toString)
+      // per-commit snapshot growth is pointer-sized, independent of the
+      // table's file count
+      assert(math.abs(snapJson(v2).length - snapJson(v1).length) < 200,
+        s"${snapJson(v1).length} -> ${snapJson(v2).length}")
+      // hydration: the pointer-based snapshot still resolves the full file set
+      assert(snap.files.nonEmpty && snap.files.map(_.rows).sum == snap.totalRows)
+      assert(t.read().count() > 0)
+    } finally wal.unpersist()
+  }
+
   test("snapshot metadata is O(1) in committed batch count") {
     val base = Snapshot(1, "a BIGINT", 4, Seq.empty, Map.empty, 0L, 0L, "mor")
     val grown = (0 until 1000).foldLeft(base) { (s, i) =>
