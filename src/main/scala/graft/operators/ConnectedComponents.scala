@@ -22,13 +22,19 @@ object ConnectedComponents {
 
   /** edges: two long columns (a, b), undirected. Returns (node, cluster)
     * where cluster = min node id of the component (the canonical member).
+    *
+    * `reliable = true` switches the per-round checkpoint to a RELIABLE one
+    * (`df.checkpoint()` into `spark.sparkContext.setCheckpointDir`), which
+    * survives executor loss — the option a long-running cluster job wants;
+    * localCheckpoint (default) is the fast single-box path.
     */
   def clusters(edges: DataFrame, a: String = "a", b: String = "b",
-               maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+               maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val und = ckpt(edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("cluster", col("node"))
     var changed = 1L
@@ -42,12 +48,11 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
       // (2) pointer jump: follow the label's own label (labels are node ids)
-      val next = step
+      val next = ckpt(step
         .join(step.select(col("node").as("cluster"), col("cluster").as("c2")),
           Seq("cluster"), "left")
         .select(col("node"),
-          least(col("cluster"), coalesce(col("c2"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+          least(col("cluster"), coalesce(col("c2"), col("cluster"))).as("cluster")))
       // changed = any label lowered this round (by either step)
       changed = next
         .join(labels.withColumnRenamed("cluster", "prev"), Seq("node"))

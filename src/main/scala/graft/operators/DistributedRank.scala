@@ -23,11 +23,15 @@ object DistributedRank {
                     parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val p = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
-    // persisted: the offsets pass (collect below) and the caller's rank
-    // pass both consume it — without the cache the input (and its range
-    // shuffle) would be computed twice. Spill-safe; evicted LRU.
+    // localCheckpoint (eager): the offsets pass (collect below) and the
+    // caller's rank pass both consume the SAME materialised partitioning.
+    // persist() would be unsafe here — if cached blocks were evicted and
+    // recomputed, repartitionByRange could RESAMPLE its boundaries between
+    // the counts pass and the rank pass, making the broadcast offsets
+    // inconsistent with the local ranks. Checkpoint blocks are freed with
+    // the RDD (no cache-manager squatting).
     val ranged = df.repartitionByRange(p, order: _*).withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
     // per-partition counts -> cumulative offsets (P rows on the driver)

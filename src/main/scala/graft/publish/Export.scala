@@ -21,20 +21,24 @@ object Export {
   def exportDir(df: DataFrame, outDir: String, format: String = "csv",
                 options: Map[String, String] = Map.empty): Manifest = {
     require(format == "csv" || format == "json", s"unsupported export format: $format")
-    val writer = df.write.mode("overwrite").options(options)
+    // certified row count via observe() ON THE WRITE ITSELF: the metric is
+    // collected from the rows that actually flowed into the files — one
+    // scan of the input, no second read of the artifact (which, for CSV,
+    // also miscounted rows containing newlines unless multiLine was set).
+    // Batch-only: Observation.get would never complete inside a streaming
+    // foreachBatch (inner executions fire no listener events).
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val writer = observed.write.mode("overwrite").options(options)
     format match {
       case "csv"  => writer.option("header", "true").csv(outDir)
       case "json" => writer.json(outDir)
     }
+    val rows = obs.get("rows").asInstanceOf[Long]
     val fs = new Fs(df.sparkSession.sessionState.newHadoopConf())
     val files = fs.listFiles(outDir, n => n.startsWith("part-"))
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
-    // rows from what was just WRITTEN (re-read), not from the input plan —
-    // the manifest certifies the artifact, not the intent
-    val rows = (format match {
-      case "csv"  => df.sparkSession.read.option("header", "true").csv(outDir)
-      case "json" => df.sparkSession.read.json(outDir)
-    }).count()
     val m = Manifest(format, rows, df.schema.toDDL, files)
     fs.atomicWrite(s"$outDir/_export_manifest.json", manifestJson(m))
     m

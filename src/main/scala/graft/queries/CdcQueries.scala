@@ -19,8 +19,8 @@ import graft.table.{ApplyMode, LakeTable}
   */
 object CdcQueries {
 
-  val FixtureRoot = "/tmp/graft_fixtures"
-  val LakeRoot = "/tmp/graft_lakes"
+  val FixtureRoot = Fixtures.FixtureRoot
+  val LakeRoot = Fixtures.LakeRoot
 
   /** the oracle fixture — FIXED regardless of sfDir so the static oracle
     * SQL always refers to the same data (FIXTURES.md `sm`).

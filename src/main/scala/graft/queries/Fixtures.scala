@@ -12,6 +12,15 @@ import org.apache.spark.sql.DataFrame
   * (TextOpsSpec/VectorOpsSpec vs brute force).
   */
 object Fixtures {
+  /** roots for generated fixtures / scratch lakes — any Hadoop-FS-pathable
+    * URI (all writes go through Spark writers / graft.table.Fs, never
+    * java.io); local /tmp is the sandbox default, a cluster deployment
+    * points these at its scratch bucket. The oracle SQL interpolates the
+    * SAME value at dump time, so Spark and DuckDB always read one fixture.
+    */
+  val FixtureRoot: String = sys.env.getOrElse("GRAFT_FIXTURE_ROOT", "/tmp/graft_fixtures")
+  val LakeRoot: String = sys.env.getOrElse("GRAFT_LAKE_ROOT", "/tmp/graft_lakes")
+
   /** write-then-reread so the verify stage (both engines) sees the exact
     * same materialised candidate set, not a recomputation
     */

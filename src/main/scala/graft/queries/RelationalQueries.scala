@@ -247,6 +247,29 @@ object RelationalQueries {
     rows.toDF("p", "value_at_p").orderBy("p")
   }
 
+  // A8 kernel sum over radius candidates (the reference's gravity score
+  // Σ w/d² per cell, stuttgart_maps_all.py:548-560): 1-D cells over the
+  // customer balance axis; each cell's candidates come from a BANDED
+  // equi-join (own + adjacent cells — never all-pairs), then the inverse-
+  // square kernel aggregates per cell. The band join is the J7 bucketing
+  // shape, so the whole query scales by hash shuffle on the cell id.
+  def q40KernelSum(s: SparkSession, dir: String): DataFrame = {
+    val pts = T(s, dir, "customer")
+      .select(col("c_acctbal").cast("double").as("x"))
+      .withColumn("cell", floor(col("x") / 500).cast("long"))
+    val cells = pts.select("cell").distinct()
+      .withColumn("center", col("cell") * 500 + lit(250.0))
+    val cand = cells.withColumn("probe",
+      explode(array(col("cell") - 1, col("cell"), col("cell") + 1)))
+    cand.join(pts.select(col("cell").as("probe"), col("x")), Seq("probe"))
+      .withColumn("d", abs(col("x") - col("center")))
+      .where(col("d").between(1.0, 500.0)) // radius cut; d ≥ 1 guards the pole
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_cand"),
+        round(sum(lit(1.0) / (col("d") * col("d"))), 6).as("kernel"))
+      .orderBy("cell")
+  }
+
   // W6 frame specs: running (cumulative) totals per user over event time —
   // a PARTITIONED window with an explicit ROWS frame (unbounded preceding →
   // current row). Output capped to the first 5 events of the first 20
@@ -264,6 +287,16 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q40_kernel_sum" -> """
+      WITH pts AS (SELECT c_acctbal::DOUBLE AS x,
+                          CAST(floor(c_acctbal::DOUBLE / 500) AS BIGINT) AS cell FROM customer),
+      cells AS (SELECT DISTINCT cell, cell * 500 + 250.0 AS center FROM pts),
+      cand AS (SELECT cell, center, unnest([cell - 1, cell, cell + 1]) AS probe FROM cells),
+      j AS (SELECT c.cell, abs(p.x - c.center) AS d
+            FROM cand c JOIN pts p ON p.cell = c.probe
+            WHERE abs(p.x - c.center) BETWEEN 1.0 AND 500.0)
+      SELECT cell, count(*) AS n_cand, round(sum(1.0 / (d * d)), 6) AS kernel
+      FROM j GROUP BY 1 ORDER BY 1""",
     "q38_running_total" -> """
       SELECT user_id, rn, cum_cents FROM (
         SELECT user_id,
@@ -385,6 +418,7 @@ object RelationalQueries {
     "q16_minmax_norm" -> q16MinMaxNorm _,
     "q34_prop_split" -> q34PropSplit _, "q35_sliding" -> q35Sliding _,
     "q36_exact_quantiles" -> q36ExactQuantiles _,
-    "q38_running_total" -> q38RunningTotal _
+    "q38_running_total" -> q38RunningTotal _,
+    "q40_kernel_sum" -> q40KernelSum _
   )
 }

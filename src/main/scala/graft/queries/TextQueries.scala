@@ -141,9 +141,15 @@ object TextQueries {
                    dumpPath: Option[String] = None): DataFrame = {
     // materialise the shingled corpus once — it feeds three branches
     // (banding, and the two candidate re-attach joins); recomputing the
-    // shingle transform per branch costs far more than caching it. At
-    // scale this is the persisted shingle table of the dedup pipeline.
-    val docs = docsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle transform per branch costs far more than caching it. At scale
+    // this is the persisted shingle table of the dedup pipeline.
+    // localCheckpoint (eager) rather than persist: blocks are freed with the
+    // RDD by the ContextCleaner instead of squatting in the cache manager
+    // forever (a long-lived session would otherwise accumulate one cached
+    // corpus per run — the round-2 bench tail's re-cache warnings). A
+    // cluster deployment that must survive executor loss would use a
+    // reliable checkpoint dir instead.
+    val docs = docsIn.localCheckpoint()
     val sig = docs.withColumn("sig", minhashSig(col("sh"), k))
     // band → bucket join on IDs ONLY: the heavy shingle arrays do NOT ride
     // the self-join/dedup shuffle — they are re-attached to the (few)

@@ -21,15 +21,25 @@ final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, 
   */
 final case class CommitState(hwm: Long = -1L, pending: Seq[Long] = Nil) {
   def contains(batchId: Long): Boolean = batchId <= hwm || pending.contains(batchId)
+  /** A virgin state SEEDS its hwm from the first observed batchId: an
+    * existing streaming checkpoint (batchIds already at N) pointed at a
+    * fresh/recreated table must not grow `pending` one entry per batch
+    * forever waiting for batch 0, which will never be delivered — streaming
+    * batchIds are monotonic per checkpoint, so everything below the first
+    * delivery is by definition not coming.
+    */
   def absorb(batchId: Long): CommitState =
     if (contains(batchId)) this
+    else if (hwm == -1L && pending.isEmpty) CommitState(batchId, Nil)
     else {
       var h = hwm
       val p = scala.collection.mutable.SortedSet[Long](pending: _*) += batchId
       while (p.contains(h + 1)) { h += 1; p -= h }
       CommitState(h, p.toSeq)
     }
-  /** number of distinct committed batchIds (batchIds start at 0) */
+  /** number of distinct committed batchIds (exact when batchIds start at 0,
+    * the streaming contract; an upper bound for seeded checkpoints)
+    */
   def count: Long = hwm + 1 + pending.size
 }
 

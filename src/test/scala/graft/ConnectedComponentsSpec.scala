@@ -41,4 +41,26 @@ class ConnectedComponentsSpec extends SparkSpec {
       ConnectedComponents.clusters(chain.toDF("a", "b"), maxIter = 2).collect()
     }
   }
+
+  test("ADVERSARIAL: a 10k-node path graph converges within O(log d) rounds") {
+    // worst case for plain min-label propagation (diameter = rounds);
+    // pointer jumping must close a 10^4 diameter in ~log2 rounds, well
+    // under the default maxIter=25
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(0, 9999).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = ConnectedComponents.clusters(edges)
+    val agg = labels.agg(count(lit(1)), countDistinct(col("cluster")), min("cluster")).collect().head
+    assert(agg.getLong(0) == 10000L && agg.getLong(1) == 1L && agg.getLong(2) == 0L)
+  }
+
+  test("reliable-checkpoint mode (executor-loss-tolerant) gives identical clusters") {
+    spark.sparkContext.setCheckpointDir(tmpDir("cc_ckpt"))
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("a", "b")
+    val loc = ConnectedComponents.clusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = ConnectedComponents.clusters(edges, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == loc && rel == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 5L -> 5L))
+  }
 }

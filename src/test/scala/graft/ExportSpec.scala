@@ -32,6 +32,20 @@ class ExportSpec extends SparkSpec {
     assert(collectSorted(back) == collectSorted(df))
   }
 
+  test("manifest row count is exact for values containing newlines (one input scan)") {
+    import spark.implicits._
+    // the old verify-by-re-read miscounted: the CSV writer quotes embedded
+    // newlines, but a non-multiLine read-back splits them into extra rows.
+    // observe()-based counting certifies the rows that flowed into the files.
+    val df = Seq(("a", "line1\nline2"), ("b", "plain"), ("c", "x\ny\nz")).toDF("k", "txt")
+    val out = tmpDir("exp_nl")
+    val m = Export.exportDir(df, out, "csv")
+    assert(m.rows == 3, s"manifest must count logical rows, got ${m.rows}")
+    val back = spark.read.schema("k STRING, txt STRING")
+      .option("header", "true").option("multiLine", "true").csv(out)
+    assert(collectSorted(back) == collectSorted(df))
+  }
+
   test("unsupported format is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
