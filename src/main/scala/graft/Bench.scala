@@ -7,6 +7,38 @@ import org.apache.spark.sql.SparkSession
   * N-vs-4N scaling numbers live in BENCH.md (written by graft.BenchScaling).
   */
 object Bench {
+
+  /** Vectorized-DSv2 evidence: the SAME compacted lake files aggregated
+    * through (a) the graft scan and (b) Spark's own parquet reader doing
+    * the equivalent work (tombstone filter + full content decode). Both
+    * warmed once, then median of 3 alternating runs. The graft scan rides
+    * VectorizedParquetRecordReader + a ColumnarBatch tombstone mask, so
+    * the two should be within noise of each other.
+    */
+  private def scanComparison(spark: SparkSession, sfDir: String): Seq[(String, Double)] = try {
+    import org.apache.spark.sql.functions._
+    import graft.queries.CdcQueries
+    import graft.table.LakeTable
+    val lakeDir = s"${CdcQueries.LakeRoot}/bench_wal_${if (sfDir.endsWith("sf0.1")) "bench" else if (sfDir.endsWith("sf0.001")) "xs" else "md"}"
+    val t = new LakeTable(spark, lakeDir)
+    val snap = t.currentSnapshot().getOrElse(return Seq.empty)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    val files = snap.files.map(f => t.resolvePath(f.path))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(length(col("content"))), max("lsn")).collect()
+    def graftScan() = agg(spark.read.format("graft").load(lakeDir))
+    def parquetScan() = agg(
+      spark.read.schema(schema).parquet(files: _*).where(!col("deleted")).drop("deleted"))
+    def medianOf3(f: () => Any): Double = {
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    graftScan(); parquetScan() // warm-up, untimed
+    Seq("scan_graft" -> medianOf3(graftScan _), "scan_parquet" -> medianOf3(parquetScan _))
+  } catch { case e: Throwable => System.err.println(s"[bench] scan comparison failed: ${e.getMessage}"); Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,7 +60,7 @@ object Bench {
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ scanComparison(spark, sfDir)
     // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
     // decimal separator would corrupt the JSON line the driver parses
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))

@@ -59,12 +59,14 @@ final case class Snapshot(
     dvFiles: Seq[String] = Nil, // positional deletion-vector sidecars (dv mode)
     dvRows: Long = 0L,          // total superseded positions across dvFiles
     /** per-bucket MANIFEST pointers (bucket → root-relative manifest JSON
-      * holding that bucket's FileEntry list). When non-empty, the snapshot
-      * JSON stores ONLY these pointers; a commit rewrites just the TOUCHED
-      * buckets' manifests and re-points the rest — per-commit metadata IO is
-      * O(buckets touched), not O(files in table). `files` is hydrated from
-      * the manifests at load. (Iceberg's manifest-list analogue; dvFiles
-      * stay inline — bounded by the dv-fraction compaction policy.)
+      * holding that bucket's CURRENT FileEntry list). A commit writes ONE
+      * new manifest covering just its touched buckets and re-points the
+      * rest at their existing manifests — per-commit metadata IO is O(1)
+      * files / O(buckets touched) bytes, never O(files in table). Loading
+      * reads each DISTINCT manifest once (≤ commits since the last full
+      * rewrite; compact/rebucket fold back to one). `files` is hydrated
+      * from the manifests at load. (Iceberg's manifest-list analogue;
+      * dvFiles stay inline — bounded by the dv-fraction compaction policy.)
       */
     manifests: Seq[(Int, String)] = Nil
 ) {
@@ -180,25 +182,29 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     resolved.where(!col("deleted")).drop("deleted")
   }
 
-  /** Commit: write the TOUCHED buckets' manifests (a bucket whose file list
-    * is unchanged from `prev` keeps its existing manifest pointer), then the
-    * snapshot JSON (pointers only), then flip VERSION — all atomic renames.
-    * A crash between steps leaves orphan manifest files at most; the old
+  /** Commit: write ONE manifest covering this commit's TOUCHED buckets
+    * (buckets whose file list is unchanged from `prev` keep their existing
+    * manifest pointers), then the snapshot JSON (pointers only), then flip
+    * VERSION — three atomic renames per commit, regardless of table size.
+    * A crash between steps leaves an orphan manifest file at most; the old
     * VERSION still points at a fully-consistent snapshot chain.
     */
   private def commitSnapshot(s: Snapshot, prev: Snapshot): Unit = {
     val prevMan = prev.manifests.toMap
     val prevBy = prev.files.groupBy(_.bucket)
     val newBy = s.files.groupBy(_.bucket)
-    val manifests = newBy.toSeq.sortBy(_._1).map { case (b, fl) =>
-      prevMan.get(b) match {
-        case Some(mp) if prevBy.get(b).contains(fl) => b -> mp // untouched: reuse
-        case _ =>
-          val mp = s"meta/man-${s.version}-b$b.json"
-          fs.atomicWrite(s"$root/$mp", SnapshotIO.writeManifest(fl))
-          b -> mp
-      }
+    val changed = newBy.filter { case (b, fl) =>
+      !(prevMan.contains(b) && prevBy.get(b).contains(fl))
     }
+    val manifests =
+      if (changed.isEmpty) newBy.keys.toSeq.sorted.map(b => b -> prevMan(b))
+      else {
+        val mp = s"meta/man-${s.version}.json"
+        fs.atomicWrite(s"$root/$mp", SnapshotIO.writeManifest(changed))
+        newBy.toSeq.sortBy(_._1).map { case (b, _) =>
+          b -> (if (changed.contains(b)) mp else prevMan(b))
+        }
+      }
     fs.atomicWrite(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s.copy(manifests = manifests)))
     fs.atomicWrite(s"$metaDir/VERSION", s.version.toString)
   }
@@ -852,13 +858,25 @@ object SnapshotIO {
       asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")))
   }
 
-  /** one bucket's FileEntry list — the payload of a manifest file */
-  def writeManifest(files: Seq[FileEntry]): String =
-    files.map(fileJson).mkString("""{"files":[""", ",", "]}")
+  /** one commit's touched buckets → their full FileEntry lists — the
+    * payload of a manifest file
+    */
+  def writeManifest(buckets: Map[Int, Seq[FileEntry]]): String =
+    buckets.toSeq.sortBy(_._1).map { case (b, fl) =>
+      s"""{"bucket":$b,"files":${fl.map(fileJson).mkString("[", ",", "]")}}"""
+    }.mkString("""{"buckets":[""", ",", "]}")
 
-  def readManifest(txt: String): Seq[FileEntry] =
-    JsonMini.parse(txt).asInstanceOf[Map[String, Any]]("files")
-      .asInstanceOf[Seq[Any]].map(parseFile)
+  def readManifest(txt: String): Map[Int, Seq[FileEntry]] = {
+    val v = JsonMini.parse(txt).asInstanceOf[Map[String, Any]]
+    v.get("buckets") match {
+      case Some(bs) => bs.asInstanceOf[Seq[Any]].map { ba =>
+        val b = ba.asInstanceOf[Map[String, Any]]
+        asInt(b("bucket")) -> b("files").asInstanceOf[Seq[Any]].map(parseFile)
+      }.toMap
+      case None => // v1 single-bucket manifest shape {"files":[...]}
+        v("files").asInstanceOf[Seq[Any]].map(parseFile).groupBy(_.bucket)
+    }
+  }
 
   def write(s: Snapshot): String = {
     // with manifest pointers the snapshot stores ONLY those; inline file
@@ -878,13 +896,19 @@ object SnapshotIO {
   def read(txt: String): Snapshot = read(txt,
     mp => throw new IllegalStateException(s"snapshot references manifest $mp but no loader was provided"))
 
-  /** parse + hydrate `files` from the per-bucket manifests via `load`
-    * (root-relative manifest path → manifest JSON text)
+  /** parse + hydrate `files` from the per-bucket manifest pointers via
+    * `load` (root-relative manifest path → manifest JSON text); each
+    * DISTINCT manifest file is read once
     */
   def read(txt: String, load: String => String): Snapshot = {
     val s = parse(txt)
     if (s.manifests.isEmpty) s
-    else s.copy(files = s.manifests.sortBy(_._1).flatMap(m => readManifest(load(m._2))))
+    else {
+      val byPath = s.manifests.map(_._2).distinct.map(p => p -> readManifest(load(p))).toMap
+      s.copy(files = s.manifests.sortBy(_._1).flatMap { case (b, p) =>
+        byPath(p).getOrElse(b, Nil)
+      })
+    }
   }
 
   // Minimal recursive-descent JSON parser (objects/arrays/strings/numbers).

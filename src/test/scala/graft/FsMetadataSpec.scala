@@ -114,19 +114,21 @@ class FsMetadataSpec extends SparkSpec {
       val metaDir = s"${t.root}/meta"
       def snapJson(v: Int) = t.fs.readString(s"$metaDir/snap-$v.json")
       def manifestsOf(v: Int) =
-        t.fs.listFiles(metaDir, n => n.startsWith(s"man-$v-") && n.endsWith(".json"))
+        t.fs.listFiles(metaDir, n => n == s"man-$v.json")
       val v1 = t.currentSnapshot().get.version
-      assert(manifestsOf(v1).size == 8, "first commit writes every bucket's manifest")
+      assert(manifestsOf(v1).size == 1, "a commit writes ONE manifest file")
       // data-file paths live in the manifests, NOT the snapshot JSON
       assert(!snapJson(v1).contains(".parquet"), snapJson(v1))
 
-      // single-key batch → exactly ONE bucket touched → exactly one new
-      // manifest; the other 7 pointers are reused from v1
+      // single-key batch → exactly ONE bucket touched → the new manifest
+      // carries just that bucket; the other 7 pointers are reused from v1
       t.merge(wal.where(col("lsn") === 2600), "m", 1L)
       val v2 = t.currentSnapshot().get.version
       assert(manifestsOf(v2).size == 1, s"expected 1 new manifest, got ${manifestsOf(v2)}")
       val snap = t.currentSnapshot().get
-      assert(snap.manifests.count(_._2.contains(s"man-$v1-")) == 7, snap.manifests.toString)
+      assert(snap.manifests.count(_._2 == s"meta/man-$v1.json") == 7, snap.manifests.toString)
+      assert(SnapshotIO.readManifest(t.fs.readString(s"${t.root}/meta/man-$v2.json")).size == 1,
+        "new manifest must carry only the touched bucket")
       // per-commit snapshot growth is pointer-sized, independent of the
       // table's file count
       assert(math.abs(snapJson(v2).length - snapJson(v1).length) < 200,
