@@ -69,6 +69,29 @@ object IoQueries {
       .orderBy("lang")
   }
 
+  /** S3 format auto-detect factory (the reference's suffix dispatch,
+    * data_loader.py:294-326): the SAME aggregation fed once by a
+    * suffix-dispatched parquet read and once by a directory-dispatched JSON
+    * read of a re-encoded fixture — a wrong dispatch or a lossy re-encode
+    * breaks the oracle, which aggregates both artifact sets itself.
+    */
+  def q43Autoload(s: SparkSession, dir: String): DataFrame = {
+    import graft.source.AutoLoader
+    val jsonDir = s"${CdcQueries.FixtureRoot}/events_json_${Fixtures.sfTag(dir)}"
+    val fsx = new graft.table.Fs(s.sessionState.newHadoopConf())
+    if (!fsx.exists(s"$jsonDir/_SUCCESS"))
+      T(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(jsonDir)
+    val parquet = AutoLoader.load(s, s"$dir/events.parquet") // file-suffix dispatch
+    val json = AutoLoader.load(s, jsonDir,                   // dir-listing dispatch
+      Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, value DOUBLE")))
+    parquet.groupBy("event_type").agg(count(lit(1)).as("n_parquet"))
+      .join(json.groupBy("event_type").agg(count(lit(1)).as("n_json"),
+        sum(cents(col("value"))).as("json_cents")), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   private def csvSrc =
     s"""read_csv('${CdcQueries.FixtureRoot}/events_csv_sf0.01/*.csv', delim=';', header=true,
        |  columns={'event_id':'BIGINT','user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE','ts_epoch':'BIGINT'})""".stripMargin
@@ -84,12 +107,23 @@ object IoQueries {
       SELECT lang, count(*) AS n,
              CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_toks,
              max(doc_id) AS max_doc
-      FROM documents GROUP BY 1 ORDER BY 1"""
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "q43_autoload" -> s"""
+      SELECT p.event_type, p.n_parquet, j.n_json, j.json_cents FROM
+        (SELECT event_type, count(*) AS n_parquet FROM events GROUP BY 1) p
+      JOIN
+        (SELECT event_type, count(*) AS n_json,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS json_cents
+         FROM read_json('${CdcQueries.FixtureRoot}/events_json_sf0.01/*.json',
+                        columns={'event_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'})
+         GROUP BY 1) j
+      USING (event_type) ORDER BY 1"""
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_csv_ingest" -> q32CsvIngest _,
     "q33_export" -> q33Export _,
-    "q37_json_cols" -> q37JsonCols _
+    "q37_json_cols" -> q37JsonCols _,
+    "q43_autoload" -> q43Autoload _
   )
 }
