@@ -218,8 +218,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * included), read against the LATEST schema — older files null-backfill
     * missing columns (additive schema evolution, SURVEY.md §1.3).
     */
-  private[graft] def readRaw(buckets: Option[Set[Int]] = None): DataFrame = {
-    currentSnapshot() match {
+  private[graft] def readRaw(buckets: Option[Set[Int]] = None): DataFrame =
+    readRawAt(currentSnapshot(), buckets)
+
+  private def readRawAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame = {
+    snap match {
       case None => emptyTable(StructType.fromDDL(graft.model.Schemas.repoRow.toDDL))
       case Some(s) =>
         val schema = StructType.fromDDL(s.schemaDdl)
@@ -258,13 +261,15 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * LSN-ordered dedup at read time; DeletionVector anti-joins the dead
     * positions out.
     */
-  def readResolved(buckets: Option[Set[Int]] = None): DataFrame = {
-    val raw = readRaw(buckets)
-    mode match {
+  def readResolved(buckets: Option[Set[Int]] = None): DataFrame =
+    readResolvedAt(currentSnapshot(), buckets)
+
+  private def readResolvedAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame = {
+    val raw = readRawAt(snap, buckets)
+    snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode) match {
       case ApplyMode.CopyOnWrite    => raw
       case ApplyMode.MergeOnRead    => latestPerKey(raw)
-      case ApplyMode.DeletionVector =>
-        applyDv(raw, currentSnapshot().map(_.dvFiles).getOrElse(Nil))
+      case ApplyMode.DeletionVector => applyDv(raw, snap.map(_.dvFiles).getOrElse(Nil))
     }
   }
 
@@ -293,7 +298,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val raw =
           if (files.isEmpty) emptyTable(schema)
           else spark.read.schema(schema).parquet(files.map(f => resolvePath(f.path)): _*)
-        val resolved = mode match {
+        val resolved = LakeTable.modeOf(s.mode) match {
           case ApplyMode.CopyOnWrite    => raw
           case ApplyMode.MergeOnRead    => latestPerKey(raw)
           case ApplyMode.DeletionVector => applyDv(raw, s.dvFiles)
@@ -336,8 +341,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * Returns the per-bucket ledger stats of the commit (empty if skipped).
     */
   def merge(events: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
-    if (committed(cpId, batchId)) return Seq.empty
+    // ONE snapshot load serves the exactly-once check and the whole apply —
+    // every load hydrates the manifest pointers, so redundant loads are
+    // per-commit metadata reads, not free getters
     val snap = currentSnapshot()
+    if (snap.exists(_.isCommitted(cpId, batchId))) return Seq.empty
     val version = snap.fold(0)(_.version) + 1
     val prev = snap.getOrElse(emptySnapshot)
     val mode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
@@ -366,9 +374,10 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // it would add a shuffle without removing bytes.
     val cleaned0 = clean(events)
     val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
+    val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     if (mode == ApplyMode.DeletionVector)
       return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows)
-    val incoming = cleaned.withColumn("b", bucketCol())
+    val incoming = cleaned.withColumn("b", bCol)
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
         // write-optimised: dedup within the batch only, append as delta.
@@ -380,8 +389,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // (bucket pruning) and union with the batch. Existing rows carry
         // their lsn, so the max-LSN guard (ignore events at or below a
         // key's applied lsn) falls out of the same latest-per-key resolve.
-        val a = events.select(bucketCol().as("b")).distinct().collect().map(_.getInt(0)).toSet
-        (readResolved(Some(a)).withColumn("b", bucketCol())
+        val a = events.select(bCol.as("b")).distinct().collect().map(_.getInt(0)).toSet
+        (readResolvedAt(snap, Some(a)).withColumn("b", bCol)
           .unionByName(incoming, allowMissingColumns = true), Some(a))
     }
 
@@ -467,8 +476,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
                       prev: Snapshot, version: Int, nBuckets: Int,
                       batchRows: Long, staleRows: Long): Seq[BucketStats] = {
     import org.apache.spark.sql.types.StructType
-    val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bucketCol())
-    val affected = events.select(bucketCol().as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
+    val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bCol)
+    val affected = events.select(bCol.as("b")).distinct().collect().map(_.getInt(0)).toSet
     val affFiles = prev.files.filter(f => affected(f.bucket))
 
     // live existing versions of the affected buckets: key + order columns
@@ -666,7 +676,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   /** Fold MergeOnRead deltas / DeletionVector sidecars down to a resolved
     * file set per bucket — the write-optimised paths' periodic compaction.
     */
-  def compact(): Unit = rewriteAll(nBuckets)
+  def compact(): Unit = rewriteAll(None)
 
   /** Bucket-count evolution: rewrite the whole table under a NEW key-hash
     * layout (a full-rewrite commit, like compact but re-keyed). The new
@@ -681,11 +691,13 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def rebucket(newBuckets: Int): Unit = {
     require(newBuckets > 0, s"rebucket: bucket count must be positive, got $newBuckets")
-    rewriteAll(newBuckets)
+    rewriteAll(Some(newBuckets))
   }
 
-  private def rewriteAll(newBuckets: Int): Unit = {
+  /** full-rewrite commit; None = keep the current bucket count (compact) */
+  private def rewriteAll(newBucketsOpt: Option[Int]): Unit = {
     val snap = currentSnapshot().getOrElse(return)
+    val newBuckets = newBucketsOpt.getOrElse(snap.nBuckets)
     val version = snap.version + 1
     val commitDir = s"$dataDir/c$version"
     // same single-shuffle resolve as merge: raw deltas → bucket partitions
@@ -694,7 +706,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // the dead positions are anti-joined away first; the window over the
     // already-unique keys is then a cheap pass-through.
     val source =
-      if (mode == ApplyMode.DeletionVector) applyDv(readRaw(), snap.dvFiles) else readRaw()
+      if (LakeTable.modeOf(snap.mode) == ApplyMode.DeletionVector)
+        applyDv(readRawAt(Some(snap), None), snap.dvFiles)
+      else readRawAt(Some(snap), None)
     val newB = pmod(xxhash64(col("repo"), col("path")), lit(newBuckets.toLong)).cast("int")
     bucketResolve(source.withColumn("b", newB), newBuckets)
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
