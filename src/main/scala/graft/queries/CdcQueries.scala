@@ -121,6 +121,84 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** K1 via the DSv2 WRITE path: the same 5-batch apply, but every batch
+    * goes through `df.write.format("graft")` (create-on-first-write, then
+    * appends) — the external writer surface must reproduce the native
+    * merge bit-for-bit, so it shares cdc_snapshot's row-for-row replay
+    * oracle. Derived columns are handed in NULL: the engine recomputes
+    * lang + contentSha (invariants are not trusted from writers).
+    */
+  def q44Dsv2Write(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val dirW = s"$LakeRoot/sm_w"
+    val t = new LakeTable(s, dirW, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t.currentSnapshot().exists(sn => sn.committedCount == smBatches && sn.hwm == smCfg.events)
+    if (!ok) {
+      deleteRec(dirW)
+      val wal = s.read.parquet(smWal)
+      val per = smCfg.events / smBatches
+      (0 until smBatches).foreach { i =>
+        wal.where(col("lsn").between(i * per + 1, (i + 1) * per))
+          .select(col("repo"), col("path"), col("commit"),
+            lit(null).cast("string").as("lang"), col("content"),
+            lit(null).cast("string").as("contentSha"), col("lsn"))
+          .write.format("graft")
+          .option("create", "true").option("buckets", smBuckets.toString)
+          .mode("append").save(dirW)
+      }
+    }
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** Filter-based delete through the SQL catalog (`DELETE FROM g.t WHERE`):
+    * tombstones applied via the merge path; final state must equal the
+    * replay oracle minus the deleted language.
+    */
+  def q45SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val dirT = s"$LakeRoot/sm_del"
+    val t = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t.currentSnapshot().exists(sn =>
+      sn.hwm == smCfg.events + 1 && sn.committed.contains("delete"))
+    if (!ok) {
+      deleteRec(dirT)
+      val fresh = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
+      val wal = s.read.parquet(smWal)
+      val per = smCfg.events / smBatches
+      (0 until smBatches).foreach { i =>
+        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smdel", i.toLong)
+      }
+      s.conf.set("spark.sql.catalog.gsm", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gsm.root", LakeRoot)
+      s.sql("DELETE FROM gsm.sm_del WHERE lang = 'python'")
+    }
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** S8 as a SOURCE: Structured-Streaming CDC tail of the un-compacted MOR
+    * lake (readStream.format("graft"), changeFeed). Delta files retain
+    * per-commit winners, so the full drained feed equals an independent
+    * replay that picks each key's winner PER 10k-lsn commit batch —
+    * including tombstones. Fresh checkpoint per call: the whole history
+    * drains in one AvailableNow run (deterministic output set).
+    */
+  def q46CdcTail(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_mor", "smmor")
+    val cp = java.nio.file.Files.createTempDirectory("q46cp").toString
+    val q = s.readStream.format("graft").option("changeFeed", "true").load(t.root)
+      .select(col("repo"), col("path"), col("lsn"), col("commit"), col("deleted"))
+      .writeStream.format("memory").queryName("q46_sink")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("q46_sink").orderBy("lsn", "repo", "path")
+  }
+
   /** publish-layer rollup over the snapshot (A1 over the lake). */
   def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
     smLake(s).read()
@@ -284,12 +362,24 @@ object CdcQueries {
       FROM $walSrc GROUP BY 1 ORDER BY 1""",
     "q30_dsv2" -> s"""
       SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n, max(lsn) AS max_lsn
-      FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1"""
+      FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1""",
+    // independent replay of the streaming tail: winner per (key, 10k-lsn
+    // commit batch), tombstones included
+    "q46_cdc_tail" -> s"""
+      SELECT repo, path, lsn, "commit", (op = 'D') AS deleted
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path, CAST((lsn - 1) // 10000 AS BIGINT)
+                   ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 ORDER BY lsn, repo, path"""
   ).pipe(m => m +
     ("cdc_snapshot_dv" -> m("cdc_snapshot")) + // DV apply, same replay oracle
     ("q39_dsv2_dv" -> m("cdc_snapshot")) +     // DSv2 over live DVs, same oracle
     ("q41_dsv2_mor" -> m("cdc_snapshot")) +   // DSv2 over un-compacted MOR, same oracle
-    ("q42_rebucket" -> m("cdc_snapshot")))     // layout evolution, same oracle
+    ("q42_rebucket" -> m("cdc_snapshot")) +    // layout evolution, same oracle
+    ("q44_dsv2_write" -> m("cdc_snapshot")) + // DSv2 write path, same oracle
+    ("q45_sql_delete" ->                       // replay minus the deleted language
+      s"""SELECT * FROM (${m("cdc_snapshot").replace("ORDER BY repo, path", "")})
+          WHERE lang <> 'python' ORDER BY repo, path"""))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot" -> cdcSnapshot _,
@@ -302,6 +392,9 @@ object CdcQueries {
     "q39_dsv2_dv" -> q39Dsv2Dv _,
     "q41_dsv2_mor" -> q41Dsv2Mor _,
     "q42_rebucket" -> q42Rebucket _,
+    "q44_dsv2_write" -> q44Dsv2Write _,
+    "q45_sql_delete" -> q45SqlDelete _,
+    "q46_cdc_tail" -> q46CdcTail _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

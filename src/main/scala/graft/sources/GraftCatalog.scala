@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.model.LangRules
+import graft.table.{Fs, LakeTable, Snapshot, SnapshotIO}
+
+/** Spark `TableCatalog` plugin over a directory of graft lake tables — the
+  * full SQL surface by NAME instead of by path (Spark has no path-based SQL
+  * for DSv2 sources):
+  *
+  * {{{ spark.sql.catalog.g       = graft.sources.GraftCatalog
+  *     spark.sql.catalog.g.root  = hdfs://.../warehouse
+  *
+  *     CREATE TABLE g.events (repo STRING, path STRING, commit STRING,
+  *       lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+  *       TBLPROPERTIES ('mode' = 'mor', 'buckets' = '64')
+  *     INSERT INTO g.events SELECT ...          -- upsert-apply (GraftWrite)
+  *     DELETE FROM g.events WHERE lang = 'C'    -- filter delete (DVs in dv mode)
+  *     SELECT * FROM g.events VERSION AS OF 3   -- time travel
+  *     SHOW TABLES IN g / DROP TABLE / ALTER TABLE ... RENAME }}}
+  *
+  * Shares the on-disk layout of `graft.table.Catalog` (one directory per
+  * table + `table.properties.json`), so programmatic and SQL users see the
+  * same warehouse. One optional namespace level maps to a subdirectory.
+  * Renames are a single directory move — snapshots store root-relative
+  * paths, so a moved table is immediately consistent.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private def fs = new Fs(SparkSession.active.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.root"))
+  }
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String = {
+    require(ident.namespace.length <= 1,
+      s"graft catalog: at most one namespace level, got ${ident.namespace.mkString(".")}")
+    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  }
+  private def propsPath(dir: String) = s"$dir/table.properties.json"
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = (root +: namespace.toSeq).mkString("/")
+    if (!fs.exists(base)) Array.empty
+    else fs.listDirs(base)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName)
+      .filter(n => fs.exists(s"$base/$n/meta/VERSION") || fs.exists(propsPath(s"$base/$n")))
+      .sorted
+      .map(n => Identifier.of(namespace, n))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    fs.exists(s"$dir/meta/VERSION") || fs.exists(propsPath(dir))
+  }
+
+  private def loadSnap(dir: String, version: Option[String]): Snapshot = {
+    val f = fs
+    def load(p: String) = SnapshotIO.read(f.readString(p), mp => f.readString(s"$dir/$mp"))
+    version match {
+      case Some(v) =>
+        val p = s"$dir/meta/snap-$v.json"
+        require(f.exists(p), s"graft: snapshot $v of $dir expired or never existed")
+        load(p)
+      case None =>
+        load(s"$dir/meta/snap-${f.readString(s"$dir/meta/VERSION").trim.toInt}.json")
+    }
+  }
+
+  private def publicSchema(snap: Snapshot): StructType =
+    StructType(StructType.fromDDL(snap.schemaDdl).fields
+      .filterNot(_.name == "deleted").map(_.copy(nullable = true)))
+
+  private def loadAt(ident: Identifier, version: Option[String]): Table = {
+    val dir = dirOf(ident)
+    if (!fs.exists(s"$dir/meta/VERSION")) throw new NoSuchTableException(ident)
+    val snap = loadSnap(dir, version)
+    new GraftTable((dir, snap), publicSchema(snap))
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+  /** SQL `VERSION AS OF n` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version))
+
+  /** CREATE TABLE (and the create half of CTAS). The engine's row model is
+    * fixed at its CDC core — the declared schema must carry the key/order/
+    * payload columns; extra payload columns ride along via additive schema
+    * evolution. Layout comes from TBLPROPERTIES ('mode', 'buckets').
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables are hash-bucketed by (repo, path); PARTITIONED BY is not supported")
+    val core = Seq("repo", "path", "commit", "content", "lsn")
+    val missing = core.filterNot(c => schema.fieldNames.map(_.toLowerCase).contains(c))
+    require(missing.isEmpty,
+      s"graft tables need the CDC core columns ${core.mkString(", ")}; missing: ${missing.mkString(", ")}")
+    val mode = Option(properties.get("mode")).getOrElse("cow")
+    require(Seq("cow", "mor", "dv").contains(mode), s"unknown apply mode '$mode'")
+    val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(32)
+    val dir = dirOf(ident)
+    // properties file in graft.table.Catalog's format (shared warehouse)
+    fs.atomicWrite(propsPath(dir),
+      s"""{"name":"${ident.name}","nBuckets":$buckets,"mode":"$mode","rulesVersion":"${LangRules.version}","format":"graft-lake-v1"}""")
+    // empty version-1 snapshot so the table is immediately readable; the
+    // internal `deleted` flag joins the stored schema
+    val stored = if (schema.fieldNames.contains("deleted")) schema
+      else StructType(schema.fields :+ StructField("deleted", BooleanType, nullable = false))
+    val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode)
+    fs.atomicWrite(s"$dir/meta/snap-1.json", SnapshotIO.write(snap))
+    fs.atomicWrite(s"$dir/meta/VERSION", "1")
+    new GraftTable((dir, snap), publicSchema(snap))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft: schema evolves additively from writes; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident)) false else fs.deleteRecursive(dir)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
+      s"graft: rename ${oldIdent.name} -> ${newIdent.name} failed")
+  }
+}

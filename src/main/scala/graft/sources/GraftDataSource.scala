@@ -86,17 +86,36 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             load(p)
           case None =>
             val vf = s"$root/meta/VERSION"
-            require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
-            load(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json")
+            if (!fs.exists(vf) && options.getBoolean("create", false)) {
+              // create-on-first-write: expose an empty table of the engine's
+              // row schema; the first committed write materialises version 1
+              // with the layout from the `mode`/`buckets` options
+              val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(32)
+              val mode = Option(options.get("mode")).getOrElse("cow")
+              Snapshot(0, graft.model.Schemas.repoRow.toDDL, buckets,
+                Seq.empty, Map.empty, 0L, 0L, mode)
+            } else {
+              require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
+              load(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json")
+            }
         }
         cached = Some((key, (root, snap)))
         (root, snap)
     }
   }
 
+  /** Table schema = snapshot schema minus `deleted`, ALL-NULLABLE: reads
+    * only get laxer, and V2 write analysis would otherwise reject inserting
+    * any nullable expression into the non-null key columns (row-level
+    * integrity is enforced by the merge path itself, not by the planner).
+    * With `changeFeed=true` (the streaming CDC tail) `deleted` stays in the
+    * schema — tombstones are part of a change feed.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (_, snap) = loadSnapshot(options)
-    StructType(StructType.fromDDL(snap.schemaDdl).fields.filterNot(_.name == "deleted"))
+    val keepDeleted = options.getBoolean("changeFeed", false)
+    StructType(StructType.fromDDL(snap.schemaDdl).fields
+      .filter(f => keepDeleted || f.name != "deleted").map(_.copy(nullable = true)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -107,18 +126,42 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft:${rootSnap._1}@v${rootSnap._2.version}"
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // BATCH_WRITE routes DataFrameWriter.save into the V2 write plan;
+    // V1_BATCH_WRITE tells the planner the Write resolves via V1Write
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    import scala.jdk.CollectionConverters._
     new GraftScanBuilder(rootSnap._1, rootSnap._2, schema,
-      options.getBoolean("vectorized", true))
+      options.getBoolean("vectorized", true),
+      options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(rootSnap._1, info)
+
+  /** SQL `DELETE FROM graft.` + WHERE — tombstones through the merge path
+    * (positional deletion vectors in dv mode; see LakeTable.deleteWhere).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftWrite.filterColumn(_).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftWrite.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    new graft.table.LakeTable(SparkSession.active, rootSnap._1).deleteWhere(cond)
+  }
 }
 
 final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructType,
-                             vectorized: Boolean)
+                             vectorized: Boolean, options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -151,11 +194,13 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized)
+    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized, options)
 }
 
 final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
-                      lsnLo: Long, lsnHi: Long, vectorized: Boolean) extends Scan with Batch {
+                      lsnLo: Long, lsnHi: Long, vectorized: Boolean,
+                      options: Map[String, String] = Map.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   // snapshot-stored paths are root-relative (relocatable tables)
   private def resolve(p: String): String = if (p.startsWith("data/")) s"$root/$p" else p
   override def readSchema(): StructType = required
@@ -180,6 +225,24 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     val total = snap.files.size
     s"graft v${snap.version} files=${liveFiles.size}/$total dvFiles=${snap.dvFiles.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+  }
+
+  /** Post-pushdown stats from snapshot metadata only (no file IO): row
+    * count = stored rows of the files surviving the lsn skip, minus
+    * DV-dead positions — an upper bound under a residual filter, exactly
+    * what Catalyst expects from a scan estimate. Feeds join-strategy
+    * choices (broadcast thresholds) for external SQL over the source; the
+    * engine's analogue of the reference's ANALYZE-backed planner stats
+    * (docs/database.md:374-381).
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows = math.max(0L, liveFiles.map(_.rows).sum - snap.dvRows)
+    val width = required.fields.map(_.dataType.defaultSize + 8).sum.toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * math.max(width, 1L))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
   }
 
   // columnar (vectorized) vs row readers can differ per partition:
@@ -217,6 +280,13 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
       SparkSession.active.sessionState.newHadoopConf())
     new GraftReaderFactory(required, conf, vectorized)
   }
+
+  /** `spark.readStream.format("graft")` — the incremental CDC tail over
+    * this table (see GraftMicroBatchStream).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, required, options)
 }
 
 object GraftScan {
@@ -236,12 +306,14 @@ object GraftScan {
   /** EXECUTOR-side load of one file's dead positions from its bucket's DV
     * sidecars: scan the sidecars (small — bounded by the table's
     * dv-fraction compaction policy) keeping only rows whose file_path is
-    * this reader's file.
+    * this reader's file. Returned SORTED: scans consume file ordinals in
+    * ascending order, so membership is a monotone pointer walk — no boxing,
+    * no hashing in the per-row hot path.
     */
   def deadPositionsFor(dataFile: String, sidecars: Seq[String],
-                       conf: Configuration): java.util.HashSet[java.lang.Long] = {
+                       conf: Configuration): Array[Long] = {
     val mine = relPath(dataFile)
-    val out = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
     sidecars.foreach { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
@@ -254,14 +326,16 @@ object GraftScan {
           var i = 0L
           while (i < pages.getRowCount) {
             val g = rr.read()
-            if (relPath(g.getString("file_path", 0)) == mine) out.add(g.getLong("row_index", 0))
+            if (relPath(g.getString("file_path", 0)) == mine) out += g.getLong("row_index", 0)
             i += 1
           }
           pages = reader.readNextRowGroup()
         }
       } finally reader.close()
     }
-    out
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
   }
 }
 
@@ -278,6 +352,7 @@ final class GraftReaderFactory(required: StructType, conf: SerializableConfigura
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     vectorized && !partition.asInstanceOf[GraftInputPartition].resolveLatest &&
+      !required.fieldNames.contains("deleted") && // changeFeed reads take the row path
       required.fields.forall(f => GraftColumnarReader.supportedType(f.dataType))
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -365,19 +440,23 @@ private[sources] final class GroupRowCursor(path: String, fields: Array[StructFi
   * file position is marked dead by a deletion vector.
   */
 final class GraftPartitionReader(path: String, required: StructType, conf: Configuration,
-                                 dead: java.util.HashSet[java.lang.Long])
+                                 dead: Array[Long])
     extends PartitionReader[InternalRow] {
 
   private val ext: Array[StructField] =
-    required.fields :+ StructField("deleted", BooleanType)
+    if (required.fieldNames.contains("deleted")) required.fields
+    else required.fields :+ StructField("deleted", BooleanType)
   private val cursor = new GroupRowCursor(path, ext, conf)
-  private val deletedIdx = required.length
+  private val deletedIdx = ext.indexWhere(_.name == "deleted")
   private var current: InternalRow = _
+  private var dp = 0 // monotone cursor into the sorted dead positions
 
   override def next(): Boolean = {
     while (cursor.advance()) {
       val del = cursor.values(deletedIdx)
-      if (!dead.contains(cursor.ordinal) && (del == null || del == false)) {
+      while (dp < dead.length && dead(dp) < cursor.ordinal) dp += 1
+      val dvDead = dp < dead.length && dead(dp) == cursor.ordinal
+      if (!dvDead && (del == null || del == false)) {
         current = new GenericInternalRow(java.util.Arrays.copyOfRange(
           cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
         return true
@@ -472,7 +551,7 @@ object GraftColumnarReader {
   * from the vectorized reader itself.
   */
 final class GraftColumnarReader(path: String, required: StructType, conf: Configuration,
-                                dead: java.util.HashSet[java.lang.Long])
+                                dead: Array[Long])
     extends PartitionReader[ColumnarBatch] {
   import org.apache.hadoop.mapred.FileSplit
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -510,6 +589,7 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
   }
 
   private var base = 0L // file ordinal of the current batch's first row
+  private var dp = 0    // monotone cursor into the sorted dead positions
   private var current: ColumnarBatch = _
 
   // zero-copy pass-through wrapper over the reader's own vectors, pruned to
@@ -525,11 +605,13 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
       val rb = vreader.resultBatch()
       val n = rb.numRows()
       val delVec = rb.column(deletedIdx)
-      // find dead rows (tombstones or DV positions) in this batch
-      var anyDead = false
+      // find dead rows (tombstones or DV positions) in this batch; the DV
+      // side is an O(1) range probe on the sorted positions
+      while (dp < dead.length && dead(dp) < base) dp += 1
+      var anyDead = dp < dead.length && dead(dp) < base + n
       var i = 0
       while (i < n && !anyDead) {
-        anyDead = (!delVec.isNullAt(i) && delVec.getBoolean(i)) || dead.contains(base + i)
+        anyDead = !delVec.isNullAt(i) && delVec.getBoolean(i)
         i += 1
       }
       if (!anyDead) {
@@ -549,9 +631,12 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
       }
       outVectors.foreach(_.reset())
       var out = 0
+      var p = dp // local walk; dp itself re-syncs from `base` next batch
       i = 0
       while (i < n) {
-        val isDead = (!delVec.isNullAt(i) && delVec.getBoolean(i)) || dead.contains(base + i)
+        while (p < dead.length && dead(p) < base + i) p += 1
+        val isDead = (p < dead.length && dead(p) == base + i) ||
+          (!delVec.isNullAt(i) && delVec.getBoolean(i))
         if (!isDead) {
           var c = 0
           while (c < required.length) {

@@ -104,4 +104,12 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
     val p = new Path(path)
     fs(p).setTimes(p, mtimeMs, -1L)
   }
+
+  /** directory move within one filesystem (table rename — tables are
+    * relocatable: snapshots store root-relative paths)
+    */
+  def rename(src: String, dst: String): Boolean = {
+    val s = new Path(src)
+    fs(s).rename(s, new Path(dst))
+  }
 }

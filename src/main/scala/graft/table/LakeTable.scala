@@ -193,8 +193,23 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val prevMan = prev.manifests.toMap
     val prevBy = prev.files.groupBy(_.bucket)
     val newBy = s.files.groupBy(_.bucket)
-    val changed = newBy.filter { case (b, fl) =>
+    val changed0 = newBy.filter { case (b, fl) =>
       !(prevMan.contains(b) && prevBy.get(b).contains(fl))
+    }
+    // Metadata-only manifest compaction: manifests otherwise accumulate one
+    // per commit until the next full rewrite, and every snapshot LOAD reads
+    // each distinct manifest (N commits -> N metadata round-trips — painful
+    // on object stores). When this commit would leave more than `threshold`
+    // distinct manifests, fold ALL buckets into this commit's single
+    // manifest instead: one O(files-in-table) metadata write every
+    // `threshold` commits buys O(threshold)-bounded hydration reads, and no
+    // data file moves.
+    val changed = {
+      val threshold = spark.conf.getOption("spark.graft.manifest.compactThreshold")
+        .map(_.toInt).getOrElse(16)
+      // kept buckets always have a prev pointer (pointer-less buckets are in changed0)
+      val keptPtrs = newBy.keysIterator.filterNot(changed0.contains).map(prevMan).toSet
+      if (changed0.nonEmpty && keptPtrs.size + 1 > threshold) newBy else changed0
     }
     val manifests =
       if (changed.isEmpty) newBy.keys.toSeq.sorted.map(b => b -> prevMan(b))
@@ -737,6 +752,39 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         else false
       case ApplyMode.CopyOnWrite => false
     }
+  }
+
+  /** Truncate: a metadata-only commit with an EMPTY file set (no data IO —
+    * old files stay until `expireSnapshots` reclaims them, so time travel
+    * to pre-truncate snapshots still works). Schema, layout, apply mode,
+    * commit progress and the LSN high watermark all survive: a truncated
+    * table keeps its identity and its exactly-once/monotonic-LSN contracts,
+    * only the row set restarts from zero. Backs the DSv2 write path's
+    * `overwrite` mode.
+    */
+  def truncate(): Unit = {
+    val snap = currentSnapshot().getOrElse(return)
+    commitSnapshot(snap.copy(version = snap.version + 1, files = Nil,
+      dvFiles = Nil, dvRows = 0L, totalRows = 0L), snap)
+  }
+
+  /** Filter-based delete: tombstone every live row matching `cond`, applied
+    * through the ordinary merge path (one op='D' event per victim at
+    * `hwm + 1`, so the deletes win every per-key resolve and replays stay
+    * order-robust). DV-mode tables get positional deletion vectors — a
+    * large DELETE writes O(victims), never a bucket rewrite. Backs the DSv2
+    * `SupportsDelete` surface (SQL `DELETE FROM graft.` + WHERE).
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
+    val snap = currentSnapshot().getOrElse(return)
+    val delLsn = snap.hwm + 1
+    val events = read().where(cond).select(
+      lit(delLsn).as("lsn"), lit("D").as("op"), col("repo"), col("path"),
+      lit(s"delete-v${snap.version + 1}").as("commit"),
+      lit(null).cast("string").as("content"))
+    // batchId = snapshot version: monotonic per call (every merge bumps the
+    // version), so repeated deletes never collide with the exactly-once set
+    merge(events, "delete", snap.version.toLong)
   }
 
   /** Snapshot expiry: keep the latest `keep` snapshots; delete older

@@ -139,6 +139,28 @@ class FsMetadataSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("manifest auto-fold bounds distinct manifests (metadata-only compaction)") {
+    val t = new LakeTable(spark, tmpDir("manifold"), defaultBuckets = 8, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      t.merge(wal.where(col("lsn") <= 2000), "f", 0L)
+      // 30 narrow commits: without folding the snapshot would reference ~31
+      // distinct manifests; the fold must keep hydration reads bounded by
+      // the threshold, with NO data file rewritten
+      (1 to 30).foreach { i =>
+        t.merge(wal.where(col("lsn") === 2000 + i * 20), "f", i.toLong)
+      }
+      val snap = t.currentSnapshot().get
+      val distinct = snap.manifests.map(_._2).distinct.size
+      assert(distinct <= 16, s"expected <= 16 distinct manifests after fold, got $distinct")
+      // folding is metadata-only: delta stack still un-compacted
+      assert(snap.files.groupBy(_.bucket).values.map(_.size).max > 1)
+      // hydrated state still exact
+      assert(snap.files.map(_.rows).sum == snap.totalRows)
+      assert(t.read().count() > 0)
+    } finally wal.unpersist()
+  }
+
   test("snapshot metadata is O(1) in committed batch count") {
     val base = Snapshot(1, "a BIGINT", 4, Seq.empty, Map.empty, 0L, 0L, "mor")
     val grown = (0 until 1000).foldLeft(base) { (s, i) =>

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.table.{ApplyMode, LakeTable}
+
+/** graft tables as a Structured Streaming SOURCE: the CDC tail delivers
+  * per-commit winners by LSN range, resumes exactly from its checkpoint,
+  * honours admission control, and hides tombstones unless changeFeed.
+  */
+class GraftStreamSourceSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 55, events = 3000, repos = 8, filesPerRepo = 10)
+  val batches = 3
+  val per: Long = cfg.events / batches
+
+  private def buildMor(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("tail"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "tail", i.toLong)
+    }
+    t
+  }
+
+  /** per-(key, commit-batch) winners of the WAL — what a mor tail delivers */
+  private def expectedFeed(includeDeletes: Boolean): Set[(String, String, Long)] = {
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val w = Window.partitionBy(col("repo"), col("path"),
+        ((col("lsn") - 1) / per).cast("long"))
+      .orderBy(col("lsn").desc, col("commit").desc)
+    val winners = wal.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val kept = if (includeDeletes) winners else winners.where(col("op") =!= "D")
+    kept.select("repo", "path", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  private def got(df: DataFrame): Set[(String, String, Long)] =
+    df.select("repo", "path", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  private def runToMemory(root: String, name: String, opts: Map[String, String]): DataFrame = {
+    val reader = spark.readStream.format("graft")
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir(s"cp$name"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("changeFeed tail of a mor lake = per-commit winners incl. tombstones") {
+    val t = buildMor()
+    val out = runToMemory(t.root, "tail_cf", Map("changeFeed" -> "true"))
+    assert(out.columns.contains("deleted"), "changeFeed must expose the tombstone flag")
+    assert(got(out) == expectedFeed(includeDeletes = true))
+    // tombstones are real delete events
+    assert(out.where(col("deleted")).count() > 0)
+  }
+
+  test("default tail is upsert-only (tombstones dropped, no deleted column)") {
+    val t = buildMor()
+    val out = runToMemory(t.root, "tail_up", Map.empty)
+    assert(!out.columns.contains("deleted"))
+    assert(got(out) == expectedFeed(includeDeletes = false))
+  }
+
+  test("checkpoint resume: a restarted tail delivers ONLY the new commits") {
+    val t = buildMor()
+    val cp = tmpDir("cpresume")
+    val outDir = tmpDir("tailout")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("changeFeed", "true").load(t.root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == expectedFeed(includeDeletes = true).size)
+    // nothing new: a rerun appends zero rows (exactly-once on the tail)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == n1)
+    // one more commit: only its winners arrive
+    val extra = ChangeLogGen.changeLog(spark, cfg.copy(events = cfg.events + 500))
+      .where(col("lsn") > cfg.events)
+    t.merge(extra, "tail", batches.toLong)
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() > n1)
+    assert(all.where(col("lsn") <= cfg.events).count() == n1,
+      "old ranges must not be re-delivered")
+  }
+
+  test("admission control: maxLsnsPerTrigger splits the backlog, same result") {
+    val t = buildMor()
+    val out = runToMemory(t.root, "tail_rate",
+      Map("changeFeed" -> "true", "maxLsnsPerTrigger" -> "700"))
+    assert(got(out) == expectedFeed(includeDeletes = true))
+  }
+
+  test("startLsn skips the history below the cursor") {
+    val t = buildMor()
+    val out = runToMemory(t.root, "tail_start",
+      Map("changeFeed" -> "true", "startLsn" -> per.toString))
+    val exp = expectedFeed(includeDeletes = true).filter(_._3 > per)
+    assert(got(out) == exp)
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.table.{ApplyMode, LakeTable}
+
+/** DSv2 write path: INSERT is an upsert-apply through the merge pipeline,
+  * NULL content is a tombstone (Kafka log-compaction convention), derived
+  * columns are recomputed, overwrite truncates, DELETE FROM goes through
+  * the filter-delete surface, and every mode (cow/mor/dv) serves the same
+  * final state.
+  */
+class GraftWriteSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 77, events = 3000, repos = 10, filesPerRepo = 12)
+
+  /** WAL events in the table-schema shape a DSv2 writer presents (derived
+    * columns deliberately wrong/null — the engine must recompute them;
+    * deletes arrive as null content, same as the WAL itself encodes them).
+    */
+  private def tableShape(events: DataFrame): DataFrame =
+    events.select(
+      col("repo"), col("path"), col("commit"),
+      lit("WRONG").as("lang"), col("content"),
+      lit("untrusted").as("contentSha"), col("lsn"))
+
+  private def stateOf(t: LakeTable): Seq[Seq[Any]] =
+    collectSorted(t.read().select("repo", "path", "commit", "lang", "contentSha", "lsn"))
+
+  /** reference state: the same WAL applied through the native merge path */
+  private def referenceState(): Seq[Seq[Any]] = {
+    val t = new LakeTable(spark, tmpDir("wref"), 4, ApplyMode.CopyOnWrite)
+    t.merge(ChangeLogGen.changeLog(spark, cfg), "ref", 0L)
+    stateOf(t)
+  }
+
+  test("append via DSv2 == merge; create-on-first-write; invariants recomputed") {
+    val dir = tmpDir("wcreate")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal.where(col("lsn") <= 1500))
+      .write.format("graft").option("create", "true").option("buckets", "4")
+      .mode("append").save(dir)
+    tableShape(wal.where(col("lsn") > 1500))
+      .write.format("graft").mode("append").save(dir)
+    val t = new LakeTable(spark, dir)
+    assert(t.currentSnapshot().get.version == 2)
+    assert(stateOf(t) == referenceState(),
+      "DSv2 two-batch append must equal the native one-batch merge")
+    // derived invariants recomputed, not trusted from the writer
+    assert(t.read().where(col("lang") === "WRONG").isEmpty)
+    assert(t.read().where(col("contentSha") === "untrusted").isEmpty)
+  }
+
+  test("null content tombstones a live key (Kafka-compaction convention)") {
+    val dir = tmpDir("wtomb")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal).write.format("graft").option("create", "true").option("buckets", "4")
+      .mode("append").save(dir)
+    val t = new LakeTable(spark, dir)
+    val victim = t.read().select("repo", "path").orderBy("repo", "path").head()
+    val before = t.read().count()
+    import spark.implicits._
+    Seq((victim.getString(0), victim.getString(1), "tomb-commit",
+        null: String, null: String, null: String, cfg.events + 1))
+      .toDF("repo", "path", "commit", "lang", "content", "contentSha", "lsn")
+      .write.format("graft").mode("append").save(dir)
+    assert(t.read().count() == before - 1)
+    assert(t.read().where(col("repo") === victim.getString(0) &&
+      col("path") === victim.getString(1)).isEmpty)
+  }
+
+  test("overwrite truncates then applies; old snapshots still travel") {
+    val dir = tmpDir("wover")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal).write.format("graft").option("create", "true").option("buckets", "4")
+      .mode("append").save(dir)
+    val t = new LakeTable(spark, dir)
+    val v1rows = t.read().count()
+    val keep = tableShape(wal.where(col("lsn") <= 100))
+    keep.write.format("graft").mode("overwrite").save(dir)
+    val after = t.read()
+    assert(after.count() < v1rows)
+    // only lsn <= 100 winners survive
+    assert(after.where(col("lsn") > 100).isEmpty)
+    // pre-overwrite snapshot still readable (truncate moved no data)
+    assert(t.readAt(1).count() == v1rows)
+  }
+
+  /** register a GraftCatalog over a fresh warehouse dir, return (catalog, dir) */
+  private def catalog(tag: String): (String, String) = {
+    val warehouse = tmpDir(tag)
+    val cat = s"gcat$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    (cat, warehouse)
+  }
+
+  test("SQL catalog: CREATE TABLE, INSERT INTO, DELETE FROM, SHOW, VERSION AS OF") {
+    val (cat, warehouse) = catalog("wsql")
+    spark.sql(s"""CREATE TABLE $cat.events (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+      TBLPROPERTIES ('mode' = 'cow', 'buckets' = '4')""")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).contains("events"))
+
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal.where(col("lsn") <= 2000)).createOrReplaceTempView("head_events")
+    tableShape(wal.where(col("lsn") > 2000)).createOrReplaceTempView("tail_events")
+    spark.sql(s"INSERT INTO $cat.events SELECT * FROM head_events")
+    spark.sql(s"INSERT INTO $cat.events SELECT * FROM tail_events")
+    val t = new LakeTable(spark, s"$warehouse/events")
+    assert(stateOf(t) == referenceState(), "SQL INSERT tail must equal the native merge")
+
+    val victimLang = t.read().groupBy("lang").count().orderBy(desc("count"))
+      .head().getString(0)
+    val java = t.read().where(col("lang") === victimLang).count()
+    assert(java > 0)
+    spark.sql(s"DELETE FROM $cat.events WHERE lang = '$victimLang'")
+    assert(t.read().where(col("lang") === victimLang).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.events").head().getLong(0)
+      == referenceState().size - java)
+    // time travel: before the delete, the Java rows were live
+    assert(spark.sql(s"SELECT count(*) FROM $cat.events VERSION AS OF 3").head().getLong(0)
+      == referenceState().size)
+    // rename is a metadata move; the table stays readable
+    spark.sql(s"ALTER TABLE $cat.events RENAME TO events2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.events2").head().getLong(0)
+      == referenceState().size - java)
+    spark.sql(s"DROP TABLE $cat.events2")
+    assert(spark.sql(s"SHOW TABLES IN $cat").isEmpty)
+  }
+
+  test("delete on a dv-mode table writes deletion vectors, no bucket rewrite") {
+    val (cat, warehouse) = catalog("wdvdel")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val dir = s"$warehouse/dvt"
+    tableShape(wal).write.format("graft")
+      .option("create", "true").option("mode", "dv").option("buckets", "4")
+      .mode("append").save(dir)
+    val t = new LakeTable(spark, dir)
+    assert(LakeTable.modeOf(t.currentSnapshot().get.mode) == ApplyMode.DeletionVector)
+    val beforeFiles = t.currentSnapshot().get.files.map(_.path).toSet
+    val victimLang = t.read().groupBy("lang").count().orderBy(desc("count"))
+      .head().getString(0)
+    spark.sql(s"DELETE FROM $cat.dvt WHERE lang = '$victimLang'")
+    val snap = t.currentSnapshot().get
+    assert(snap.dvRows > 0, "dv-mode delete must mark positions, not rewrite")
+    assert(beforeFiles.subsetOf(snap.files.map(_.path).toSet),
+      "dv-mode delete must keep all existing data files")
+    assert(t.read().where(col("lang") === victimLang).isEmpty)
+    // DSv2 read serves the DVs too
+    assert(spark.read.format("graft").load(dir).where(col("lang") === victimLang).isEmpty)
+  }
+
+  test("CTAS through the catalog applies the merge semantics") {
+    val (cat, warehouse) = catalog("wctas")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal).createOrReplaceTempView("ctas_events")
+    spark.sql(s"""CREATE TABLE $cat.snap TBLPROPERTIES ('mode' = 'mor', 'buckets' = '4')
+      AS SELECT * FROM ctas_events""")
+    assert(stateOf(new LakeTable(spark, s"$warehouse/snap")) == referenceState())
+  }
+
+  test("mor-mode DSv2 writes append deltas; compaction converges") {
+    val dir = tmpDir("wmor")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until 3).foreach { i =>
+      tableShape(wal.where(pmod(col("lsn"), lit(3)) === i))
+        .write.format("graft").option("create", "true").option("mode", "mor")
+        .option("buckets", "4").mode("append").save(dir)
+    }
+    val t = new LakeTable(spark, dir)
+    val stacked = t.currentSnapshot().get.files.groupBy(_.bucket).values.map(_.size).max
+    assert(stacked > 1, "mor writes must stack deltas")
+    assert(stateOf(t) == referenceState())
+    t.compact()
+    assert(stateOf(t) == referenceState())
+  }
+
+  test("writer requires an existing table unless create=true") {
+    val dir = tmpDir("wmissing")
+    val df = tableShape(ChangeLogGen.changeLog(spark, cfg)).limit(1)
+    val e = intercept[Exception] {
+      df.write.format("graft").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("no table at"), e.getMessage)
+  }
+}
