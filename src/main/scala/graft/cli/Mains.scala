@@ -97,3 +97,31 @@ object ReplayMain {
     spark.stop()
   }
 }
+
+/** Tail a lake table's change feed downstream — the streaming SOURCE side
+  * of the engine (readStream.format("graft")): drains everything available,
+  * mirrors the feed into a parquet sink, prints progress. Re-running with
+  * the same checkpoint delivers only commits that landed in between.
+  * Args: tableDir outDir checkpointDir [startLsn] [maxLsnsPerTrigger]
+  */
+object TailMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: TailMain <tableDir> <outDir> <checkpointDir> [startLsn] [maxLsnsPerTrigger]")
+    val tableDir = args(0); val outDir = args(1); val cpDir = args(2)
+    val startLsn = if (args.length > 3) args(3).toLong else 0L
+    val maxPer = if (args.length > 4) Some(args(4).toLong) else None
+    val spark = Cli.session("graft-tail")
+    val reader = spark.readStream.format("graft")
+      .option("changeFeed", "true").option("startLsn", startLsn.toString)
+    maxPer.foreach(n => reader.option("maxLsnsPerTrigger", n.toString))
+    val q = reader.load(tableDir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    println(s"[tail] table=$tableDir rows=${out.count()} deletes=${out.where(org.apache.spark.sql.functions.col("deleted")).count()} maxLsn=${out.agg(org.apache.spark.sql.functions.max("lsn")).head.getLong(0)} batchesThisRun=$batches")
+    spark.stop()
+  }
+}
