@@ -540,14 +540,52 @@ object GraftColumnarReader {
   }
 }
 
+/** Zero-copy SELECTION view over a decoded vector: row `i` of the view is
+  * row `sel(i)` of the source. Serving a batch with dead rows (tombstones /
+  * DV hits) costs one int per live row instead of re-copying every value —
+  * for string columns that removes the whole byte-copy (the round-3
+  * "selection-mask instead of copy" item). The source vectors live until
+  * the reader's next batch, which is exactly the lifetime of the view
+  * (same contract as the all-live pass-through).
+  */
+private[sources] final class SelectedColumnVector(dt: org.apache.spark.sql.types.DataType)
+    extends ColumnVector(dt) {
+  var src: ColumnVector = _
+  var sel: Array[Int] = _
+  override def close(): Unit = ()
+  // conservative: a selection can only drop nulls, and consumers guard
+  // per-row isNullAt behind hasNull
+  override def hasNull: Boolean = src.hasNull
+  override def numNulls(): Int = src.numNulls()
+  override def isNullAt(i: Int): Boolean = src.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = src.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = src.getByte(sel(i))
+  override def getShort(i: Int): Short = src.getShort(sel(i))
+  override def getInt(i: Int): Int = src.getInt(sel(i))
+  override def getLong(i: Int): Long = src.getLong(sel(i))
+  override def getFloat(i: Int): Float = src.getFloat(sel(i))
+  override def getDouble(i: Int): Double = src.getDouble(sel(i))
+  override def getUTF8String(i: Int): UTF8String = src.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = src.getBinary(sel(i))
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    src.getDecimal(sel(i), p, s)
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException("graft scan: nested types not supported")
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException("graft scan: nested types not supported")
+  override def getChild(i: Int): ColumnVector =
+    throw new UnsupportedOperationException("graft scan: nested types not supported")
+}
+
 /** Vectorized single-file reader: Spark's own `VectorizedParquetRecordReader`
   * decodes straight into `ColumnarBatch`es (the same codegen-friendly path
   * `spark.read.parquet` uses — the reference's vectorisation goal,
   * docs/data_layers.md:352-354). Tombstones (`deleted = true`) and DV dead
   * positions are applied per batch: an all-live batch is passed through
   * zero-copy (just re-wrapped to the pruned column set); a batch with dead
-  * rows is compacted into on-heap output vectors. Missing columns (files
-  * that predate an additive schema evolution) come back as all-null vectors
+  * rows is served through a zero-copy SELECTION view (`SelectedColumnVector`
+  * remaps row indices — no value bytes move). Missing columns (files that
+  * predate an additive schema evolution) come back as all-null vectors
   * from the vectorized reader itself.
   */
 final class GraftColumnarReader(path: String, required: StructType, conf: Configuration,
@@ -557,7 +595,6 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, JobID, TaskType}
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
   private val capacity = 4096
   // deleted is appended to the read schema (never exposed); it drives the
@@ -596,8 +633,10 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
   // the required columns (built lazily: vector objects are stable across
   // batches)
   private var passThrough: ColumnarBatch = _
-  // compaction target for batches with dead rows
-  private var outVectors: Array[OnHeapColumnVector] = _
+  // zero-copy SELECTION view for batches with dead rows: the view remaps
+  // row indices through `sel` instead of copying values
+  private var selVectors: Array[SelectedColumnVector] = _
+  private var sel: Array[Int] = _
   private var filtered: ColumnarBatch = _
 
   override def next(): Boolean = {
@@ -624,12 +663,12 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
         base += n
         return true
       }
-      // compact the live rows into output vectors
-      if (outVectors == null) {
-        outVectors = OnHeapColumnVector.allocateColumns(capacity, required)
-        filtered = new ColumnarBatch(outVectors.map(v => v: ColumnVector))
+      // build the live-row selection and serve a zero-copy remapped view
+      if (selVectors == null) {
+        selVectors = required.fields.map(f => new SelectedColumnVector(f.dataType))
+        sel = new Array[Int](capacity)
+        filtered = new ColumnarBatch(selVectors.map(v => v: ColumnVector))
       }
-      outVectors.foreach(_.reset())
       var out = 0
       var p = dp // local walk; dp itself re-syncs from `base` next batch
       i = 0
@@ -637,30 +676,17 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
         while (p < dead.length && dead(p) < base + i) p += 1
         val isDead = (p < dead.length && dead(p) == base + i) ||
           (!delVec.isNullAt(i) && delVec.getBoolean(i))
-        if (!isDead) {
-          var c = 0
-          while (c < required.length) {
-            val src = rb.column(c); val dst = outVectors(c)
-            if (src.isNullAt(i)) dst.putNull(out)
-            else required.fields(c).dataType match {
-              case StringType =>
-                val b = src.getUTF8String(i).getBytes
-                dst.putByteArray(out, b, 0, b.length)
-              case LongType    => dst.putLong(out, src.getLong(i))
-              case IntegerType => dst.putInt(out, src.getInt(i))
-              case DoubleType  => dst.putDouble(out, src.getDouble(i))
-              case BooleanType => dst.putBoolean(out, src.getBoolean(i))
-              case other => throw new UnsupportedOperationException(
-                s"graft scan: unsupported column type $other")
-            }
-            c += 1
-          }
-          out += 1
-        }
+        if (!isDead) { sel(out) = i; out += 1 }
         i += 1
       }
       base += n
       if (out > 0) {
+        var c = 0
+        while (c < required.length) {
+          selVectors(c).src = rb.column(c)
+          selVectors(c).sel = sel
+          c += 1
+        }
         filtered.setNumRows(out)
         current = filtered
         return true
@@ -670,8 +696,5 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
   }
 
   override def get(): ColumnarBatch = current
-  override def close(): Unit = {
-    vreader.close()
-    if (outVectors != null) outVectors.foreach(_.close())
-  }
+  override def close(): Unit = vreader.close()
 }

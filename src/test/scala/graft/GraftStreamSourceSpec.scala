@@ -105,6 +105,23 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got(out) == expectedFeed(includeDeletes = true))
   }
 
+  test("readStream.table over the SQL catalog tails by name") {
+    val warehouse = tmpDir("tailcat")
+    spark.conf.set("spark.sql.catalog.gtail", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtail.root", warehouse)
+    val t = new LakeTable(spark, s"$warehouse/feed", defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "tc", i.toLong)
+    }
+    val q = spark.readStream.table("gtail.feed")
+      .writeStream.format("memory").queryName("tail_cat")
+      .option("checkpointLocation", tmpDir("cptailcat"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got(spark.table("tail_cat")) == expectedFeed(includeDeletes = false))
+  }
+
   test("startLsn skips the history below the cursor") {
     val t = buildMor()
     val out = runToMemory(t.root, "tail_start",
