@@ -79,7 +79,9 @@ class GraftCatalog extends TableCatalog {
         require(f.exists(p), s"graft: snapshot $v of $dir expired or never existed")
         load(p)
       case None =>
-        load(s"$dir/meta/snap-${f.readString(s"$dir/meta/VERSION").trim.toInt}.json")
+        var v = f.readString(s"$dir/meta/VERSION").trim.toInt
+        while (f.exists(s"$dir/meta/snap-${v + 1}.json")) v += 1 // hint may lag the dense head
+        load(s"$dir/meta/snap-$v.json")
     }
   }
 

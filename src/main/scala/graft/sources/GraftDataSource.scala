@@ -96,7 +96,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                 Seq.empty, Map.empty, 0L, 0L, mode)
             } else {
               require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
-              load(s"$root/meta/snap-${fs.readString(vf).trim.toInt}.json")
+              // VERSION is a last-writer-wins hint under concurrent
+              // committers; versions are dense — probe to the true head
+              var v = fs.readString(vf).trim.toInt
+              while (fs.exists(s"$root/meta/snap-${v + 1}.json")) v += 1
+              load(s"$root/meta/snap-$v.json")
             }
         }
         cached = Some((key, (root, snap)))
@@ -320,16 +324,39 @@ object GraftScan {
       try {
         val fileSchema = reader.getFooter.getFileMetaData.getSchema
         val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-        var pages = reader.readNextRowGroup()
-        while (pages != null) {
-          val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-          var i = 0L
-          while (i < pages.getRowCount) {
-            val g = rr.read()
-            if (relPath(g.getString("file_path", 0)) == mine) out += g.getLong("row_index", 0)
-            i += 1
+        val blocks = reader.getFooter.getBlocks
+        var bi = 0
+        while (bi < blocks.size()) {
+          // sidecars are written sorted by file_path, so rowgroup stats are
+          // file-disjoint ranges — skip rowgroups that cannot hold `mine`.
+          // Only trusted when both bounds are already root-relative (the
+          // written form); anything else falls back to reading the group.
+          val blk = blocks.get(bi)
+          val fpStats = (0 until blk.getColumns.size())
+            .map(blk.getColumns.get(_))
+            .find(_.getPath.toDotString == "file_path")
+            .map(_.getStatistics).orNull
+          val skip = fpStats != null && fpStats.hasNonNullValue &&
+            ((fpStats.genericGetMin, fpStats.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+                val min = mn.toStringUsingUTF8
+                val max = mx.toStringUsingUTF8
+                min.startsWith("data/") && max.startsWith("data/") &&
+                  (mine < min || mine > max)
+              case _ => false
+            })
+          if (skip) reader.skipNextRowGroup()
+          else {
+            val pages = reader.readNextRowGroup()
+            val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+            var i = 0L
+            while (i < pages.getRowCount) {
+              val g = rr.read()
+              if (relPath(g.getString("file_path", 0)) == mine) out += g.getLong("row_index", 0)
+              i += 1
+            }
           }
-          pages = reader.readNextRowGroup()
+          bi += 1
         }
       } finally reader.close()
     }

@@ -54,7 +54,8 @@ final class GraftMicroBatchStream(root: String, required: StructType,
 
   private def fs = new Fs(conf.value)
   private def snapshot(): Snapshot = {
-    val v = fs.readString(s"$root/meta/VERSION").trim.toInt
+    var v = fs.readString(s"$root/meta/VERSION").trim.toInt
+    while (fs.exists(s"$root/meta/snap-${v + 1}.json")) v += 1 // hint may lag the dense head
     SnapshotIO.read(fs.readString(s"$root/meta/snap-$v.json"),
       mp => fs.readString(s"$root/$mp"))
   }

@@ -36,6 +36,12 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
     } finally in.close()
   }
 
+  /** writer-unique temp name: concurrent writers of the SAME target must
+    * not truncate each other's in-flight temp file
+    */
+  private def tmpFor(p: Path): Path =
+    new Path(p.getParent, s"${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+
   /** write-temp + atomic rename-with-overwrite (FileContext gives the
     * POSIX-style overwrite rename that plain FileSystem.rename lacks).
     */
@@ -43,7 +49,7 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
     val p = new Path(path)
     val f = fs(p)
     f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val tmp = tmpFor(p)
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     try FileContext.getFileContext(f.getUri, conf).rename(tmp, p, Options.Rename.OVERWRITE)
@@ -56,6 +62,44 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
           f.delete(p, false)
           require(f.rename(tmp, p), s"rename failed: $tmp -> $p")
         }
+    }
+  }
+
+  /** write-temp + atomic rename WITHOUT overwrite — the commit-exclusivity
+    * primitive (Delta's HDFS LogStore shape): returns true iff THIS writer
+    * created `path`; false if it already existed (a concurrent writer won).
+    * Fallback for schemes without an AbstractFileSystem binding: exclusive
+    * `create(path, overwrite = false)` — still exclusive, with a
+    * documented partially-visible window no concurrent test scheme hits.
+    */
+  def atomicCreate(path: String, content: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.exists(p)) return false // cheap fast-path; the rename still arbitrates
+    f.mkdirs(p.getParent)
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    val tmp = tmpFor(p)
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    // HDFS arbitrates the no-overwrite rename atomically server-side; the
+    // LOCAL FileContext does a check-then-rename, so same-JVM racers (the
+    // concurrency tests, multi-stream drivers) are serialized here too.
+    Fs.createArbiter.synchronized {
+      try {
+        FileContext.getFileContext(f.getUri, conf).rename(tmp, p, Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          try {
+            val o = f.create(p, false)
+            try o.write(bytes) finally o.close()
+            f.delete(tmp, false); true
+          } catch {
+            case _: java.io.IOException => f.delete(tmp, false); false
+          }
+      }
     }
   }
 
@@ -112,4 +156,11 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
     val s = new Path(src)
     fs(s).rename(s, new Path(dst))
   }
+}
+
+object Fs {
+  /** same-JVM serialization point for atomicCreate's check-then-rename on
+    * filesystems whose no-overwrite rename isn't server-side atomic
+    */
+  private[table] val createArbiter = new Object
 }

@@ -78,6 +78,12 @@ final case class Snapshot(
   def committedCount: Long = committed.valuesIterator.map(_.count).sum
 }
 
+/** A concurrent writer committed the snapshot version this writer was
+  * about to create. The losing writer's callers re-derive against the new
+  * head and retry (optimistic concurrency; see LakeTable.commitSnapshot).
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 object ApplyMode extends Enumeration {
   /** CopyOnWrite: merge rewrites affected buckets (read-optimised).
     * MergeOnRead: merge appends deduped deltas; reads resolve latest-per-key;
@@ -153,13 +159,28 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val vf = s"$metaDir/VERSION"
     if (!fs.exists(vf)) None
     else {
-      val v = fs.readString(vf).trim.toInt
+      // VERSION is a last-writer-wins hint: under concurrent commits the
+      // flips can land out of order. Snapshot versions are DENSE (each
+      // commit creates exactly head+1 via create-exclusive), so probing
+      // forward from the hint always finds the true head.
+      var v = fs.readString(vf).trim.toInt
+      while (fs.exists(s"$metaDir/snap-${v + 1}.json")) v += 1
       Some(loadSnap(s"$metaDir/snap-$v.json"))
     }
   }
 
   def committed(cpId: String, batchId: Long): Boolean =
     currentSnapshot().exists(_.isCommitted(cpId, batchId))
+
+  /** head reload after a lost commit race on version `v`: snap-(v) exists
+    * (that IS the conflict) even if the winner hasn't flipped VERSION yet,
+    * so probe the dense chain from v — never through the VERSION hint.
+    */
+  private def reloadAfterConflict(v: Int): Snapshot = {
+    var h = v
+    while (fs.exists(s"$metaDir/snap-${h + 1}.json")) h += 1
+    loadSnap(s"$metaDir/snap-$h.json")
+  }
 
   /** Time travel: live rows as of snapshot `version` (must still be
     * retained — see expireSnapshots). Historical files are read under THEIR
@@ -188,8 +209,19 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * VERSION — three atomic renames per commit, regardless of table size.
     * A crash between steps leaves an orphan manifest file at most; the old
     * VERSION still points at a fully-consistent snapshot chain.
+    *
+    * MULTI-WRITER SAFETY (optimistic concurrency, the Iceberg/Delta commit
+    * shape): the snapshot JSON is created EXCLUSIVELY (rename without
+    * overwrite) — of N writers racing to commit version v, exactly one
+    * wins; the rest get CommitConflictException, reload the new head,
+    * re-derive their metadata and retry (callers decide whether a re-point
+    * suffices or the data pass must be redone). Attempt-scoped artifacts
+    * (manifest, commit data dir) carry a writer-unique `token` so racing
+    * attempts can never overwrite each other's files. VERSION stays a
+    * last-writer-wins hint; `currentSnapshot` probes forward to the dense
+    * head, so a regressed hint self-heals.
     */
-  private def commitSnapshot(s: Snapshot, prev: Snapshot): Unit = {
+  private def commitSnapshot(s: Snapshot, prev: Snapshot, token: String = LakeTable.newToken): Unit = {
     val prevMan = prev.manifests.toMap
     val prevBy = prev.files.groupBy(_.bucket)
     val newBy = s.files.groupBy(_.bucket)
@@ -211,16 +243,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val keptPtrs = newBy.keysIterator.filterNot(changed0.contains).map(prevMan).toSet
       if (changed0.nonEmpty && keptPtrs.size + 1 > threshold) newBy else changed0
     }
+    val mp = s"meta/man-${s.version}-$token.json"
     val manifests =
       if (changed.isEmpty) newBy.keys.toSeq.sorted.map(b => b -> prevMan(b))
       else {
-        val mp = s"meta/man-${s.version}.json"
         fs.atomicWrite(s"$root/$mp", SnapshotIO.writeManifest(changed))
         newBy.toSeq.sortBy(_._1).map { case (b, _) =>
           b -> (if (changed.contains(b)) mp else prevMan(b))
         }
       }
-    fs.atomicWrite(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s.copy(manifests = manifests)))
+    if (!fs.atomicCreate(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s.copy(manifests = manifests)))) {
+      if (changed.nonEmpty) fs.delete(s"$root/$mp")
+      throw new CommitConflictException(
+        s"snapshot ${s.version} of $root was committed by a concurrent writer")
+    }
     fs.atomicWrite(s"$metaDir/VERSION", s.version.toString)
   }
 
@@ -390,8 +426,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val cleaned0 = clean(events)
     val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
+    val token = LakeTable.newToken
     if (mode == ApplyMode.DeletionVector)
-      return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows)
+      return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows, token)
     val incoming = cleaned.withColumn("b", bCol)
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -409,7 +446,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           .unionByName(incoming, allowMissingColumns = true), Some(a))
     }
 
-    val commitDir = s"$dataDir/c$version"
+    val commitDir = s"$dataDir/c$version-$token"
     val resolved = bucketResolve(all, math.max(affected.fold(nBuckets)(_.size), 1))
     resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
 
@@ -426,46 +463,83 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           .agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
         if (t.isNullAt(0)) 0L else t.getLong(0)
       }
-    if (stats.isEmpty) { // empty batch still commits (records the id)
-      commitSnapshot(prev.copy(version = version,
-        committed = prev.withCommit(cpId, batchId)), prev)
-      return Seq.empty
-    }
-
     val newEntries = stats.flatMap { st =>
       listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
     }
-    val kept = mode match {
-      case ApplyMode.CopyOnWrite => prev.files.filterNot(f => affected.get(f.bucket))
-      case ApplyMode.MergeOnRead => prev.files // deltas stack; compact() folds
-    }
-    // Table schema = UNION of the previous snapshot schema and this batch's
-    // schema (field-wise, new fields nullable) in BOTH modes. Computing it
-    // from the batch alone is only safe in CopyOnWrite (the union with
-    // existing rows carries old columns forward); in MergeOnRead a batch
-    // WITHOUT a previously-evolved column would silently regress the table
-    // schema, drop that column's data on every read, and a later compact()
-    // would make the loss permanent.
-    val prevSchema = snap.map(s => StructType.fromDDL(s.schemaDdl))
     val batchSchema = resolved.drop("b").schema
-    val schemaDdl = prevSchema.fold(batchSchema)(p => LakeTable.unionSchema(p, batchSchema)).toDDL
-    val batchHwm = stats.map(_.maxLsn).max
-    // Ledger entry goes down BEFORE the VERSION flip: if we crash in
-    // between, the batch is uncommitted, the retry re-merges and
-    // overwrites the same entry idempotently — no lineage gaps.
-    ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(prev.hwm, batchHwm),
-      totalRows - tombstones, tombstones, batchRows, staleRows))
-    commitSnapshot(Snapshot(
-      version = version,
-      schemaDdl = schemaDdl,
-      nBuckets = nBuckets,
-      files = kept ++ newEntries,
-      committed = prev.withCommit(cpId, batchId),
-      hwm = math.max(prev.hwm, batchHwm),
-      totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
-      mode = modeString(mode)
-    ), prev)
-    stats
+    val batchHwm = if (stats.isEmpty) Long.MinValue else stats.map(_.maxLsn).max
+
+    // ---- optimistic commit loop (multi-writer safety) ----
+    // Metadata is derived against the freshest head and committed
+    // create-exclusively. On a conflict: MergeOnRead deltas are
+    // base-independent, so the attempt just re-points at the new head;
+    // CopyOnWrite resolved against `prev`'s bucket contents, so if the
+    // winning commit touched any of OUR buckets the written attempt is
+    // stale — drop it and redo the merge from the new head. Livelock-free
+    // by the usual OCC argument: every lost race means another writer
+    // COMMITTED (system-wide progress).
+    var curOpt: Option[Snapshot] = snap
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = curOpt.getOrElse(emptySnapshot)
+      val v = cur.version + 1
+      try {
+        if (stats.isEmpty) { // empty batch still commits (records the id)
+          commitSnapshot(cur.copy(version = v,
+            committed = cur.withCommit(cpId, batchId)), cur, token)
+          return Seq.empty
+        }
+        val kept = mode match {
+          case ApplyMode.CopyOnWrite => cur.files.filterNot(f => affected.get(f.bucket))
+          case ApplyMode.MergeOnRead => cur.files // deltas stack; compact() folds
+        }
+        // Table schema = UNION of the previous snapshot schema and this
+        // batch's schema (field-wise, new fields nullable) in BOTH modes.
+        // Computing it from the batch alone is only safe in CopyOnWrite
+        // (the union with existing rows carries old columns forward); in
+        // MergeOnRead a batch WITHOUT a previously-evolved column would
+        // silently regress the table schema, drop that column's data on
+        // every read, and a later compact() would make the loss permanent.
+        val prevSchema = curOpt.map(s => StructType.fromDDL(s.schemaDdl))
+        val schemaDdl = prevSchema.fold(batchSchema)(p => LakeTable.unionSchema(p, batchSchema)).toDDL
+        // Ledger entry goes down BEFORE the VERSION flip: if we crash in
+        // between, the batch is uncommitted, the retry re-merges and
+        // overwrites the same entry idempotently — no lineage gaps.
+        ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(cur.hwm, batchHwm),
+          totalRows - tombstones, tombstones, batchRows, staleRows))
+        commitSnapshot(Snapshot(
+          version = v,
+          schemaDdl = schemaDdl,
+          nBuckets = nBuckets,
+          files = kept ++ newEntries,
+          committed = cur.withCommit(cpId, batchId),
+          hwm = math.max(cur.hwm, batchHwm),
+          totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
+          mode = modeString(mode)
+        ), cur, token)
+        return stats
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          val reloaded = reloadAfterConflict(v)
+          if (reloaded.isCommitted(cpId, batchId)) { // replica applied our batch
+            fs.deleteRecursive(commitDir)
+            return Seq.empty
+          }
+          val rePointable = mode match {
+            case ApplyMode.MergeOnRead => true
+            case ApplyMode.CopyOnWrite =>
+              val a = affected.get
+              reloaded.files.filter(f => a(f.bucket)) == prev.files.filter(f => a(f.bucket))
+          }
+          if (rePointable) curOpt = Some(reloaded)
+          else {
+            fs.deleteRecursive(commitDir)
+            return merge(events, cpId, batchId)
+          }
+      }
+    }
+    throw new CommitConflictException(s"merge($cpId/$batchId): lost $attempts commit races")
   }
 
   /** DeletionVector apply (SURVEY.md §7.3 at update-heavy scale): instead
@@ -489,7 +563,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   private def mergeDv(events: DataFrame, cleaned: DataFrame, cpId: String, batchId: Long,
                       prev: Snapshot, version: Int, nBuckets: Int,
-                      batchRows: Long, staleRows: Long): Seq[BucketStats] = {
+                      batchRows: Long, staleRows: Long, token: String): Seq[BucketStats] = {
     import org.apache.spark.sql.types.StructType
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bCol)
@@ -523,7 +597,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // one materialisation feeds BOTH outputs (data files + DV sidecar)
     val keep = joined.where(inWins).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val commitDir = s"$dataDir/c$version"
+      val commitDir = s"$dataDir/c$version-$token"
       val dataCols = batch.columns.map(col).toSeq
       val kDv = subSplitFactor(math.max(affected.size, 1))
       keep.select(dataCols: _*)
@@ -540,8 +614,13 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         .select(col("file_path"), col("row_index"),
           regexp_extract(col("file_path"), "/b=(\\d+)/", 1).cast("int").as("b"))
       val dvDir = s"$commitDir/dv"
+      // sorted by (file_path, row_index) so sidecar rowgroup stats are
+      // file-disjoint: a scan reader loading ONE file's dead positions can
+      // skip every rowgroup whose file_path range misses it (see
+      // GraftScan.deadPositionsFor)
       dvNew.repartition(math.max(affected.size, 1) * kDv, col("b"),
           pmod(xxhash64(col("file_path"), col("row_index")), lit(kDv.toLong)))
+        .sortWithinPartitions("file_path", "row_index")
         .write.partitionBy("b").mode("overwrite").parquet(dvDir)
       // dv row count from the parquet footers just written — driver-side
       // metadata read, no extra Spark job
@@ -552,10 +631,6 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val dvPaths = if (dvCount > 0) dvPaths0.map(LakeTable.relPath) else Nil
 
       val stats = footerStats(commitDir)
-      if (stats.isEmpty && dvCount == 0) {
-        commitSnapshot(prev.copy(version = version, committed = prev.withCommit(cpId, batchId)), prev)
-        return Seq.empty
-      }
       val newEntries = stats.flatMap { st =>
         LakeTable.listParquet(fs, s"$commitDir/b=${st.bucket}")
           .map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
@@ -564,22 +639,60 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val t = keep.agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
         if (t.isNullAt(0)) 0L else t.getLong(0)
       }
-      val prevSchema = StructType.fromDDL(prev.schemaDdl)
-      val schemaDdl = LakeTable.unionSchema(prevSchema, cleaned.schema).toDDL
-      val batchHwm = if (stats.isEmpty) prev.hwm else stats.map(_.maxLsn).max
-      ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(prev.hwm, batchHwm),
-        stats.map(_.rows).sum - tombstones, tombstones, batchRows, staleRows))
-      commitSnapshot(prev.copy(
-        version = version,
-        schemaDdl = schemaDdl,
-        files = prev.files ++ newEntries,
-        committed = prev.withCommit(cpId, batchId),
-        hwm = math.max(prev.hwm, batchHwm),
-        totalRows = prev.totalRows + newEntries.map(_.rows).sum,
-        dvFiles = prev.dvFiles ++ dvPaths,
-        dvRows = prev.dvRows + dvCount
-      ), prev)
-      stats
+
+      // ---- optimistic commit loop (multi-writer safety) ----
+      // The DV pass read `prev`'s live positions of the affected buckets;
+      // a conflicting commit that changed those buckets' files or their DV
+      // sidecars invalidates BOTH outputs (a position we considered live
+      // may be dead now) — drop the attempt and redo. A conflict on
+      // disjoint buckets just re-points at the new head.
+      def dvBucket(p: String): Option[Int] =
+        "/dv/b=(\\d+)/".r.findFirstMatchIn(p).map(_.group(1).toInt)
+      def dvOn(paths: Seq[String]): Seq[String] =
+        paths.filter(p => dvBucket(p).forall(affected)) // un-bucketed sidecars count as touching
+      var cur = prev
+      var attempts = 0
+      while (attempts < 20) {
+        val v = cur.version + 1
+        try {
+          if (stats.isEmpty && dvCount == 0) {
+            commitSnapshot(cur.copy(version = v, committed = cur.withCommit(cpId, batchId)), cur, token)
+            return Seq.empty
+          }
+          val schemaDdl = LakeTable.unionSchema(StructType.fromDDL(cur.schemaDdl), cleaned.schema).toDDL
+          val batchHwm = if (stats.isEmpty) cur.hwm else stats.map(_.maxLsn).max
+          ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(cur.hwm, batchHwm),
+            stats.map(_.rows).sum - tombstones, tombstones, batchRows, staleRows))
+          commitSnapshot(cur.copy(
+            version = v,
+            schemaDdl = schemaDdl,
+            files = cur.files ++ newEntries,
+            committed = cur.withCommit(cpId, batchId),
+            hwm = math.max(cur.hwm, batchHwm),
+            totalRows = cur.totalRows + newEntries.map(_.rows).sum,
+            dvFiles = cur.dvFiles ++ dvPaths,
+            dvRows = cur.dvRows + dvCount
+          ), cur, token)
+          return stats
+        } catch {
+          case _: CommitConflictException =>
+            attempts += 1
+            val reloaded = reloadAfterConflict(v)
+            if (reloaded.isCommitted(cpId, batchId)) {
+              fs.deleteRecursive(commitDir)
+              return Seq.empty
+            }
+            val rePointable =
+              reloaded.files.filter(f => affected(f.bucket)) == prev.files.filter(f => affected(f.bucket)) &&
+                dvOn(reloaded.dvFiles) == dvOn(prev.dvFiles)
+            if (rePointable) cur = reloaded
+            else {
+              fs.deleteRecursive(commitDir)
+              return merge(events, cpId, batchId)
+            }
+        }
+      }
+      throw new CommitConflictException(s"mergeDv($cpId/$batchId): lost $attempts commit races")
     } finally keep.unpersist()
   }
 
@@ -709,12 +822,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     rewriteAll(Some(newBuckets))
   }
 
-  /** full-rewrite commit; None = keep the current bucket count (compact) */
-  private def rewriteAll(newBucketsOpt: Option[Int]): Unit = {
+  /** full-rewrite commit; None = keep the current bucket count (compact).
+    * A lost commit race means a concurrent merge advanced the table while
+    * we rewrote — the rewrite is stale (it would erase that merge), so the
+    * attempt is dropped and the whole rewrite redone from the new head.
+    */
+  private def rewriteAll(newBucketsOpt: Option[Int], attempts: Int = 0): Unit = {
     val snap = currentSnapshot().getOrElse(return)
     val newBuckets = newBucketsOpt.getOrElse(snap.nBuckets)
     val version = snap.version + 1
-    val commitDir = s"$dataDir/c$version"
+    val token = LakeTable.newToken
+    val commitDir = s"$dataDir/c$version-$token"
     // same single-shuffle resolve as merge: raw deltas → bucket partitions
     // (sub-split past the bucket count when the cluster is wider) → window
     // latest-per-key (no extra exchange) → bucket-aligned files. In DV mode
@@ -731,8 +849,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val entries = stats.flatMap { st =>
       listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
     }
-    commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
-      totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap)
+    try commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
+      totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap, token)
+    catch {
+      case e: CommitConflictException =>
+        fs.deleteRecursive(commitDir)
+        if (attempts >= 5) throw e
+        rewriteAll(newBucketsOpt, attempts + 1)
+    }
   }
 
   /** Maintenance policy: MergeOnRead folds deltas when any bucket's file
@@ -763,9 +887,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * `overwrite` mode.
     */
   def truncate(): Unit = {
-    val snap = currentSnapshot().getOrElse(return)
-    commitSnapshot(snap.copy(version = snap.version + 1, files = Nil,
-      dvFiles = Nil, dvRows = 0L, totalRows = 0L), snap)
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(return)
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1, files = Nil,
+          dvFiles = Nil, dvRows = 0L, totalRows = 0L), snap)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 } // metadata-only: just retry on the new head
+    }
+    throw new CommitConflictException(s"truncate($root): lost $attempts commit races")
   }
 
   /** Filter-based delete: tombstone every live row matching `cond`, applied
@@ -834,6 +965,9 @@ object LakeTable {
     val i = p.lastIndexOf("/data/")
     if (i >= 0) p.substring(i + 1) else p
   }
+
+  /** writer-unique suffix for attempt-scoped commit artifacts */
+  def newToken: String = java.util.UUID.randomUUID().toString.take(8)
 
   def modeName(m: ApplyMode.Value): String = m match {
     case ApplyMode.MergeOnRead    => "mor"

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.table.{ApplyMode, Fs, LakeTable}
+
+/** Multi-writer safety (optimistic concurrency): concurrent committers to
+  * ONE table must never lose a commit — the snapshot chain stays dense,
+  * every (cpId, batchId) lands exactly once, and the final state equals
+  * the sequential replay. Exercises the create-exclusive snapshot commit,
+  * the re-point path (MOR), the redo path (CoW bucket overlap), and a
+  * compactor racing an ingester.
+  */
+class ConcurrentCommitSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 99, events = 4000, repos = 8, filesPerRepo = 10)
+  val nb = 8 // batches across both writers
+  val per: Long = cfg.events / nb
+
+  private def replayOracle(): Seq[Seq[Any]] = {
+    val t = new LakeTable(spark, tmpDir("occref"), 4, ApplyMode.CopyOnWrite)
+    t.merge(ChangeLogGen.changeLog(spark, cfg), "ref", 0L)
+    collectSorted(t.read().select("repo", "path", "commit", "lang", "contentSha", "lsn"))
+  }
+
+  private def state(root: String): Seq[Seq[Any]] =
+    collectSorted(new LakeTable(spark, root)
+      .read().select("repo", "path", "commit", "lang", "contentSha", "lsn"))
+
+  /** run the bodies on parallel threads; rethrow the first failure */
+  private def inParallel(bodies: (() => Unit)*): Unit = {
+    @volatile var failure: Throwable = null
+    val threads = bodies.map(b => new Thread(() =>
+      try b() catch { case t: Throwable => failure = t }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    if (failure != null) throw failure
+  }
+
+  private def writer(root: String, mode: ApplyMode.Value, cp: String,
+                     batchIdxs: Seq[Int]): () => Unit = () => {
+    val t = new LakeTable(spark, root, 4, mode)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    batchIdxs.zipWithIndex.foreach { case (b, i) =>
+      t.merge(wal.where(col("lsn").between(b * per + 1, (b + 1) * per)), cp, i.toLong)
+    }
+  }
+
+  test("atomicCreate is exclusive; atomicWrite overwrites") {
+    val fs = new Fs(spark.sessionState.newHadoopConf())
+    val p = s"${tmpDir("occfs")}/one.json"
+    assert(fs.atomicCreate(p, "a"))
+    assert(!fs.atomicCreate(p, "b"), "second create of the same path must lose")
+    assert(fs.readString(p) == "a", "loser must not clobber the winner")
+    fs.atomicWrite(p, "c")
+    assert(fs.readString(p) == "c")
+  }
+
+  test("two concurrent MOR writers: dense chain, no lost commits") {
+    val root = tmpDir("occmor")
+    inParallel(
+      writer(root, ApplyMode.MergeOnRead, "w1", Seq(0, 2, 4, 6)),
+      writer(root, ApplyMode.MergeOnRead, "w2", Seq(1, 3, 5, 7)))
+    val snap = new LakeTable(spark, root).currentSnapshot().get
+    assert(snap.version == nb, s"every commit must land on the dense chain, got v${snap.version}")
+    assert(snap.committedCount == nb)
+    assert(snap.hwm == cfg.events)
+    assert(state(root) == replayOracle())
+  }
+
+  test("two concurrent CoW writers on overlapping buckets: redo path converges") {
+    val root = tmpDir("occcow")
+    inParallel(
+      writer(root, ApplyMode.CopyOnWrite, "w1", Seq(0, 2, 4, 6)),
+      writer(root, ApplyMode.CopyOnWrite, "w2", Seq(1, 3, 5, 7)))
+    val snap = new LakeTable(spark, root).currentSnapshot().get
+    assert(snap.committedCount == nb)
+    assert(state(root) == replayOracle())
+  }
+
+  test("compactor racing an ingester loses cleanly and retries") {
+    val root = tmpDir("occcompact")
+    val compactor: () => Unit = () => {
+      val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+      (0 until 3).foreach { _ => Thread.sleep(80); t.compact() }
+    }
+    inParallel(writer(root, ApplyMode.MergeOnRead, "w1", 0 until nb), compactor)
+    val t = new LakeTable(spark, root)
+    val snap = t.currentSnapshot().get
+    assert(snap.committedCount == nb, "the compactor must never erase a merge")
+    assert(snap.hwm == cfg.events)
+    assert(state(root) == replayOracle())
+  }
+}

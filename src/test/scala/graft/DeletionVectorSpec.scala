@@ -46,8 +46,8 @@ class DeletionVectorSpec extends SparkSpec {
       val splits = Seq((1L, 3000L), (3001L, 3100L)) // second batch tiny
       val dv = applyBatches(ApplyMode.DeletionVector, tmpDir("dvW"), splits, wal)
       val cow = applyBatches(ApplyMode.CopyOnWrite, tmpDir("cowW"), splits, wal)
-      def rowsInCommit(t: LakeTable, v: Int): Long =
-        t.currentSnapshot().get.files.filter(_.path.contains(s"/c$v/")).map(_.rows).sum
+      def rowsInCommit(t: LakeTable, v: Int): Long = // commit dirs are c<v>-<token>
+        t.currentSnapshot().get.files.filter(_.path.contains(s"/c$v-")).map(_.rows).sum
       val dvWrote = rowsInCommit(dv, 2)
       val cowWrote = rowsInCommit(cow, 2)
       assert(dvWrote <= 100, s"dv second commit wrote $dvWrote rows (expected <= batch size)")

@@ -113,8 +113,8 @@ class FsMetadataSpec extends SparkSpec {
       t.merge(wal.where(col("lsn") <= 2500), "m", 0L) // wide commit: all buckets
       val metaDir = s"${t.root}/meta"
       def snapJson(v: Int) = t.fs.readString(s"$metaDir/snap-$v.json")
-      def manifestsOf(v: Int) =
-        t.fs.listFiles(metaDir, n => n == s"man-$v.json")
+      def manifestsOf(v: Int) = // attempt-token suffix: man-<v>-<token>.json
+        t.fs.listFiles(metaDir, n => n.startsWith(s"man-$v-") && n.endsWith(".json"))
       val v1 = t.currentSnapshot().get.version
       assert(manifestsOf(v1).size == 1, "a commit writes ONE manifest file")
       // data-file paths live in the manifests, NOT the snapshot JSON
@@ -126,8 +126,8 @@ class FsMetadataSpec extends SparkSpec {
       val v2 = t.currentSnapshot().get.version
       assert(manifestsOf(v2).size == 1, s"expected 1 new manifest, got ${manifestsOf(v2)}")
       val snap = t.currentSnapshot().get
-      assert(snap.manifests.count(_._2 == s"meta/man-$v1.json") == 7, snap.manifests.toString)
-      assert(SnapshotIO.readManifest(t.fs.readString(s"${t.root}/meta/man-$v2.json")).size == 1,
+      assert(snap.manifests.count(_._2.startsWith(s"meta/man-$v1-")) == 7, snap.manifests.toString)
+      assert(SnapshotIO.readManifest(t.fs.readString(manifestsOf(v2).head)).size == 1,
         "new manifest must carry only the touched bucket")
       // per-commit snapshot growth is pointer-sized, independent of the
       // table's file count
