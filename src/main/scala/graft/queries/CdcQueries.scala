@@ -199,6 +199,36 @@ object CdcQueries {
     s.table("q46_sink").orderBy("lsn", "repo", "path")
   }
 
+  /** The full medallion loop as ONE oracled query: bronze (un-compacted
+    * MOR lake) → streaming change-feed tail → content transform (first
+    * 64-char block) → graft STREAMING SINK → silver lake, exactly-once end
+    * to end. Silver's resolved state must equal an independent replay of
+    * the WAL with the same transform applied — which proves the tail
+    * delivered every change, the sink's merge resolved them in order, and
+    * tombstones flowed through both hops.
+    */
+  def q47Medallion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = smLakeMode(s, ApplyMode.MergeOnRead, "sm_mor", "smmor")
+    val silverDir = s"$LakeRoot/sm_silver"
+    deleteRec(silverDir)
+    val cp = java.nio.file.Files.createTempDirectory("q47cp").toString
+    val q = s.readStream.format("graft").option("changeFeed", "true").load(bronze.root)
+      .select(col("repo"), col("path"), col("commit"),
+        lit(null).cast("string").as("lang"),
+        substring(col("content"), 1, 64).as("content"), // null (tombstone) stays null
+        lit(null).cast("string").as("contentSha"), col("lsn"))
+      .writeStream.format("graft")
+      .option("path", silverDir).option("create", "true")
+      .option("mode", "mor").option("buckets", smBuckets.toString)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new LakeTable(s, silverDir).read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
   /** publish-layer rollup over the snapshot (A1 over the lake). */
   def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
     smLake(s).read()
@@ -363,6 +393,15 @@ object CdcQueries {
     "q30_dsv2" -> s"""
       SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n, max(lsn) AS max_lsn
       FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1""",
+    // silver = the replay with the tail→sink transform (first 64-char
+    // content block) applied to every surviving live row
+    "q47_medallion" -> s"""
+      SELECT repo, path, "commit", ${LangRules.langSqlCase("path")} AS lang,
+             sha256(substr(content, 1, 64)) AS content_sha
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""",
     // independent replay of the streaming tail: winner per (key, 10k-lsn
     // commit batch), tombstones included
     "q46_cdc_tail" -> s"""
@@ -395,6 +434,7 @@ object CdcQueries {
     "q44_dsv2_write" -> q44Dsv2Write _,
     "q45_sql_delete" -> q45SqlDelete _,
     "q46_cdc_tail" -> q46CdcTail _,
+    "q47_medallion" -> q47Medallion _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

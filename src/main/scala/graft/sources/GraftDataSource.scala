@@ -57,8 +57,25 @@ import graft.table.{Fs, Snapshot, SnapshotIO}
   *    a replay of the same logical event.
   * `deleted` is never exposed.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — the streaming upsert sink (see
+    * GraftStreamSink). V1 StreamSinkProvider takes precedence over the
+    * table path in DataStreamWriter, which is exactly what merge
+    * semantics need.
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty, "graft tables are hash-bucketed; partitionBy is not supported")
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink: .option(\"path\", <table root>) is required"))
+    new GraftStreamSink(sqlContext.sparkSession, root, parameters)
+  }
 
   /** Spark calls inferSchema then getTable with the same options; resolve
     * the snapshot ONCE and reuse it, so a concurrent commit between the two

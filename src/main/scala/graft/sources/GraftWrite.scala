@@ -64,6 +64,38 @@ final class GraftV1Write(root: String, info: LogicalWriteInfo, doTruncate: Boole
   }
 }
 
+/** Native Structured-Streaming SINK: `df.writeStream.format("graft")
+  * .option("path", root).start()` — each micro-batch is an upsert-apply
+  * through `LakeTable.merge` with the engine's own exactly-once commit
+  * (cpId = the sink's `queryName`/`cpId` option, batchId = the streaming
+  * batch id): a replayed micro-batch after a crash-restart is detected in
+  * the SNAPSHOT, independent of the sink checkpoint — the same V1 Sink
+  * shape Delta uses for its streaming writes, and for the same reason (a
+  * per-task streaming DataWriter cannot express merge semantics).
+  * Same row contract as the batch writer: table-schema rows, NULL content
+  * = tombstone, derived columns recomputed. Combined with the streaming
+  * SOURCE this closes the medallion loop: bronze graft table → readStream
+  * → transform → writeStream → silver graft table, exactly-once end to end.
+  */
+final class GraftStreamSink(spark: SparkSession, root: String,
+                            parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val cpId = parameters.getOrElse("cpid", s"stream-sink")
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val lake = GraftWrite.lakeFor(spark, root, parameters.asJava)
+    // the incoming frame is the streaming micro-batch plan — rebase it onto
+    // its already-planned RDD so the merge's own (batch) transformations
+    // re-analyze cleanly (see org.apache.spark.sql.graft.MicroBatch)
+    val batch = org.apache.spark.sql.graft.MicroBatch.rebase(data)
+    val events = batch
+      .drop("lang", "contentSha")
+      .withColumn("op", when(col("content").isNull, lit("D")).otherwise(lit("U")))
+    lake.merge(events, cpId, batchId)
+  }
+  override def toString: String = s"GraftStreamSink[$root]"
+}
+
 object GraftWrite {
   /** Open the lake for a write: `mode`/`buckets` options only matter on the
     * CREATING write (an existing table reads its layout back from the

@@ -122,6 +122,43 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got(spark.table("tail_cat")) == expectedFeed(includeDeletes = false))
   }
 
+  test("medallion loop: bronze tail → transform → graft streaming SINK (silver)") {
+    val bronze = buildMor()
+    val silver = tmpDir("silver")
+    val cp = tmpDir("cpmed")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").option("changeFeed", "true").load(bronze.root)
+        .select(col("repo"), col("path"), col("commit"),
+          lit(null).cast("string").as("lang"),
+          substring(col("content"), 1, 64).as("content"), // null (tombstone) stays null
+          lit(null).cast("string").as("contentSha"), col("lsn"))
+        .writeStream.format("graft")
+        .option("path", silver).option("create", "true")
+        .option("mode", "mor").option("buckets", "4")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val st = new LakeTable(spark, silver)
+    def silverState() = collectSorted(
+      st.read().select("repo", "path", "commit", "lang", "contentSha", "lsn"))
+    def expected() = collectSorted(new LakeTable(spark, bronze.root).read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        sha2(substring(col("content"), 1, 64), 256).as("contentSha"), col("lsn")))
+    assert(silverState() == expected(), "silver must be bronze's resolved state, transformed")
+    // nothing new: a rerun commits nothing (offsets + snapshot both agree)
+    val v = st.currentSnapshot().get.version
+    run()
+    assert(st.currentSnapshot().get.version == v, "empty rerun must not commit")
+    // one more bronze commit flows through incrementally
+    val extra = ChangeLogGen.changeLog(spark, cfg.copy(events = cfg.events + 300))
+      .where(col("lsn") > cfg.events)
+    bronze.merge(extra, "tail", batches.toLong)
+    run()
+    assert(silverState() == expected(), "incremental silver must track bronze")
+  }
+
   test("startLsn skips the history below the cursor") {
     val t = buildMor()
     val out = runToMemory(t.root, "tail_start",
