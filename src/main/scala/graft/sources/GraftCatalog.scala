@@ -91,7 +91,20 @@ class GraftCatalog extends TableCatalog {
 
   private def loadAt(ident: Identifier, version: Option[String]): Table = {
     val dir = dirOf(ident)
-    if (!fs.exists(s"$dir/meta/VERSION")) throw new NoSuchTableException(ident)
+    if (!fs.exists(s"$dir/meta/VERSION")) {
+      // a table registered by graft.table.Catalog but never written yet:
+      // serve it as empty with the layout from its properties file (SHOW
+      // TABLES lists it, so SELECT must not throw)
+      if (version.isEmpty && fs.exists(propsPath(dir))) {
+        val props = graft.table.JsonMini.parse(fs.readString(propsPath(dir)))
+          .asInstanceOf[Map[String, Any]]
+        val snap = Snapshot(0, graft.model.Schemas.repoRow.toDDL,
+          SnapshotIO.asInt(props("nBuckets")), Seq.empty, Map.empty, 0L, 0L,
+          props("mode").asInstanceOf[String])
+        return new GraftTable((dir, snap), publicSchema(snap))
+      }
+      throw new NoSuchTableException(ident)
+    }
     val snap = loadSnap(dir, version)
     new GraftTable((dir, snap), publicSchema(snap))
   }

@@ -152,6 +152,15 @@ final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft:${rootSnap._1}@v${rootSnap._2.version}"
+  /** DESCRIBE EXTENDED surface: layout + snapshot state at load time */
+  override def properties(): util.Map[String, String] = {
+    val s = rootSnap._2
+    java.util.Map.of(
+      "provider", "graft", "mode", s.mode, "buckets", s.nBuckets.toString,
+      "version", s.version.toString, "hwm", s.hwm.toString,
+      "totalRows", s.totalRows.toString, "dvRows", s.dvRows.toString,
+      "location", rootSnap._1)
+  }
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE routes DataFrameWriter.save into the V2 write plan;
     // V1_BATCH_WRITE tells the planner the Write resolves via V1Write

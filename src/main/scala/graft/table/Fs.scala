@@ -144,6 +144,11 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
     n
   }
 
+  def mtime(path: String): Long = {
+    val p = new Path(path)
+    fs(p).getFileStatus(p).getModificationTime
+  }
+
   def setTimes(path: String, mtimeMs: Long): Unit = {
     val p = new Path(path)
     fs(p).setTimes(p, mtimeMs, -1L)

@@ -946,6 +946,38 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
   }
 
+  /** Reclaim commit data directories no RETAINED snapshot references —
+    * the orphans a crashed or conflict-aborted optimistic-commit attempt
+    * leaves behind (its files were written but its snapshot never won).
+    * The age guard protects in-flight writers: an attempt directory
+    * younger than `olderThanMs` may still be racing toward its commit.
+    * Returns the number of directories removed.
+    */
+  def vacuumOrphans(olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val cur = currentSnapshot().getOrElse(return 0)
+    // compare by the commit-dir SEGMENT name (c<v>-<token>): listings come
+    // back scheme-qualified while snapshot paths are root-relative
+    def segOf(p: String): Option[String] = {
+      val i = p.lastIndexOf("/data/")
+      if (i < 0) None
+      else Some(p.substring(i + 6).takeWhile(_ != '/')).filter(_.nonEmpty)
+    }
+    val referenced: Set[String] = (1 to cur.version).flatMap { v =>
+      val p = s"$metaDir/snap-$v.json"
+      if (!fs.exists(p)) Nil
+      else {
+        val s = loadSnap(p)
+        (s.files.map(_.path) ++ s.dvFiles).map(resolvePath).flatMap(segOf)
+      }
+    }.toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val victims = fs.listDirs(dataDir)
+      .filterNot(d => segOf(d).exists(referenced))
+      .filter(d => fs.mtime(d) <= cutoff)
+    victims.foreach(fs.deleteRecursive)
+    victims.size
+  }
+
   private def emptySnapshot =
     Snapshot(0, graft.model.Schemas.repoRow.toDDL, defaultBuckets, Seq.empty, Map.empty, 0L, 0L,
       modeString(defaultMode))

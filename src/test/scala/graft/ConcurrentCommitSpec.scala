@@ -79,6 +79,22 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(state(root) == replayOracle())
   }
 
+  test("vacuumOrphans reclaims abandoned commit attempts, never live data") {
+    val root = tmpDir("occvac")
+    val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "v", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "v", 1L)
+    val before = state(root)
+    // a crashed attempt: data written, snapshot never committed
+    val fs = t.fs
+    fs.atomicWrite(s"$root/data/c99-deadbeef/b=0/part-orphan.parquet", "not-really-parquet")
+    assert(t.vacuumOrphans(olderThanMs = 0L) == 1)
+    assert(!fs.exists(s"$root/data/c99-deadbeef"), "orphan attempt must be reclaimed")
+    assert(state(root) == before, "live data must survive the vacuum")
+    assert(t.vacuumOrphans(olderThanMs = 0L) == 0)
+  }
+
   test("compactor racing an ingester loses cleanly and retries") {
     val root = tmpDir("occcompact")
     val compactor: () => Unit = () => {

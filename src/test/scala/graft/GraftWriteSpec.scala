@@ -153,6 +153,23 @@ class GraftWriteSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).where(col("lang") === victimLang).isEmpty)
   }
 
+  test("freshly CREATEd-but-unwritten tables are selectable; DESCRIBE shows state") {
+    val (cat, warehouse) = catalog("wfresh")
+    // registered via the programmatic catalog (properties file only, no snapshot)
+    new graft.table.Catalog(spark, warehouse).table("fresh", 4, ApplyMode.MergeOnRead)
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).contains("fresh"))
+    assert(spark.sql(s"SELECT * FROM $cat.fresh").isEmpty, "unwritten table = empty, not an error")
+    // a written table exposes its layout + snapshot state as properties
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal).write.format("graft").option("create", "true").option("buckets", "4")
+      .mode("append").save(s"$warehouse/desc_t")
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.desc_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = desc.getOrElse("Table Properties", "")
+    assert(props.contains("mode=cow") && props.contains("buckets=4") && props.contains("version=1"),
+      s"expected layout in properties, got: $props")
+  }
+
   test("CTAS through the catalog applies the merge semantics") {
     val (cat, warehouse) = catalog("wctas")
     val wal = ChangeLogGen.changeLog(spark, cfg)
