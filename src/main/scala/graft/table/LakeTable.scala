@@ -402,20 +402,26 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val mode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
     val nBuckets = snap.map(_.nBuckets).getOrElse(defaultBuckets)
 
-    // batch-input accounting: batchRows = events in this batch; staleRows =
-    // events at or below the table's applied-LSN high watermark (the
-    // reference silently DROPS its analogue — rows failing year==latest; we
-    // count them in the ledger, SURVEY.md §2.10). Stale events are correct
-    // no-ops thanks to the max-LSN guard; the count is the late-data
-    // observability contract. A dedicated job, but column-pruned to `lsn`
-    // only — NOT Observation.observe, whose get() never completes inside a
+    // Batch-input accounting AND bucket discovery in ONE column-pruned
+    // pass (reads only lsn/repo/path): batchRows = events in this batch;
+    // staleRows = events at or below the applied-LSN high watermark (the
+    // reference silently DROPS its analogue — rows failing year==latest;
+    // we count them in the ledger, SURVEY.md §2.10 — stale events are
+    // correct no-ops thanks to the max-LSN guard); the grouped keys are
+    // the AFFECTED BUCKETS (previously a second job). A dedicated job,
+    // not Observation.observe, whose get() never completes inside a
     // streaming foreachBatch (listener events don't fire for inner
-    // executions).
+    // executions). The fixed per-batch job count is what bounds
+    // small-update-batch latency — the update-phase scaling limiter.
     val prevHwm = prev.hwm
-    val inStats = events.agg(count(lit(1)).as("batchRows"),
-      sum(when(col("lsn") <= prevHwm, 1L).otherwise(0L)).as("staleRows")).collect().head
-    val batchRows = inStats.getLong(0)
-    val staleRows = if (inStats.isNullAt(1)) 0L else inStats.getLong(1)
+    val preB = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
+    val pre = events.groupBy(preB.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lsn") <= prevHwm, 1L).otherwise(0L)).as("stale"))
+      .collect()
+    val batchRows = pre.map(_.getLong(1)).sum
+    val staleRows = pre.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+    val affectedAll: Set[Int] = pre.map(_.getInt(0)).toSet
     // Hot-KEY pre-reduce (the apply-path skew lever, SURVEY.md §4): when a
     // few keys dominate the batch (e.g. one file updated millions of times
     // in one batch), reduce per-key BEFORE the bucket shuffle with the
@@ -428,7 +434,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val token = LakeTable.newToken
     if (mode == ApplyMode.DeletionVector)
-      return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows, token)
+      return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows,
+        token, affectedAll)
     val incoming = cleaned.withColumn("b", bCol)
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -436,14 +443,13 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // No pre-pass needed — affected buckets fall out of the write.
         (incoming, None)
       case ApplyMode.CopyOnWrite =>
-        // affected buckets via a column-pruned pre-pass (reads only the two
-        // key columns), then read existing rows of those buckets ONLY
-        // (bucket pruning) and union with the batch. Existing rows carry
-        // their lsn, so the max-LSN guard (ignore events at or below a
-        // key's applied lsn) falls out of the same latest-per-key resolve.
-        val a = events.select(bCol.as("b")).distinct().collect().map(_.getInt(0)).toSet
-        (readResolvedAt(snap, Some(a)).withColumn("b", bCol)
-          .unionByName(incoming, allowMissingColumns = true), Some(a))
+        // affected buckets came out of the accounting pre-pass above: read
+        // existing rows of those buckets ONLY (bucket pruning) and union
+        // with the batch. Existing rows carry their lsn, so the max-LSN
+        // guard (ignore events at or below a key's applied lsn) falls out
+        // of the same latest-per-key resolve.
+        (readResolvedAt(snap, Some(affectedAll)).withColumn("b", bCol)
+          .unionByName(incoming, allowMissingColumns = true), Some(affectedAll))
     }
 
     val commitDir = s"$dataDir/c$version-$token"
@@ -563,11 +569,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   private def mergeDv(events: DataFrame, cleaned: DataFrame, cpId: String, batchId: Long,
                       prev: Snapshot, version: Int, nBuckets: Int,
-                      batchRows: Long, staleRows: Long, token: String): Seq[BucketStats] = {
+                      batchRows: Long, staleRows: Long, token: String,
+                      affected: Set[Int]): Seq[BucketStats] = {
     import org.apache.spark.sql.types.StructType
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bCol)
-    val affected = events.select(bCol.as("b")).distinct().collect().map(_.getInt(0)).toSet
     val affFiles = prev.files.filter(f => affected(f.bucket))
 
     // live existing versions of the affected buckets: key + order columns
