@@ -119,9 +119,14 @@ object TailMain {
       .option("checkpointLocation", cpDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val out = spark.read.parquet(outDir)
     val batches = q.recentProgress.count(_.numInputRows > 0)
-    println(s"[tail] table=$tableDir rows=${out.count()} deletes=${out.where(org.apache.spark.sql.functions.col("deleted")).count()} maxLsn=${out.agg(org.apache.spark.sql.functions.max("lsn")).head.getLong(0)} batchesThisRun=$batches")
+    // empty feed: the sink may have written nothing at all
+    val out = scala.util.Try(spark.read.parquet(outDir)).toOption
+    val rows = out.map(_.count()).getOrElse(0L)
+    val deletes = out.map(_.where(org.apache.spark.sql.functions.col("deleted")).count()).getOrElse(0L)
+    val maxLsn = out.map(_.agg(org.apache.spark.sql.functions.max("lsn")).head)
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    println(s"[tail] table=$tableDir rows=$rows deletes=$deletes maxLsn=$maxLsn batchesThisRun=$batches")
     spark.stop()
   }
 }

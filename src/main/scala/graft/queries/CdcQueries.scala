@@ -132,7 +132,9 @@ object CdcQueries {
     ensureSmWal(s)
     val dirW = s"$LakeRoot/sm_w"
     val t = new LakeTable(s, dirW, smBuckets, ApplyMode.CopyOnWrite)
-    val ok = t.currentSnapshot().exists(sn => sn.committedCount == smBatches && sn.hwm == smCfg.events)
+    // one-shot dsv2-* commit entries are pruned as later commits land, so
+    // completeness is judged by the version chain + hwm, not committedCount
+    val ok = t.currentSnapshot().exists(sn => sn.version == smBatches && sn.hwm == smCfg.events)
     if (!ok) {
       deleteRec(dirW)
       val wal = s.read.parquet(smWal)
@@ -161,7 +163,7 @@ object CdcQueries {
     val dirT = s"$LakeRoot/sm_del"
     val t = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
     val ok = t.currentSnapshot().exists(sn =>
-      sn.hwm == smCfg.events + 1 && sn.committed.contains("delete"))
+      sn.hwm == smCfg.events + 1 && sn.committed.keys.exists(_.startsWith("delete-")))
     if (!ok) {
       deleteRec(dirT)
       val fresh = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)

@@ -79,8 +79,8 @@ class GraftCatalog extends TableCatalog {
         require(f.exists(p), s"graft: snapshot $v of $dir expired or never existed")
         load(p)
       case None =>
-        var v = f.readString(s"$dir/meta/VERSION").trim.toInt
-        while (f.exists(s"$dir/meta/snap-${v + 1}.json")) v += 1 // hint may lag the dense head
+        val v = LakeTable.headVersion(f.exists, s"$dir/meta",
+          f.readString(s"$dir/meta/VERSION").trim.toInt)
         load(s"$dir/meta/snap-$v.json")
     }
   }
@@ -133,15 +133,18 @@ class GraftCatalog extends TableCatalog {
     require(Seq("cow", "mor", "dv").contains(mode), s"unknown apply mode '$mode'")
     val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(32)
     val dir = dirOf(ident)
-    // properties file in graft.table.Catalog's format (shared warehouse)
-    fs.atomicWrite(propsPath(dir),
-      s"""{"name":"${ident.name}","nBuckets":$buckets,"mode":"$mode","rulesVersion":"${LangRules.version}","format":"graft-lake-v1"}""")
     // empty version-1 snapshot so the table is immediately readable; the
-    // internal `deleted` flag joins the stored schema
+    // internal `deleted` flag joins the stored schema. Written CREATE-
+    // EXCLUSIVELY: a concurrent create-on-first-write commit to the same
+    // path must never be clobbered (tableExists above is only a fast-path)
     val stored = if (schema.fieldNames.contains("deleted")) schema
       else StructType(schema.fields :+ StructField("deleted", BooleanType, nullable = false))
     val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode)
-    fs.atomicWrite(s"$dir/meta/snap-1.json", SnapshotIO.write(snap))
+    if (!fs.atomicCreate(s"$dir/meta/snap-1.json", SnapshotIO.write(snap)))
+      throw new TableAlreadyExistsException(ident)
+    // properties file in graft.table.Catalog's format (shared warehouse)
+    fs.atomicWrite(propsPath(dir),
+      s"""{"name":"${ident.name}","nBuckets":$buckets,"mode":"$mode","rulesVersion":"${LangRules.version}","format":"graft-lake-v1"}""")
     fs.atomicWrite(s"$dir/meta/VERSION", "1")
     new GraftTable((dir, snap), publicSchema(snap))
   }

@@ -114,9 +114,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             } else {
               require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
               // VERSION is a last-writer-wins hint under concurrent
-              // committers; versions are dense — probe to the true head
-              var v = fs.readString(vf).trim.toInt
-              while (fs.exists(s"$root/meta/snap-${v + 1}.json")) v += 1
+              // committers; probe to the dense head
+              val v = graft.table.LakeTable.headVersion(fs.exists, s"$root/meta",
+                fs.readString(vf).trim.toInt)
               load(s"$root/meta/snap-$v.json")
             }
         }
@@ -266,7 +266,13 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * (docs/database.md:374-381).
     */
   override def estimateStatistics(): Statistics = {
-    val rows = math.max(0L, liveFiles.map(_.rows).sum - snap.dvRows)
+    // DV-dead rows are spread across the whole table; against an
+    // lsn-PRUNED subset subtract only the proportional share (subtracting
+    // the table-wide count could report 0 rows for a subset and trick the
+    // planner into broadcasting a large scan)
+    val subset = liveFiles.map(_.rows).sum
+    val dead = if (snap.totalRows > 0) snap.dvRows * subset / snap.totalRows else 0L
+    val rows = math.max(0L, subset - dead)
     val width = required.fields.map(_.dataType.defaultSize + 8).sum.toLong
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -496,8 +502,9 @@ final class GraftPartitionReader(path: String, required: StructType, conf: Confi
                                  dead: Array[Long])
     extends PartitionReader[InternalRow] {
 
+  private val exposeDeleted = required.fieldNames.contains("deleted")
   private val ext: Array[StructField] =
-    if (required.fieldNames.contains("deleted")) required.fields
+    if (exposeDeleted) required.fields
     else required.fields :+ StructField("deleted", BooleanType)
   private val cursor = new GroupRowCursor(path, ext, conf)
   private val deletedIdx = ext.indexWhere(_.name == "deleted")
@@ -509,7 +516,10 @@ final class GraftPartitionReader(path: String, required: StructType, conf: Confi
       val del = cursor.values(deletedIdx)
       while (dp < dead.length && dead(dp) < cursor.ordinal) dp += 1
       val dvDead = dp < dead.length && dead(dp) == cursor.ordinal
-      if (!dvDead && (del == null || del == false)) {
+      // a schema CARRYING `deleted` (changeFeed batch read) gets tombstone
+      // rows too — otherwise the flag could never be true; DV-dead
+      // positions are superseded versions, never served either way
+      if (!dvDead && (exposeDeleted || del == null || del == false)) {
         current = new GenericInternalRow(java.util.Arrays.copyOfRange(
           cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
         return true
@@ -546,6 +556,7 @@ final class GraftResolveReader(files: Seq[String], required: StructType, conf: C
   private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")
   private val deletedIdx = idx("deleted")
 
+  private val exposeDeleted = required.fieldNames.contains("deleted")
   private val latest = {
     val m = new java.util.HashMap[(String, String), Array[Any]]()
     files.foreach { f =>
@@ -573,7 +584,7 @@ final class GraftResolveReader(files: Seq[String], required: StructType, conf: C
     while (latest.hasNext) {
       val v = latest.next()
       val del = v(deletedIdx)
-      if (del == null || del == false) {
+      if (exposeDeleted || del == null || del == false) {
         current = new GenericInternalRow(java.util.Arrays.copyOfRange(
           v.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
         return true

@@ -54,8 +54,8 @@ final class GraftMicroBatchStream(root: String, required: StructType,
 
   private def fs = new Fs(conf.value)
   private def snapshot(): Snapshot = {
-    var v = fs.readString(s"$root/meta/VERSION").trim.toInt
-    while (fs.exists(s"$root/meta/snap-${v + 1}.json")) v += 1 // hint may lag the dense head
+    val v = graft.table.LakeTable.headVersion(fs.exists, s"$root/meta",
+      fs.readString(s"$root/meta/VERSION").trim.toInt)
     SnapshotIO.read(fs.readString(s"$root/meta/snap-$v.json"),
       mp => fs.readString(s"$root/$mp"))
   }
@@ -108,7 +108,7 @@ final class GraftMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStreamReaderFactory(required, conf, changeFeed)
+    new GraftStreamReaderFactory(required, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -119,23 +119,25 @@ final class GraftMicroBatchStream(root: String, required: StructType,
   */
 final case class GraftStreamPartition(file: String, lo: Long, hi: Long) extends InputPartition
 
-final class GraftStreamReaderFactory(required: StructType, conf: SerializableConfiguration,
-                                     changeFeed: Boolean) extends PartitionReaderFactory {
+final class GraftStreamReaderFactory(required: StructType, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftStreamPartition]
-    new GraftStreamReader(p.file, required, conf.value, changeFeed, p.lo, p.hi)
+    new GraftStreamReader(p.file, required, conf.value, p.lo, p.hi)
   }
 }
 
 /** Row reader for one delta/data file in a stream batch: reads the required
   * columns plus the bookkeeping columns (`lsn` for the range re-filter,
   * `deleted` for tombstone handling) and emits exactly the required
-  * columns. With `changeFeed` tombstone rows flow through (the `deleted`
-  * column is part of the schema); without it they are dropped — an
-  * upsert-only feed.
+  * columns. Tombstone rows flow through ONLY when the read schema carries
+  * the `deleted` column (keyed off the SCHEMA, not the option: a consumer
+  * without the flag — e.g. the catalog `readStream.table` path, or a
+  * projection that pruned it — could not tell deletes from upserts, so it
+  * gets the upsert-only feed).
   */
 final class GraftStreamReader(path: String, required: StructType, conf: Configuration,
-                              changeFeed: Boolean, lo: Long, hi: Long)
+                              lo: Long, hi: Long)
     extends PartitionReader[InternalRow] {
 
   private val extraNames =
@@ -146,6 +148,7 @@ final class GraftStreamReader(path: String, required: StructType, conf: Configur
   }
   private val lsnIdx = ext.indexWhere(_.name == "lsn")
   private val deletedIdx = ext.indexWhere(_.name == "deleted")
+  private val exposeDeleted = required.fieldNames.contains("deleted")
   private val cursor = new GroupRowCursor(path, ext, conf)
   private var current: InternalRow = _
 
@@ -154,7 +157,7 @@ final class GraftStreamReader(path: String, required: StructType, conf: Configur
       val lsn = cursor.values(lsnIdx).asInstanceOf[Long]
       val del = cursor.values(deletedIdx)
       val isDel = del != null && del == true
-      if (lsn > lo && lsn <= hi && (changeFeed || !isDel)) {
+      if (lsn > lo && lsn <= hi && (exposeDeleted || !isDel)) {
         current = new GenericInternalRow(java.util.Arrays.copyOfRange(
           cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
         return true

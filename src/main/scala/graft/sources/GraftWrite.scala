@@ -59,7 +59,8 @@ final class GraftV1Write(root: String, info: LogicalWriteInfo, doTruncate: Boole
       val events = data
         .drop("lang", "contentSha") // derived invariants: recomputed by clean()
         .withColumn("op", when(col("content").isNull, lit("D")).otherwise(lit("U")))
-      lake.merge(events, s"dsv2/${info.queryId}", 0L)
+      // no '/' in the cpId — it is part of ledger entry file names
+      lake.merge(events, s"dsv2-${info.queryId}", 0L)
     }
   }
 }
@@ -80,7 +81,19 @@ final class GraftV1Write(root: String, info: LogicalWriteInfo, doTruncate: Boole
 final class GraftStreamSink(spark: SparkSession, root: String,
                             parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
-  private val cpId = parameters.getOrElse("cpid", s"stream-sink")
+  /** Exactly-once key: distinct queries MUST NOT share one cpId (their
+    * batchIds would shadow each other), and one query must keep its cpId
+    * across restarts — so default to a digest of the checkpoint location
+    * (stable per query lifecycle, unique across queries). `cpid` option
+    * overrides for explicit control.
+    */
+  private val cpId = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    params.get("cpid")
+      .orElse(params.get("checkpointlocation").map(p =>
+        "sink-" + java.lang.Integer.toHexString(p.hashCode)))
+      .getOrElse("stream-sink")
+  }
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
     val lake = GraftWrite.lakeFor(spark, root, parameters.asJava)

@@ -160,11 +160,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     if (!fs.exists(vf)) None
     else {
       // VERSION is a last-writer-wins hint: under concurrent commits the
-      // flips can land out of order. Snapshot versions are DENSE (each
-      // commit creates exactly head+1 via create-exclusive), so probing
-      // forward from the hint always finds the true head.
-      var v = fs.readString(vf).trim.toInt
-      while (fs.exists(s"$metaDir/snap-${v + 1}.json")) v += 1
+      // flips can land out of order; probe to the dense head.
+      val v = LakeTable.headVersion(fs.exists, metaDir, fs.readString(vf).trim.toInt)
       Some(loadSnap(s"$metaDir/snap-$v.json"))
     }
   }
@@ -176,11 +173,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * (that IS the conflict) even if the winner hasn't flipped VERSION yet,
     * so probe the dense chain from v — never through the VERSION hint.
     */
-  private def reloadAfterConflict(v: Int): Snapshot = {
-    var h = v
-    while (fs.exists(s"$metaDir/snap-${h + 1}.json")) h += 1
-    loadSnap(s"$metaDir/snap-$h.json")
-  }
+  private def reloadAfterConflict(v: Int): Snapshot =
+    loadSnap(s"$metaDir/snap-${LakeTable.headVersion(fs.exists, metaDir, v)}.json")
 
   /** Time travel: live rows as of snapshot `version` (must still be
     * retained — see expireSnapshots). Historical files are read under THEIR
@@ -492,7 +486,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       try {
         if (stats.isEmpty) { // empty batch still commits (records the id)
           commitSnapshot(cur.copy(version = v,
-            committed = cur.withCommit(cpId, batchId)), cur, token)
+            committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId)), cur, token)
           return Seq.empty
         }
         val kept = mode match {
@@ -518,7 +512,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           schemaDdl = schemaDdl,
           nBuckets = nBuckets,
           files = kept ++ newEntries,
-          committed = cur.withCommit(cpId, batchId),
+          committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
           hwm = math.max(cur.hwm, batchHwm),
           totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
           mode = modeString(mode)
@@ -662,7 +656,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val v = cur.version + 1
         try {
           if (stats.isEmpty && dvCount == 0) {
-            commitSnapshot(cur.copy(version = v, committed = cur.withCommit(cpId, batchId)), cur, token)
+            commitSnapshot(cur.copy(version = v,
+              committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId)), cur, token)
             return Seq.empty
           }
           val schemaDdl = LakeTable.unionSchema(StructType.fromDDL(cur.schemaDdl), cleaned.schema).toDDL
@@ -673,7 +668,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             version = v,
             schemaDdl = schemaDdl,
             files = cur.files ++ newEntries,
-            committed = cur.withCommit(cpId, batchId),
+            committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
             hwm = math.max(cur.hwm, batchHwm),
             totalRows = cur.totalRows + newEntries.map(_.rows).sum,
             dvFiles = cur.dvFiles ++ dvPaths,
@@ -907,21 +902,26 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
   /** Filter-based delete: tombstone every live row matching `cond`, applied
     * through the ordinary merge path (one op='D' event per victim at
-    * `hwm + 1`, so the deletes win every per-key resolve and replays stay
-    * order-robust). DV-mode tables get positional deletion vectors — a
-    * large DELETE writes O(victims), never a bucket rewrite. Backs the DSv2
-    * `SupportsDelete` surface (SQL `DELETE FROM graft.` + WHERE).
+    * `hwm + 1`, so the deletes beat everything already applied). The
+    * tombstone's commit id starts with '!' — BELOW every real commit sha in
+    * the (lsn, commit) ordering — so if the upstream WAL later delivers a
+    * genuine event at the same dense lsn, the REAL event wins the tie
+    * deterministically (the delete is "as of now", never "over the
+    * future"). cpId is unique per invocation, so concurrent DELETEs can
+    * never swallow each other through the exactly-once set; the entry is
+    * pruned from snapshot metadata once a later commit lands (one-shot
+    * commits don't accrete, see pruneEphemeralCommits). DV-mode tables get
+    * positional deletion vectors — a large DELETE writes O(victims), never
+    * a bucket rewrite. Backs the DSv2 `SupportsDelete` surface.
     */
   def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
     val snap = currentSnapshot().getOrElse(return)
     val delLsn = snap.hwm + 1
     val events = read().where(cond).select(
       lit(delLsn).as("lsn"), lit("D").as("op"), col("repo"), col("path"),
-      lit(s"delete-v${snap.version + 1}").as("commit"),
+      lit(s"!delete-v${snap.version + 1}").as("commit"),
       lit(null).cast("string").as("content"))
-    // batchId = snapshot version: monotonic per call (every merge bumps the
-    // version), so repeated deletes never collide with the exactly-once set
-    merge(events, "delete", snap.version.toLong)
+    merge(events, s"delete-${LakeTable.newToken}", 0L)
   }
 
   /** Snapshot expiry: keep the latest `keep` snapshots; delete older
@@ -1006,6 +1006,26 @@ object LakeTable {
 
   /** writer-unique suffix for attempt-scoped commit artifacts */
   def newToken: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** ONE-SHOT commit ids (ad-hoc DSv2 INSERTs `dsv2-*`, filter deletes
+    * `delete-*`) are only replayable within their own statement — once any
+    * LATER commit lands they are dead weight, so each commit prunes the
+    * ones that aren't its own. Keeps snapshot metadata O(live checkpoints),
+    * not O(statements ever executed).
+    */
+  def pruneEphemeralCommits(m: Map[String, CommitState], current: String): Map[String, CommitState] =
+    m.filter { case (k, _) =>
+      k == current || !(k.startsWith("dsv2-") || k.startsWith("delete-"))
+    }
+
+  /** VERSION is a last-writer-wins hint; snapshot versions are dense, so
+    * the true head is the hint probed forward (shared by every reader).
+    */
+  def headVersion(exists: String => Boolean, metaDir: String, hint: Int): Int = {
+    var v = hint
+    while (exists(s"$metaDir/snap-${v + 1}.json")) v += 1
+    v
+  }
 
   def modeName(m: ApplyMode.Value): String = m match {
     case ApplyMode.MergeOnRead    => "mor"

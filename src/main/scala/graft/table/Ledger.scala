@@ -21,7 +21,10 @@ final class Ledger(root: String, fs: Fs) {
     ).mkString("[", ",", "]")
     val json =
       s"""{"checkpointId":"${e.cpId}","batchId":${e.batchId},"appliedLsnHwm":${e.appliedLsnHwm},"liveRows":${e.liveRows},"tombstoneRows":${e.tombstoneRows},"batchRows":${e.batchRows},"staleRows":${e.staleRows},"buckets":$buckets}"""
-    fs.atomicWrite(s"$dir/entry-${e.cpId}-${e.batchId}.json", json)
+    // cpIds are caller-supplied: keep entry files FLAT (entries() lists one
+    // level) whatever characters the id carries
+    val safeCp = e.cpId.replaceAll("[^A-Za-z0-9_.-]", "_")
+    fs.atomicWrite(s"$dir/entry-$safeCp-${e.batchId}.json", json)
   }
 
   def entries(): Seq[String] =

@@ -122,6 +122,30 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got(spark.table("tail_cat")) == expectedFeed(includeDeletes = false))
   }
 
+  test("two independent sink queries into one table do not shadow each other") {
+    val bronze = buildMor()
+    val target = tmpDir("sink2q")
+    def pipe(cpTag: String, lo: Long, hi: Long): Unit = {
+      val q = spark.readStream.format("graft").option("changeFeed", "true").load(bronze.root)
+        .where(col("lsn").between(lo, hi))
+        .select(col("repo"), col("path"), col("commit"),
+          col("lang"), col("content"), col("contentSha"), col("lsn"))
+        .writeStream.format("graft")
+        .option("path", target).option("create", "true").option("mode", "mor")
+        .option("buckets", "4").option("checkpointLocation", tmpDir(cpTag))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // both queries deliver batchId 0,1,... — distinct checkpoints must map
+    // to distinct exactly-once keys or the second query's batches vanish
+    pipe("cpA", 1, per)
+    pipe("cpB", per + 1, cfg.events)
+    val t = new LakeTable(spark, target)
+    val expect = new LakeTable(spark, bronze.root).read().count()
+    assert(t.read().count() == expect,
+      "second query's batches must not be swallowed by the first query's commit ids")
+  }
+
   test("medallion loop: bronze tail → transform → graft streaming SINK (silver)") {
     val bronze = buildMor()
     val silver = tmpDir("silver")

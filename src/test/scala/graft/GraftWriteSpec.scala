@@ -53,6 +53,58 @@ class GraftWriteSpec extends SparkSpec {
     assert(t.read().where(col("contentSha") === "untrusted").isEmpty)
   }
 
+  test("one-shot dsv2 commit entries are pruned; ledger entries stay visible") {
+    val dir = tmpDir("wprune")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until 3).foreach { i =>
+      tableShape(wal.where(pmod(col("lsn"), lit(3)) === i))
+        .write.format("graft").option("create", "true").option("buckets", "4")
+        .mode("append").save(dir)
+    }
+    val t = new LakeTable(spark, dir)
+    val snap = t.currentSnapshot().get
+    assert(snap.committed.keys.count(_.startsWith("dsv2-")) == 1,
+      s"earlier one-shot entries must be pruned, got ${snap.committed.keys}")
+    // cpId carries a UUID — ledger entry files must still land FLAT
+    assert(t.ledger.entries().size == 3, "every DSv2 commit must be visible in the ledger")
+  }
+
+  test("batch changeFeed read exposes real tombstones") {
+    val dir = tmpDir("wcf")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal).write.format("graft").option("create", "true").option("buckets", "4")
+      .mode("append").save(dir)
+    val cf = spark.read.format("graft").option("changeFeed", "true").load(dir)
+    assert(cf.columns.contains("deleted"))
+    assert(cf.where(col("deleted")).count() > 0, "tombstone winners must surface")
+    assert(collectSorted(cf.where(!col("deleted")).drop("deleted")
+        .select("repo", "path", "commit", "lang", "contentSha", "lsn")) ==
+      stateOf(new LakeTable(spark, dir)).map(identity), // live part unchanged
+      "live rows must match the plain read")
+  }
+
+  test("a real event at the delete's lsn beats the tombstone (delete is 'as of now')") {
+    val dir = tmpDir("wdeltie")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal).write.format("graft").option("create", "true").option("buckets", "4")
+      .mode("append").save(dir)
+    val t = new LakeTable(spark, dir)
+    val victim = t.read().orderBy("repo", "path").select("repo", "path").head()
+    t.deleteWhere(col("repo") === victim.getString(0) && col("path") === victim.getString(1))
+    assert(t.read().where(col("repo") === victim.getString(0) &&
+      col("path") === victim.getString(1)).isEmpty)
+    val tieLsn = t.currentSnapshot().get.hwm // the tombstone's lsn
+    // upstream delivers a GENUINE event at the same dense lsn: it must win
+    import spark.implicits._
+    val revive = Seq((tieLsn, "U", victim.getString(0), victim.getString(1),
+        "aaaa0000aaaa0000aaaa0000aaaa0000aaaa0000", "revived-content"))
+      .toDF("lsn", "op", "repo", "path", "commit", "content")
+    t.merge(revive, "revive", 0L)
+    val row = t.read().where(col("repo") === victim.getString(0) &&
+      col("path") === victim.getString(1))
+    assert(row.count() == 1, "the real event must beat the '!'-prefixed tombstone on an lsn tie")
+  }
+
   test("null content tombstones a live key (Kafka-compaction convention)") {
     val dir = tmpDir("wtomb")
     val wal = ChangeLogGen.changeLog(spark, cfg)
