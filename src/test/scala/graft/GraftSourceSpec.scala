@@ -138,6 +138,32 @@ class GraftSourceSpec extends SparkSpec {
       collectSorted(t.read().select(cols.map(col): _*)))
   }
 
+  test("scan reports planner statistics; lsn pruning shrinks them proportionally") {
+    val t = buildCow()
+    def statsOf(df: org.apache.spark.sql.DataFrame) = {
+      val scan = df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftScan]
+      scan.estimateStatistics()
+    }
+    val full = statsOf(spark.read.format("graft").load(t.root).select("repo", "lsn"))
+    val snap = t.currentSnapshot().get
+    assert(full.numRows.getAsLong == snap.totalRows)
+    assert(full.sizeInBytes.getAsLong > 0)
+    // prunable shape: a later single-key commit leaves the other buckets'
+    // files wholly below the cursor
+    val t2 = new LakeTable(spark, tmpDir("dsv2stat"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t2.merge(wal.where(col("lsn") <= 2000), "st", 0L)
+    t2.merge(wal.where(col("lsn") === 3500), "st", 1L)
+    val full2 = statsOf(spark.read.format("graft").load(t2.root).select("repo", "lsn"))
+    val pruned = statsOf(spark.read.format("graft").load(t2.root)
+      .where(col("lsn") >= 3000).select("repo", "lsn"))
+    assert(full2.numRows.getAsLong == t2.currentSnapshot().get.totalRows)
+    assert(pruned.numRows.getAsLong < full2.numRows.getAsLong,
+      "file-level pruning must shrink the estimate")
+    assert(pruned.numRows.getAsLong > 0, "a non-empty pruned scan must never estimate 0 rows")
+  }
+
   test("vectorized columnar scan is the default; row fallback agrees") {
     val t = buildCow()
     val df = spark.read.format("graft").load(t.root)
