@@ -231,6 +231,33 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** Filter-based UPDATE through the table API: rewrite every live python
+    * file's content to its first 32-char block, as new versions at hwm+1
+    * through the ordinary merge (contentSha recomputed). State must equal
+    * the replay oracle with the same conditional transform.
+    */
+  def q48Update(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val dirT = s"$LakeRoot/sm_upd"
+    val t = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t.currentSnapshot().exists(sn =>
+      sn.hwm == smCfg.events + 1 && sn.committed.keys.exists(_.startsWith("update-")))
+    if (!ok) {
+      deleteRec(dirT)
+      val fresh = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
+      val wal = s.read.parquet(smWal)
+      val per = smCfg.events / smBatches
+      (0 until smBatches).foreach { i =>
+        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smupd", i.toLong)
+      }
+      fresh.updateWhere(col("lang") === "python",
+        Map("content" -> substring(col("content"), 1, 32)))
+    }
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
   /** publish-layer rollup over the snapshot (A1 over the lake). */
   def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
     smLake(s).read()
@@ -395,6 +422,23 @@ object CdcQueries {
     "q30_dsv2" -> s"""
       SELECT ${LangRules.langSqlCase("path")} AS lang, count(*) AS n, max(lsn) AS max_lsn
       FROM ($liveSql) WHERE lsn > 25000 GROUP BY 1 ORDER BY 1""",
+    // replay + the conditional update transform: python files' content
+    // truncated to the first 32-char block, commits untouched (the update
+    // re-emits the same commit? no — the update's synthetic commit is not
+    // selected here because cdc-style output keys on the LATEST row's
+    // commit; the oracle mirrors that by replacing the commit with the
+    // update marker for python rows)
+    "q48_update" -> s"""
+      SELECT repo, path,
+             CASE WHEN ${LangRules.langSqlCase("path")} = 'python'
+                  THEN '!update-v6' ELSE "commit" END AS "commit",
+             ${LangRules.langSqlCase("path")} AS lang,
+             CASE WHEN ${LangRules.langSqlCase("path")} = 'python'
+                  THEN sha256(substr(content, 1, 32)) ELSE sha256(content) END AS content_sha
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""",
     // silver = the replay with the tail→sink transform (first 64-char
     // content block) applied to every surviving live row
     "q47_medallion" -> s"""
@@ -437,6 +481,7 @@ object CdcQueries {
     "q45_sql_delete" -> q45SqlDelete _,
     "q46_cdc_tail" -> q46CdcTail _,
     "q47_medallion" -> q47Medallion _,
+    "q48_update" -> q48Update _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

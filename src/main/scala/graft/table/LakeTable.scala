@@ -924,6 +924,33 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     merge(events, s"delete-${LakeTable.newToken}", 0L)
   }
 
+  /** Filter-based UPDATE: re-emit every live row matching `cond` as a new
+    * version at `hwm + 1` with the given column transforms applied
+    * (payload columns only — the key is immutable; `lang`/`contentSha`
+    * are derived and recomputed by the merge). Same "as of now" contract
+    * as deleteWhere: the '!'-prefixed commit loses an lsn tie to any
+    * genuine upstream event, and the one-shot commit id is pruned once a
+    * later commit lands. dv-mode tables pay O(victims), never a rewrite.
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val bad = set.keySet.intersect(Set("repo", "path", "lsn", "op", "commit", "deleted"))
+    require(bad.isEmpty, s"updateWhere cannot modify key/bookkeeping columns: ${bad.mkString(", ")}")
+    val snap = currentSnapshot().getOrElse(return)
+    val upLsn = snap.hwm + 1
+    def valueOf(c: String) = set.getOrElse(c, col(c))
+    val live = read()
+    // evolved payload columns ride along (transformed or as-is) — an
+    // update must never null-backfill what it didn't touch
+    val extras = live.columns.toSeq
+      .filterNot(Set("repo", "path", "commit", "lang", "content", "contentSha", "lsn"))
+    val events = live.where(cond).select(
+      Seq(lit(upLsn).as("lsn"), lit("U").as("op"), col("repo"), col("path"),
+        lit(s"!update-v${snap.version + 1}").as("commit"),
+        valueOf("content").as("content")) ++ extras.map(c => valueOf(c).as(c)): _*)
+    merge(events, s"update-${LakeTable.newToken}", 0L)
+  }
+
   /** Snapshot expiry: keep the latest `keep` snapshots; delete older
     * snapshot JSONs and any data file no retained snapshot references —
     * the storage-reclamation half of the never-overwrite commit scheme
@@ -1015,7 +1042,7 @@ object LakeTable {
     */
   def pruneEphemeralCommits(m: Map[String, CommitState], current: String): Map[String, CommitState] =
     m.filter { case (k, _) =>
-      k == current || !(k.startsWith("dsv2-") || k.startsWith("delete-"))
+      k == current || !(k.startsWith("dsv2-") || k.startsWith("delete-") || k.startsWith("update-"))
     }
 
   /** VERSION is a last-writer-wins hint; snapshot versions are dense, so

@@ -105,6 +105,31 @@ class GraftWriteSpec extends SparkSpec {
     assert(row.count() == 1, "the real event must beat the '!'-prefixed tombstone on an lsn tie")
   }
 
+  test("updateWhere re-emits new versions; untouched and evolved columns survive") {
+    val dir = tmpDir("wupd")
+    val t = new LakeTable(spark, dir, 4, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.withColumn("branch", lit("main")), "u", 0L) // evolved extra column
+    val before = t.read().count()
+    val victimLang = t.read().groupBy("lang").count().orderBy(desc("count")).head().getString(0)
+    val nVictims = t.read().where(col("lang") === victimLang).count()
+    t.updateWhere(col("lang") === victimLang,
+      Map("content" -> upper(col("content"))))
+    assert(t.read().count() == before, "update must not add or drop keys")
+    val updated = t.read().where(col("lang") === victimLang)
+    assert(updated.count() == nVictims)
+    // content transformed, sha recomputed, extras carried through
+    assert(updated.where(col("contentSha") =!= sha2(col("content"), 256)).isEmpty)
+    assert(updated.where(col("content") =!= upper(col("content"))).isEmpty,
+      "content must be the transformed value")
+    assert(updated.where(col("branch") =!= "main").isEmpty,
+      "evolved columns must survive an update untouched")
+    // key/bookkeeping columns are immutable
+    intercept[IllegalArgumentException] {
+      t.updateWhere(lit(true), Map("repo" -> lit("x")))
+    }
+  }
+
   test("null content tombstones a live key (Kafka-compaction convention)") {
     val dir = tmpDir("wtomb")
     val wal = ChangeLogGen.changeLog(spark, cfg)
