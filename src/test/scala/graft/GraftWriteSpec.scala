@@ -130,6 +130,24 @@ class GraftWriteSpec extends SparkSpec {
     }
   }
 
+  test("dv-mode updateWhere writes O(victims): new versions + DVs, no rewrite") {
+    val dir = tmpDir("wupddv")
+    val t = new LakeTable(spark, dir, 4, ApplyMode.DeletionVector)
+    t.merge(ChangeLogGen.changeLog(spark, cfg), "ud", 0L)
+    val snap0 = t.currentSnapshot().get
+    val victimLang = t.read().groupBy("lang").count().orderBy(desc("count")).head().getString(0)
+    val nVictims = t.read().where(col("lang") === victimLang).count()
+    t.updateWhere(col("lang") === victimLang, Map("content" -> upper(col("content"))))
+    val snap1 = t.currentSnapshot().get
+    assert(snap0.files.map(_.path).toSet.subsetOf(snap1.files.map(_.path).toSet),
+      "dv update must keep every existing data file")
+    val newRows = snap1.files.map(_.rows).sum - snap0.files.map(_.rows).sum
+    assert(newRows == nVictims, s"dv update must write exactly the victims, wrote $newRows")
+    assert(snap1.dvRows - snap0.dvRows == nVictims, "each victim's old position goes dead")
+    assert(t.read().where(col("lang") === victimLang)
+      .where(col("content") =!= upper(col("content"))).isEmpty)
+  }
+
   test("null content tombstones a live key (Kafka-compaction convention)") {
     val dir = tmpDir("wtomb")
     val wal = ChangeLogGen.changeLog(spark, cfg)
