@@ -232,7 +232,7 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
                       options: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
   // snapshot-stored paths are root-relative (relocatable tables)
-  private def resolve(p: String): String = if (p.startsWith("data/")) s"$root/$p" else p
+  private def resolve(p: String): String = graft.table.LakeTable.resolveUnder(root, p)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 

@@ -50,14 +50,28 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     SparkSession.active.sessionState.newHadoopConf())
   private val startLsn = options.getOrElse("startlsn", "0").toLong
   private val maxPerTrigger = options.get("maxlsnspertrigger").map(_.toLong)
-  private val changeFeed = options.get("changefeed").exists(_.toBoolean)
 
   private def fs = new Fs(conf.value)
+  /** latest snapshot; a registered-but-unwritten table (no VERSION yet)
+    * tails as empty from offset 0 instead of crashing the query
+    */
+  private def loadSnapshot(): Snapshot = {
+    val f = fs
+    if (!f.exists(s"$root/meta/VERSION"))
+      return Snapshot(0, graft.model.Schemas.repoRow.toDDL, 32, Seq.empty, Map.empty, 0L, 0L)
+    val v = graft.table.LakeTable.headVersion(f.exists, s"$root/meta",
+      f.readString(s"$root/meta/VERSION").trim.toInt)
+    SnapshotIO.read(f.readString(s"$root/meta/snap-$v.json"),
+      mp => f.readString(s"$root/$mp"))
+  }
+  /** one snapshot load per trigger: latestOffset anchors it; the planning
+    * and progress calls in the same trigger reuse it (3x fewer metadata
+    * round-trips per micro-batch on object stores)
+    */
+  @volatile private var triggerSnap: Snapshot = _
   private def snapshot(): Snapshot = {
-    val v = graft.table.LakeTable.headVersion(fs.exists, s"$root/meta",
-      fs.readString(s"$root/meta/VERSION").trim.toInt)
-    SnapshotIO.read(fs.readString(s"$root/meta/snap-$v.json"),
-      mp => fs.readString(s"$root/$mp"))
+    val s = triggerSnap
+    if (s != null) s else { val fresh = loadSnapshot(); triggerSnap = fresh; fresh }
   }
 
   override def initialOffset(): Offset = GraftOffset(startLsn)
@@ -72,8 +86,10 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     * next run.
     */
   private var availableNowTarget: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(snapshot().hwm)
+  override def prepareForTriggerAvailableNow(): Unit = {
+    triggerSnap = loadSnapshot()
+    availableNowTarget = Some(triggerSnap.hwm)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
@@ -86,7 +102,8 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     * tail
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val hwm = availableNowTarget.getOrElse(snapshot().hwm)
+    if (availableNowTarget.isEmpty) triggerSnap = loadSnapshot() // fresh anchor per trigger
+    val hwm = availableNowTarget.getOrElse(triggerSnap.hwm)
     val from = start.asInstanceOf[GraftOffset].lsn
     maxPerTrigger match {
       case Some(n) => GraftOffset(math.min(hwm, from + n))
@@ -103,7 +120,7 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     // (lo, hi] re-filter in the reader makes boundary files exact
     snap.files.filter(f => f.maxLsn > lo && f.minLsn <= hi)
       .map(f => GraftStreamPartition(
-        if (f.path.startsWith("data/")) s"$root/${f.path}" else f.path, lo, hi): InputPartition)
+        graft.table.LakeTable.resolveUnder(root, f.path), lo, hi): InputPartition)
       .toArray
   }
 

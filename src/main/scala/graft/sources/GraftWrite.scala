@@ -55,12 +55,14 @@ final class GraftV1Write(root: String, info: LogicalWriteInfo, doTruncate: Boole
     override def insert(data: DataFrame, overwrite: Boolean): Unit = {
       val spark = data.sparkSession
       val lake = GraftWrite.lakeFor(spark, root, info.options.asCaseSensitiveMap())
-      if (doTruncate || overwrite) lake.truncate()
       val events = data
         .drop("lang", "contentSha") // derived invariants: recomputed by clean()
         .withColumn("op", when(col("content").isNull, lit("D")).otherwise(lit("U")))
       // no '/' in the cpId — it is part of ledger entry file names
-      lake.merge(events, s"dsv2-${info.queryId}", 0L)
+      if (doTruncate || overwrite)
+        lake.overwrite(events, s"dsv2-${info.queryId}", 0L) // ONE atomic replace commit
+      else
+        lake.merge(events, s"dsv2-${info.queryId}", 0L)
     }
   }
 }
@@ -83,17 +85,20 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     extends org.apache.spark.sql.execution.streaming.Sink {
   /** Exactly-once key: distinct queries MUST NOT share one cpId (their
     * batchIds would shadow each other), and one query must keep its cpId
-    * across restarts — so default to a digest of the checkpoint location
-    * (stable per query lifecycle, unique across queries). `cpid` option
-    * overrides for explicit control.
+    * across restarts. Resolution order: explicit `cpid` option → the
+    * STREAMING QUERY ID (Spark sets it as a thread-local property during
+    * addBatch; it is persisted in the checkpoint, so it is stable across
+    * restarts and unique across queries — the Delta sink's identity) →
+    * a digest of the checkpointLocation option.
     */
-  private val cpId = {
-    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private def cpIdFor(spark: SparkSession): String =
     params.get("cpid")
+      .orElse(Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+        .map("sink-" + _))
       .orElse(params.get("checkpointlocation").map(p =>
         "sink-" + java.lang.Integer.toHexString(p.hashCode)))
       .getOrElse("stream-sink")
-  }
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
     val lake = GraftWrite.lakeFor(spark, root, parameters.asJava)
@@ -104,7 +109,7 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     val events = batch
       .drop("lang", "contentSha")
       .withColumn("op", when(col("content").isNull, lit("D")).otherwise(lit("U")))
-    lake.merge(events, cpId, batchId)
+    lake.merge(events, cpIdFor(spark), batchId)
   }
   override def toString: String = s"GraftStreamSink[$root]"
 }
@@ -117,8 +122,13 @@ object GraftWrite {
     */
   def lakeFor(spark: SparkSession, root: String,
               options: java.util.Map[String, String]): LakeTable = {
-    val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(32)
-    val mode = graft.table.LakeTable.modeOf(Option(options.get("mode")).getOrElse("cow"))
+    // normalize: callers pass maps of varying case sensitivity, and a
+    // missed `Mode`/`Buckets` on the CREATING write would fix the wrong
+    // layout permanently
+    import scala.jdk.CollectionConverters._
+    val o = options.asScala.map { case (k, v) => k.toLowerCase -> v }
+    val buckets = o.get("buckets").map(_.toInt).getOrElse(32)
+    val mode = graft.table.LakeTable.modeOf(o.getOrElse("mode", "cow"))
     new LakeTable(spark, root, buckets, mode)
   }
 

@@ -60,7 +60,14 @@ final class Fs(@transient private val conf: Configuration) extends Serializable 
         // delete-then-rename otherwise (documented non-atomic window).
         if (!f.rename(tmp, p)) {
           f.delete(p, false)
-          require(f.rename(tmp, p), s"rename failed: $tmp -> $p")
+          if (!f.rename(tmp, p)) {
+            // last resort: rewrite the destination directly from the content
+            // we still hold — a failure here must leave p PRESENT (a
+            // destroyed VERSION pointer would make the whole table vanish)
+            val o = f.create(p, true)
+            try o.write(content.getBytes(StandardCharsets.UTF_8)) finally o.close()
+            f.delete(tmp, false)
+          }
         }
     }
   }

@@ -145,7 +145,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   /** resolve a snapshot-stored path against this root (relative "data/..."
     * = relocatable v2 form; anything else = pre-upgrade absolute)
     */
-  def resolvePath(p: String): String = if (p.startsWith("data/")) s"$root/$p" else p
+  def resolvePath(p: String): String = LakeTable.resolveUnder(root, p)
 
   // ---- snapshot IO -------------------------------------------------------
 
@@ -879,6 +879,73 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
   }
 
+  /** Atomic table REPLACE: apply the batch as the complete new contents in
+    * ONE commit — the overwrite semantics of `INSERT OVERWRITE` /
+    * SaveMode.Overwrite. (Truncate-then-merge would be two commits: a
+    * crash between them leaves the table permanently empty, and concurrent
+    * readers observe an empty table mid-overwrite.) Exactly-once like
+    * merge; a lost commit race simply re-commits on the new head —
+    * overwrite is last-writer-wins by definition, so a re-point is always
+    * safe. The apply mode and layout survive; DV sidecars are cleared
+    * (nothing they reference remains live).
+    */
+  def overwrite(events: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+    val snap = currentSnapshot()
+    if (snap.exists(_.isCommitted(cpId, batchId))) return Seq.empty
+    val prev = snap.getOrElse(emptySnapshot)
+    val nBuckets = snap.map(_.nBuckets).getOrElse(defaultBuckets)
+    val theMode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
+    val token = LakeTable.newToken
+    val commitDir = s"$dataDir/c${prev.version + 1}-$token"
+    val cleaned = clean(events)
+    val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
+    val resolved = bucketResolve(cleaned.withColumn("b", bCol), nBuckets)
+    resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    val stats = footerStats(commitDir)
+    val newEntries = stats.flatMap { st =>
+      listParquet(fs, s"$commitDir/b=${st.bucket}")
+        .map(fp => FileEntry(st.bucket, LakeTable.relPath(fp), st.rows, st.minLsn, st.maxLsn))
+    }
+    val tombstones =
+      if (stats.isEmpty) 0L
+      else {
+        val r = spark.read.parquet(commitDir)
+          .agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    val batchSchema = resolved.drop("b").schema
+    val batchHwm = if (stats.isEmpty) Long.MinValue else stats.map(_.maxLsn).max
+    var curOpt: Option[Snapshot] = snap
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = curOpt.getOrElse(emptySnapshot)
+      val v = cur.version + 1
+      try {
+        val prevSchema = curOpt.map(x => StructType.fromDDL(x.schemaDdl))
+        val schemaDdl = prevSchema.fold(batchSchema)(x => LakeTable.unionSchema(x, batchSchema)).toDDL
+        val total = stats.map(_.rows).sum
+        ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(cur.hwm, batchHwm),
+          total - tombstones, tombstones, total, 0L))
+        commitSnapshot(Snapshot(
+          version = v, schemaDdl = schemaDdl, nBuckets = nBuckets,
+          files = newEntries,
+          committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
+          hwm = math.max(cur.hwm, batchHwm),
+          totalRows = total,
+          mode = modeString(theMode)
+        ), cur, token)
+        return stats
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          val reloaded = reloadAfterConflict(v)
+          if (reloaded.isCommitted(cpId, batchId)) { fs.deleteRecursive(commitDir); return Seq.empty }
+          curOpt = Some(reloaded) // replace-all: always re-pointable
+      }
+    }
+    throw new CommitConflictException(s"overwrite($cpId/$batchId): lost $attempts commit races")
+  }
+
   /** Truncate: a metadata-only commit with an EMPTY file set (no data IO —
     * old files stay until `expireSnapshots` reclaims them, so time travel
     * to pre-truncate snapshots still works). Schema, layout, apply mode,
@@ -934,12 +1001,18 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def updateWhere(cond: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column]): Unit = {
-    val bad = set.keySet.intersect(Set("repo", "path", "lsn", "op", "commit", "deleted"))
-    require(bad.isEmpty, s"updateWhere cannot modify key/bookkeeping columns: ${bad.mkString(", ")}")
     val snap = currentSnapshot().getOrElse(return)
     val upLsn = snap.hwm + 1
     def valueOf(c: String) = set.getOrElse(c, col(c))
     val live = read()
+    // only assignable payload columns: keys/bookkeeping are immutable,
+    // lang/contentSha are DERIVED (recomputed by the merge) — rejecting
+    // everything else also catches typos instead of silently no-opping
+    val assignable = live.columns.toSet -- Set("repo", "path", "commit", "lang", "contentSha", "lsn")
+    val bad = set.keySet -- assignable - "content"
+    require(bad.isEmpty,
+      s"updateWhere can only set ${("content" +: assignable.toSeq.sorted).mkString(", ")}; " +
+        s"rejected: ${bad.mkString(", ")} (keys are immutable; lang/contentSha are derived)")
     // evolved payload columns ride along (transformed or as-is) — an
     // update must never null-backfill what it didn't touch
     val extras = live.columns.toSeq
@@ -956,7 +1029,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * the storage-reclamation half of the never-overwrite commit scheme
     * (time travel across retained snapshots stays intact).
     */
-  def expireSnapshots(keep: Int = 2): Unit = {
+  def expireSnapshots(keep: Int = 2, emptyDirGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val cur = currentSnapshot().getOrElse(return)
     val all = (1 to cur.version).flatMap { v =>
       val p = s"$metaDir/snap-$v.json"
@@ -973,9 +1046,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       s.manifests.map(_._2).filterNot(liveManifests).foreach(mp => fs.delete(s"$root/$mp"))
       fs.delete(s"$metaDir/snap-$v.json")
     }
+    // only markers/empty dirs left → reclaim the whole commit dir; the age
+    // guard protects a concurrent writer's just-created attempt dir that
+    // has not written its first part file yet (same race vacuumOrphans
+    // guards against)
+    val cutoff = System.currentTimeMillis() - emptyDirGraceMs
     fs.listDirs(dataDir).foreach { c =>
-      // only markers/empty dirs left → reclaim the whole commit dir
-      if (fs.countFilesRecursive(c, _.endsWith(".parquet")) == 0) fs.deleteRecursive(c)
+      if (fs.countFilesRecursive(c, _.endsWith(".parquet")) == 0 && fs.mtime(c) <= cutoff)
+        fs.deleteRecursive(c)
     }
   }
 
@@ -1030,6 +1108,13 @@ object LakeTable {
     val i = p.lastIndexOf("/data/")
     if (i >= 0) p.substring(i + 1) else p
   }
+
+  /** resolve a snapshot-stored path against a table root (relative
+    * "data/..." = relocatable v2 form; anything else = pre-upgrade
+    * absolute) — the ONE place the relativisation scheme is interpreted
+    */
+  def resolveUnder(root: String, p: String): String =
+    if (p.startsWith("data/")) s"$root/$p" else p
 
   /** writer-unique suffix for attempt-scoped commit artifacts */
   def newToken: String = java.util.UUID.randomUUID().toString.take(8)
