@@ -50,11 +50,23 @@ class GraftCatalog extends TableCatalog {
   private def dirOf(ident: Identifier): String = {
     require(ident.namespace.length <= 1,
       s"graft catalog: at most one namespace level, got ${ident.namespace.mkString(".")}")
+    // identifier segments become PATH segments under the warehouse root: a
+    // backquoted SQL identifier carrying '/', '\' or '..' would escape the
+    // root (and dropTable would then deleteRecursive an arbitrary path) —
+    // reject anything that is not a plain single path segment
+    checkSegments(ident.namespace.toSeq :+ ident.name)
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  }
+  private def checkSegments(segs: Seq[String]): Unit = segs.foreach { seg =>
+    require(seg.nonEmpty && seg != "." && seg != ".." &&
+        !seg.contains('/') && !seg.contains('\\'),
+      s"graft catalog: illegal identifier segment '$seg' " +
+        "(empty, '.', '..', '/' and '\\' are not allowed in table or namespace names)")
   }
   private def propsPath(dir: String) = s"$dir/table.properties.json"
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkSegments(namespace.toSeq)
     val base = (root +: namespace.toSeq).mkString("/")
     if (!fs.exists(base)) Array.empty
     else fs.listDirs(base)

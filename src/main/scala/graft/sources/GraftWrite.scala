@@ -92,13 +92,29 @@ final class GraftStreamSink(spark: SparkSession, root: String,
     * a digest of the checkpointLocation option.
     */
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+  // ONE-SHOT prefixes are reserved for the engine's internal ephemeral
+  // commits (pruned from snapshot metadata as soon as any later commit
+  // lands — see LakeTable.pruneEphemeralCommits). A user-chosen streaming
+  // cpid like "update-feed" would lose its exactly-once CommitState at the
+  // next commit and re-apply batches after a restart; reject it up front.
+  params.get("cpid").foreach { id =>
+    val clash = GraftWrite.reservedCpIdPrefixes.find(id.startsWith)
+    require(clash.isEmpty,
+      s"graft sink: cpid '$id' uses the reserved one-shot prefix '${clash.get}' " +
+        "(engine-internal commits are pruned from the exactly-once state; pick another id)")
+  }
   private def cpIdFor(spark: SparkSession): String =
     params.get("cpid")
       .orElse(Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
         .map("sink-" + _))
       .orElse(params.get("checkpointlocation").map(p =>
         "sink-" + java.lang.Integer.toHexString(p.hashCode)))
-      .getOrElse("stream-sink")
+      // NEVER fall back to a shared constant: two anonymous queries sharing
+      // one exactly-once key silently drop each other's batches (the first
+      // query's hwm makes the second query's batches look already-committed)
+      .getOrElse(throw new IllegalStateException(
+        "graft sink: cannot derive a unique exactly-once id for this query — " +
+          "set .option(\"cpid\", <stable unique id>) or .option(\"checkpointLocation\", ...)"))
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
     val lake = GraftWrite.lakeFor(spark, root, parameters.asJava)
@@ -115,6 +131,12 @@ final class GraftStreamSink(spark: SparkSession, root: String,
 }
 
 object GraftWrite {
+  /** cpId prefixes reserved for engine-internal one-shot commits (see
+    * LakeTable.pruneEphemeralCommits) — user-supplied exactly-once ids must
+    * not collide with them.
+    */
+  val reservedCpIdPrefixes: Seq[String] = Seq("dsv2-", "delete-", "update-", "merge-")
+
   /** Open the lake for a write: `mode`/`buckets` options only matter on the
     * CREATING write (an existing table reads its layout back from the
     * snapshot and ignores constructor args — reopening with different

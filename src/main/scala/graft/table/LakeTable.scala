@@ -1031,10 +1031,13 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def expireSnapshots(keep: Int = 2, emptyDirGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val cur = currentSnapshot().getOrElse(return)
-    val all = (1 to cur.version).flatMap { v =>
-      val p = s"$metaDir/snap-$v.json"
-      if (fs.exists(p)) Some(v -> loadSnap(p)) else None
-    }
+    // existing snapshots form the dense range [lo, version] (commits append,
+    // expiry removes a prefix) — probe DOWNWARD from the head instead of
+    // enumerating 1..version, so metadata reads are O(existing snapshots)
+    // = O(keep + newly-expired), not O(commits ever made). A year-old
+    // streaming table at version 50k with keep=2 reads 3 files, not 50k.
+    val all = LakeTable.existingVersions(fs.exists, metaDir, cur.version)
+      .map(v => v -> loadSnap(s"$metaDir/snap-$v.json"))
     val retained = all.filter(_._1 > cur.version - keep)
     val live: Set[String] =
       retained.flatMap(x => x._2.files.map(_.path) ++ x._2.dvFiles).toSet
@@ -1057,12 +1060,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
   }
 
-  /** Reclaim commit data directories no RETAINED snapshot references —
-    * the orphans a crashed or conflict-aborted optimistic-commit attempt
-    * leaves behind (its files were written but its snapshot never won).
-    * The age guard protects in-flight writers: an attempt directory
+  /** Reclaim commit artifacts no EXISTING snapshot references — the
+    * orphans a crashed or conflict-aborted optimistic-commit attempt
+    * leaves behind (its files were written but its snapshot never won):
+    * commit DATA directories, and manifest JSONs under meta/ (a crash
+    * between the manifest write and the snapshot create leaves the
+    * manifest forever — commitSnapshot only deletes it on a cleanly-caught
+    * conflict). The age guard protects in-flight writers: an artifact
     * younger than `olderThanMs` may still be racing toward its commit.
-    * Returns the number of directories removed.
+    * Snapshot reads probe downward from the head — O(existing snapshots),
+    * not O(commits ever made). Returns the number of artifacts removed.
     */
   def vacuumOrphans(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val cur = currentSnapshot().getOrElse(return 0)
@@ -1073,20 +1080,22 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       if (i < 0) None
       else Some(p.substring(i + 6).takeWhile(_ != '/')).filter(_.nonEmpty)
     }
-    val referenced: Set[String] = (1 to cur.version).flatMap { v =>
-      val p = s"$metaDir/snap-$v.json"
-      if (!fs.exists(p)) Nil
-      else {
-        val s = loadSnap(p)
-        (s.files.map(_.path) ++ s.dvFiles).map(resolvePath).flatMap(segOf)
-      }
-    }.toSet
+    val snaps = LakeTable.existingVersions(fs.exists, metaDir, cur.version)
+      .map(v => loadSnap(s"$metaDir/snap-$v.json"))
+    val referenced: Set[String] =
+      snaps.flatMap(s => (s.files.map(_.path) ++ s.dvFiles).map(resolvePath).flatMap(segOf)).toSet
+    val liveManifests: Set[String] =
+      snaps.flatMap(_.manifests.map(m => new org.apache.hadoop.fs.Path(m._2).getName)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val victims = fs.listDirs(dataDir)
       .filterNot(d => segOf(d).exists(referenced))
       .filter(d => fs.mtime(d) <= cutoff)
     victims.foreach(fs.deleteRecursive)
-    victims.size
+    val manOrphans = fs.listFiles(metaDir, n => n.startsWith("man-") && n.endsWith(".json"))
+      .filterNot(p => liveManifests(new org.apache.hadoop.fs.Path(p).getName))
+      .filter(p => fs.mtime(p) <= cutoff)
+    manOrphans.foreach(fs.delete)
+    victims.size + manOrphans.size
   }
 
   private def emptySnapshot =
@@ -1127,8 +1136,20 @@ object LakeTable {
     */
   def pruneEphemeralCommits(m: Map[String, CommitState], current: String): Map[String, CommitState] =
     m.filter { case (k, _) =>
-      k == current || !(k.startsWith("dsv2-") || k.startsWith("delete-") || k.startsWith("update-"))
+      k == current || !(k.startsWith("dsv2-") || k.startsWith("delete-") ||
+        k.startsWith("update-") || k.startsWith("merge-"))
     }
+
+  /** The versions whose snapshot JSON still exists, probed DOWNWARD from
+    * the head: existing snapshots form a dense range [lo, head] (commits
+    * append at the top, expiry removes a prefix), so this costs O(existing)
+    * exists-probes — never O(head). Ascending order.
+    */
+  def existingVersions(exists: String => Boolean, metaDir: String, head: Int): Seq[Int] = {
+    var lo = head
+    while (lo > 1 && exists(s"$metaDir/snap-${lo - 1}.json")) lo -= 1
+    lo to head
+  }
 
   /** VERSION is a last-writer-wins hint; snapshot versions are dense, so
     * the true head is the hint probed forward (shared by every reader).

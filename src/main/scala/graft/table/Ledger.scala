@@ -21,10 +21,7 @@ final class Ledger(root: String, fs: Fs) {
     ).mkString("[", ",", "]")
     val json =
       s"""{"checkpointId":"${e.cpId}","batchId":${e.batchId},"appliedLsnHwm":${e.appliedLsnHwm},"liveRows":${e.liveRows},"tombstoneRows":${e.tombstoneRows},"batchRows":${e.batchRows},"staleRows":${e.staleRows},"buckets":$buckets}"""
-    // cpIds are caller-supplied: keep entry files FLAT (entries() lists one
-    // level) whatever characters the id carries
-    val safeCp = e.cpId.replaceAll("[^A-Za-z0-9_.-]", "_")
-    fs.atomicWrite(s"$dir/entry-$safeCp-${e.batchId}.json", json)
+    fs.atomicWrite(s"$dir/entry-${Ledger.safeName(e.cpId)}-${e.batchId}.json", json)
   }
 
   def entries(): Seq[String] =
@@ -32,6 +29,24 @@ final class Ledger(root: String, fs: Fs) {
 }
 
 object Ledger {
+  /** cpIds are caller-supplied: entry files must stay FLAT (entries() lists
+    * one level) whatever characters the id carries. Mapping every illegal
+    * character to '_' alone could COLLIDE distinct cpIds ("a/b" vs "a_b")
+    * onto one entry file — one writer's lineage silently overwriting
+    * another's — so a sanitized name also carries a short digest of the RAW
+    * id. Clean ids keep their readable unsuffixed form (and their
+    * pre-upgrade entry file names).
+    */
+  def safeName(cpId: String): String = {
+    val safe = cpId.replaceAll("[^A-Za-z0-9_.-]", "_")
+    if (safe == cpId) safe
+    else {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(cpId.getBytes("UTF-8"))
+      safe + "-" + d.take(4).map(b => f"$b%02x").mkString
+    }
+  }
+
   final case class Entry(cpId: String, batchId: Long, buckets: Seq[LakeTable.BucketStats],
                          appliedLsnHwm: Long, liveRows: Long = 0L, tombstoneRows: Long = 0L,
                          batchRows: Long = 0L, staleRows: Long = 0L)

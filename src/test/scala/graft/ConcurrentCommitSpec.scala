@@ -95,6 +95,45 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(t.vacuumOrphans(olderThanMs = 0L) == 0)
   }
 
+  test("vacuumOrphans reclaims manifests no snapshot references, keeps live ones") {
+    val root = tmpDir("occvacman")
+    val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "v", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "v", 1L)
+    val before = state(root)
+    val fs = t.fs
+    // a crash between the manifest write and the snapshot create leaves the
+    // manifest referenced by nothing — commitSnapshot only deletes it on a
+    // cleanly-CAUGHT conflict
+    fs.atomicWrite(s"$root/meta/man-99-deadbeef.json", """{"buckets":[]}""")
+    val liveManifests = t.currentSnapshot().get.manifests.map(_._2).distinct
+    assert(t.vacuumOrphans(olderThanMs = 0L) == 1)
+    assert(!fs.exists(s"$root/meta/man-99-deadbeef.json"), "orphan manifest must be reclaimed")
+    liveManifests.foreach(mp => assert(fs.exists(s"$root/$mp"), s"live manifest $mp must survive"))
+    assert(state(root) == before, "table state must survive the manifest vacuum")
+  }
+
+  test("existingVersions probes downward from the head: O(existing), ascending") {
+    val present = Set(7, 8, 9, 10)
+    var probes = 0
+    val vs = LakeTable.existingVersions(
+      p => { probes += 1; "snap-(\\d+)".r.findFirstMatchIn(p).exists(m => present(m.group(1).toInt)) },
+      "meta", 10)
+    assert(vs == (7 to 10))
+    // one probe per existing predecessor + the one failing probe below lo —
+    // NEVER O(head): a version-50k table with 4 live snapshots pays 4 probes
+    assert(probes == 4, s"expected 4 exists-probes, got $probes")
+  }
+
+  test("ledger entry names cannot collide across distinct raw cpIds") {
+    import graft.table.Ledger
+    assert(Ledger.safeName("a/b") != Ledger.safeName("a_b"))
+    assert(Ledger.safeName("a/b") != Ledger.safeName("a\\b"))
+    assert(Ledger.safeName("clean-id.0") == "clean-id.0") // readable + pre-upgrade stable
+    assert(!Ledger.safeName("x y/z").exists(c => "/\\ ".contains(c)))
+  }
+
   test("compactor racing an ingester loses cleanly and retries") {
     val root = tmpDir("occcompact")
     val compactor: () => Unit = () => {

@@ -298,4 +298,40 @@ class GraftWriteSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no table at"), e.getMessage)
   }
+
+  test("stream sink rejects reserved one-shot cpid prefixes") {
+    // "update-feed" would lose its exactly-once CommitState to
+    // pruneEphemeralCommits at the next commit and re-apply after a restart
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftStreamSink(spark, tmpDir("wressink"),
+        Map("cpid" -> "update-feed", "create" -> "true"))
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
+  test("stream sink with NO derivable identity fails loudly, never shares a constant key") {
+    val sink = new graft.sources.GraftStreamSink(spark, tmpDir("wnoid"),
+      Map("create" -> "true"))
+    val df = tableShape(ChangeLogGen.changeLog(spark, cfg)).limit(1)
+    // no cpid option, no checkpointLocation, no streaming queryId
+    // thread-local: two anonymous queries sharing a constant fallback key
+    // would silently drop each other's batches — this must be an error
+    val e = intercept[IllegalStateException] { sink.addBatch(0L, df) }
+    assert(e.getMessage.contains("cpid"), e.getMessage)
+  }
+
+  test("catalog rejects identifier segments that escape the warehouse root") {
+    val (cat, warehouse) = catalog("wtrav")
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.atomicWrite(s"$warehouse/../victim-marker.txt", "outside the warehouse")
+    for (bad <- Seq("a/b", "..", "a\\b")) {
+      val e = intercept[Exception] {
+        spark.sql(s"DROP TABLE $cat.`$bad`")
+      }
+      assert(e.getMessage.contains("illegal identifier segment")
+        || e.getMessage.toLowerCase.contains("table or view not found")
+        || e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), s"$bad -> ${e.getMessage}")
+    }
+    assert(fs.exists(s"$warehouse/../victim-marker.txt"), "nothing outside the root may be touched")
+  }
 }
