@@ -21,7 +21,7 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.table.{Fs, Snapshot, SnapshotIO}
+import graft.table.{FileEntry, Fs, Snapshot, SnapshotIO}
 
 /** DataSourceV2 reader for graft lake tables (SURVEY.md §2.1 S5 — the
   * reference's pushdown precedent is its ArcGIS client pushing `where`
@@ -198,12 +198,24 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
   private var pushed: Array[Filter] = Array.empty
   private var lsnLo: Long = Long.MinValue
   private var lsnHi: Long = Long.MaxValue
+  // equality/IN sets on the KEY columns: `repo` alone drives per-file
+  // repo-range skipping; `repo` AND `path` together pin the key-hash
+  // bucket(s) — the most common real queries (`WHERE repo = 'x'`, point
+  // lookups) then stop reading all buckets (round-3 VERDICT item 1)
+  private var repoEq: Option[Set[String]] = None
+  private var pathEq: Option[Set[String]] = None
+
+  private def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
+    Some(cur.fold(add)(_ intersect add))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (usable, _) = filters.partition {
       case GreaterThan("lsn", _: Long) | GreaterThanOrEqual("lsn", _: Long) |
            LessThan("lsn", _: Long) | LessThanOrEqual("lsn", _: Long) |
            EqualTo("lsn", _: Long) => true
+      case EqualTo("repo", _: String) | EqualTo("path", _: String) => true
+      case In("repo", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case In("path", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     usable.foreach {
@@ -212,6 +224,10 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
       case LessThan("lsn", v: Long)           => lsnHi = math.min(lsnHi, v - 1)
       case LessThanOrEqual("lsn", v: Long)    => lsnHi = math.min(lsnHi, v)
       case EqualTo("lsn", v: Long)            => lsnLo = math.max(lsnLo, v); lsnHi = math.min(lsnHi, v)
+      case EqualTo("repo", v: String)         => repoEq = intersect(repoEq, Set(v))
+      case EqualTo("path", v: String)         => pathEq = intersect(pathEq, Set(v))
+      case In("repo", vs) => repoEq = intersect(repoEq, vs.map(_.asInstanceOf[String]).toSet)
+      case In("path", vs) => pathEq = intersect(pathEq, vs.map(_.asInstanceOf[String]).toSet)
       case _ => ()
     }
     pushed = usable
@@ -224,12 +240,15 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized, options)
+    new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized, options,
+      repoEq, pathEq)
 }
 
 final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
                       lsnLo: Long, lsnHi: Long, vectorized: Boolean,
-                      options: Map[String, String] = Map.empty)
+                      options: Map[String, String] = Map.empty,
+                      repoEq: Option[Set[String]] = None,
+                      pathEq: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   // snapshot-stored paths are root-relative (relocatable tables)
   private def resolve(p: String): String = graft.table.LakeTable.resolveUnder(root, p)
@@ -240,6 +259,38 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   private lazy val needResolve = snap.mode == "mor" &&
     snap.files.groupBy(_.bucket).values.exists(_.size > 1)
 
+  /** Key-hash BUCKET pruning: when both key columns are equality-bound,
+    * every candidate row lives in the bucket(s) of the bound (repo, path)
+    * pairs — the same pmod(xxhash64) layout the merge prunes by
+    * (LakeTable.bucketCol); other buckets cannot hold the key. Evaluates
+    * Spark's own XxHash64 expression so the hash can never drift from the
+    * write side. Capped at 1024 pairs (an IN-list cross product beyond
+    * that isn't a point lookup anymore).
+    */
+  private lazy val prunedBuckets: Option[Set[Int]] = (repoEq, pathEq) match {
+    case (Some(rs), Some(ps)) if rs.size.toLong * ps.size <= 1024 =>
+      val n = snap.nBuckets.toLong
+      Some(for { r <- rs; p <- ps } yield {
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(r)),
+          org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(p))))
+          .eval(null).asInstanceOf[Long]
+        (((h % n) + n) % n).toInt
+      })
+    case _ => None
+  }
+
+  /** repo-range file skipping on the snapshot's per-file repo min/max
+    * (UTF-8 byte order, same as the parquet stats they came from); files
+    * from pre-upgrade snapshots carry no repo stats and are kept.
+    */
+  private def repoMayMatch(f: FileEntry): Boolean = repoEq match {
+    case Some(rs) if f.minRepo != null && f.maxRepo != null =>
+      rs.exists(r => graft.table.LakeTable.utf8Cmp(r, f.minRepo) >= 0 &&
+        graft.table.LakeTable.utf8Cmp(r, f.maxRepo) <= 0)
+    case _ => true
+  }
+
   /** File-level data skipping on the snapshot's per-file lsn stats.
     * With un-compacted MOR buckets, UPPER-bound skipping is disabled:
     * dropping the file holding a key's latest version would resurrect an
@@ -247,9 +298,19 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * effectively time travel). Lower-bound skipping stays safe everywhere —
     * a fake winner surfaced by dropping older files always FAILS the
     * residual `lsn >= lo` re-filter, so results never change.
+    *
+    * Bucket pruning and repo-range skipping are safe even UNDER the MOR
+    * resolve (unlike the lsn upper bound): a skipped file holds NO row of
+    * any bound key — bucket layout and repo ranges partition by KEY, so
+    * every version of a matching key is in the surviving files and its
+    * winner is computed over its complete history; winners of NON-matching
+    * keys may go stale, but those rows fail the residual key re-filter.
     */
   private def liveFiles =
-    snap.files.filter(f => f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi))
+    snap.files.filter(f =>
+      prunedBuckets.forall(_.contains(f.bucket)) &&
+      repoMayMatch(f) &&
+      f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi))
 
   override def description(): String = {
     val total = snap.files.size

@@ -8,9 +8,14 @@ import graft.model.LangRules
 
 /** One parquet data file tracked by a snapshot, with min/max lsn stats for
   * data skipping (the engine's analogue of the reference's PostGIS indexes
-  * + ANALYZE stats, reference: docs/database.md:319-323,374-381).
+  * + ANALYZE stats, reference: docs/database.md:319-323,374-381), plus
+  * min/max `repo` stats so key-predicate scans (`WHERE repo = 'x'`) skip
+  * files that cannot hold the key — null on pre-upgrade snapshots (then no
+  * repo skipping, never wrong results: skipping is a pure optimisation
+  * under the residual re-filter).
   */
-final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, maxLsn: Long)
+final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, maxLsn: Long,
+                           minRepo: String = null, maxRepo: String = null)
 
 /** Per-checkpoint commit progress: the max CONTIGUOUS committed batchId
   * (`hwm`, -1 = none) plus a small out-of-order set (`pending`, batchIds
@@ -464,7 +469,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         if (t.isNullAt(0)) 0L else t.getLong(0)
       }
     val newEntries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
+      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo))
     }
     val batchSchema = resolved.drop("b").schema
     val batchHwm = if (stats.isEmpty) Long.MinValue else stats.map(_.maxLsn).max
@@ -633,7 +638,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val stats = footerStats(commitDir)
       val newEntries = stats.flatMap { st =>
         LakeTable.listParquet(fs, s"$commitDir/b=${st.bucket}")
-          .map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
+          .map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo))
       }
       val tombstones = {
         val t = keep.agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
@@ -724,6 +729,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     dirs.par.flatMap { d =>
       val bucket = new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b=").toInt
       var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
+      var minRepo: String = null; var maxRepo: String = null
       listParquet(fs, d).foreach { p =>
         val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
         val r = ParquetFileReader.open(in)
@@ -739,11 +745,23 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
                 minLsn = math.min(minLsn, st.genericGetMin.asInstanceOf[java.lang.Long])
                 maxLsn = math.max(maxLsn, st.genericGetMax.asInstanceOf[java.lang.Long])
               }
+              // repo min/max (binary stats, UTF-8 byte order) feed the
+              // key-predicate file skipping in the DSv2 scan
+              if (col.getPath.toDotString == "repo" && col.getStatistics != null &&
+                  col.getStatistics.hasNonNullValue) {
+                (col.getStatistics.genericGetMin, col.getStatistics.genericGetMax) match {
+                  case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+                    val mns = mn.toStringUsingUTF8; val mxs = mx.toStringUsingUTF8
+                    if (minRepo == null || LakeTable.utf8Cmp(mns, minRepo) < 0) minRepo = mns
+                    if (maxRepo == null || LakeTable.utf8Cmp(mxs, maxRepo) > 0) maxRepo = mxs
+                  case _ => ()
+                }
+              }
             }
           }
         } finally r.close()
       }
-      if (rows == 0) None else Some(BucketStats(bucket, rows, minLsn, maxLsn))
+      if (rows == 0) None else Some(BucketStats(bucket, rows, minLsn, maxLsn, minRepo, maxRepo))
     }.seq.sortBy(_.bucket)
   }
 
@@ -848,7 +866,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
     val stats = footerStats(commitDir)
     val entries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn))
+      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo))
     }
     try commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap, token)
@@ -904,7 +922,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val stats = footerStats(commitDir)
     val newEntries = stats.flatMap { st =>
       listParquet(fs, s"$commitDir/b=${st.bucket}")
-        .map(fp => FileEntry(st.bucket, LakeTable.relPath(fp), st.rows, st.minLsn, st.maxLsn))
+        .map(fp => FileEntry(st.bucket, LakeTable.relPath(fp), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo))
     }
     val tombstones =
       if (stats.isEmpty) 0L
@@ -1104,7 +1122,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 }
 
 object LakeTable {
-  final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long)
+  final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
+                               minRepo: String = null, maxRepo: String = null)
+
+  /** UTF-8 BYTE-order comparison (what parquet binary column stats use);
+    * Java String compareTo differs above the BMP, so repo-range skipping
+    * must compare the way the stats were computed.
+    */
+  def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Snapshots store data/DV paths RELATIVE to the table root ("data/..."),
     * so a table directory can be moved/renamed/replicated and reopened at
@@ -1236,13 +1263,21 @@ object SnapshotIO {
   }
   def asInt(v: Any): Int = asLong(v).toInt
 
-  private def fileJson(f: FileEntry): String =
-    s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}}"""
+  private def fileJson(f: FileEntry): String = {
+    // repo range stats are OPTIONAL keys — pre-upgrade snapshots without
+    // them parse as null (= no repo skipping), never as an error
+    val repoStats =
+      if (f.minRepo == null || f.maxRepo == null) ""
+      else s""","minRepo":${q(f.minRepo)},"maxRepo":${q(f.maxRepo)}"""
+    s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}$repoStats}"""
+  }
 
   private def parseFile(fa: Any): FileEntry = {
     val f = fa.asInstanceOf[Map[String, Any]]
     FileEntry(asInt(f("bucket")), f("path").asInstanceOf[String],
-      asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")))
+      asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")),
+      f.get("minRepo").map(_.asInstanceOf[String]).orNull,
+      f.get("maxRepo").map(_.asInstanceOf[String]).orNull)
   }
 
   /** one commit's touched buckets → their full FileEntry lists — the

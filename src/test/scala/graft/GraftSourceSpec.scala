@@ -176,4 +176,74 @@ class GraftSourceSpec extends SparkSpec {
     assert(collectSorted(df.select(cols.map(col): _*)) ==
       collectSorted(rowDf.select(cols.map(col): _*)))
   }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+    df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftScan]
+
+  test("point lookup (repo AND path bound) prunes to ONE key-hash bucket") {
+    val t = buildCow()
+    val key = t.read().select("repo", "path").head()
+    val (repo, path) = (key.getString(0), key.getString(1))
+    val all = spark.read.format("graft").load(t.root)
+    val total = scanOf(all.select("repo", "path", "lsn")).planInputPartitions().length
+    val point = all.where(col("repo") === repo && col("path") === path)
+      .select("repo", "path", "lsn")
+    val scan = scanOf(point)
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    // the bound key hashes to exactly one of the 4 buckets; a point lookup
+    // must open only that bucket's files — never the whole table
+    val snap = t.currentSnapshot().get
+    val bucketFiles = snap.files.groupBy(_.bucket).values.map(_.size).max
+    assert(parts.length <= bucketFiles && parts.length < total,
+      s"expected bucket pruning: ${parts.length} of $total partitions (max bucket files $bucketFiles)")
+    val plannedBuckets = parts.flatMap(_.files).map(f =>
+      "/b=(\\d+)/".r.findFirstMatchIn(f).get.group(1).toInt).toSet
+    assert(plannedBuckets.size == 1, s"one bucket expected, planned $plannedBuckets")
+    // and the result still equals the engine read path
+    assert(collectSorted(point) == collectSorted(
+      t.read().where(col("repo") === repo && col("path") === path)
+        .select("repo", "path", "lsn")))
+  }
+
+  test("repo-only equality skips other commits' delta files via repo min/max stats") {
+    // MOR deltas: one commit per repo → each commit's files carry a TIGHT
+    // repo range, the shape a per-repo CDC consumer produces
+    val t = new LakeTable(spark, tmpDir("dsv2repoeq"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val repos = wal.select("repo").distinct().collect().map(_.getString(0)).sorted.take(4)
+    repos.zipWithIndex.foreach { case (r, i) =>
+      t.merge(wal.where(col("repo") === r), "kp", i.toLong)
+    }
+    val snap = t.currentSnapshot().get
+    assert(snap.files.forall(f => f.minRepo != null && f.maxRepo != null),
+      "commits must record per-file repo min/max stats")
+    val all = spark.read.format("graft").load(t.root)
+    val total = scanOf(all.select("repo", "lsn")).planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition]).flatMap(_.files).length
+    val one = all.where(col("repo") === repos.head).select("repo", "lsn")
+    val planned = scanOf(one).planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition]).flatMap(_.files)
+    assert(planned.length < total,
+      s"expected repo-range file skipping: ${planned.length}/$total")
+    // correctness under the MOR resolve: winners of the bound repo are
+    // complete (all its versions are in surviving files)
+    assert(collectSorted(one) == collectSorted(
+      t.read().where(col("repo") === repos.head).select("repo", "lsn")))
+  }
+
+  test("pre-upgrade snapshots without repo stats: no skipping, correct results") {
+    val t = buildCow()
+    // simulate a pre-upgrade snapshot: strip the repo stats
+    val snap = t.currentSnapshot().get
+    val stripped = snap.files.map(_.copy(minRepo = null, maxRepo = null))
+    val repo = t.read().select("repo").head().getString(0)
+    val scan = new GraftScan(t.root, snap.copy(files = stripped, manifests = Nil),
+      org.apache.spark.sql.types.StructType.fromDDL("repo STRING, lsn BIGINT"),
+      Array.empty, Long.MinValue, Long.MaxValue, false, Map.empty,
+      repoEq = Some(Set(repo)), pathEq = None)
+    assert(scan.planInputPartitions().length == stripped.size,
+      "files without repo stats must never be skipped")
+  }
 }
