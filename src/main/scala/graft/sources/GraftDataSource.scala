@@ -269,14 +269,8 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     */
   private lazy val prunedBuckets: Option[Set[Int]] = (repoEq, pathEq) match {
     case (Some(rs), Some(ps)) if rs.size.toLong * ps.size <= 1024 =>
-      val n = snap.nBuckets.toLong
-      Some(for { r <- rs; p <- ps } yield {
-        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-          org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(r)),
-          org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(p))))
-          .eval(null).asInstanceOf[Long]
-        (((h % n) + n) % n).toInt
-      })
+      Some(for { r <- rs; p <- ps }
+        yield graft.table.LakeTable.bucketOf(r, p, snap.nBuckets))
     case _ => None
   }
 

@@ -999,10 +999,34 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * positional deletion vectors — a large DELETE writes O(victims), never
     * a bucket rewrite. Backs the DSv2 `SupportsDelete` surface.
     */
+  /** live rows of the given buckets only (victim scans of keyed
+    * DELETE/UPDATE prune here: when the condition binds both key columns,
+    * only the computed buckets can hold victims — everything else is
+    * metadata-skipped before any IO)
+    */
+  private[graft] def readLive(buckets: Option[Set[Int]]): DataFrame =
+    readResolved(buckets).where(!col("deleted")).drop("deleted")
+
+  /** Analyze `cond` against this snapshot's schema and derive the bucket
+    * set its key-equality conjuncts pin (a Spark-4 Column is a lazy
+    * ColumnNode tree — the analyzer is the one honest way to get the
+    * resolved Catalyst predicate). None = not key-bound; scan everything.
+    */
+  private def bucketsForAt(snap: Snapshot, cond: org.apache.spark.sql.Column): Option[Set[Int]] =
+    try {
+      emptyTable(StructType.fromDDL(snap.schemaDdl)).where(cond)
+        .queryExecution.analyzed
+        .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+        .flatMap(LakeTable.bucketsFromPredicate(_, snap.nBuckets))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def bucketsFor(cond: org.apache.spark.sql.Column): Option[Set[Int]] =
+    currentSnapshot().flatMap(bucketsForAt(_, cond))
+
   def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
     val snap = currentSnapshot().getOrElse(return)
     val delLsn = snap.hwm + 1
-    val events = read().where(cond).select(
+    val events = readLive(bucketsForAt(snap, cond)).where(cond).select(
       lit(delLsn).as("lsn"), lit("D").as("op"), col("repo"), col("path"),
       lit(s"!delete-v${snap.version + 1}").as("commit"),
       lit(null).cast("string").as("content"))
@@ -1022,7 +1046,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val snap = currentSnapshot().getOrElse(return)
     val upLsn = snap.hwm + 1
     def valueOf(c: String) = set.getOrElse(c, col(c))
-    val live = read()
+    // keyed conditions prune the victim scan to the buckets that can hold
+    // the key — a selective UPDATE never scans the whole table
+    val live = readLive(bucketsForAt(snap, cond))
     // only assignable payload columns: keys/bookkeeping are immutable,
     // lang/contentSha are DERIVED (recomputed by the merge) — rejecting
     // everything else also catches typos instead of silently no-opping
@@ -1132,6 +1158,65 @@ object LakeTable {
   def utf8Cmp(a: String, b: String): Int =
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** the key-hash bucket of one (repo, path) pair under an `n`-bucket
+    * layout — evaluates Spark's own XxHash64 so driver-side pruning can
+    * never drift from the executor-side `bucketCol` assignment
+    */
+  def bucketOf(repo: String, path: String, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = new XxHash64(Seq(Literal(UTF8String.fromString(repo)),
+      Literal(UTF8String.fromString(path)))).eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
+  /** The buckets that can hold rows matching an ANALYZED predicate, when
+    * its top-level conjuncts equality-bind BOTH key columns (equality or
+    * IN on `repo` and `path`); None = not derivable (then the caller scans
+    * everything — pruning is a pure optimisation). This is what keeps a
+    * keyed DELETE/UPDATE on a 100 TB table from scanning all buckets to
+    * find its victims.
+    */
+  private[graft] def bucketsFromPredicate(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression, n: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case _ => None
+    }
+    var repoVals: Option[Set[String]] = None
+    var pathVals: Option[Set[String]] = None
+    def bind(name: String, vs: Set[String]): Unit = name match {
+      case "repo" => repoVals = Some(repoVals.fold(vs)(_ intersect vs))
+      case "path" => pathVals = Some(pathVals.fold(vs)(_ intersect vs))
+      case _ => ()
+    }
+    conjuncts(pred).foreach {
+      case EqualTo(a, l) if nameOf(a).isDefined && strOf(l).isDefined =>
+        bind(nameOf(a).get, Set(strOf(l).get))
+      case EqualTo(l, a) if nameOf(a).isDefined && strOf(l).isDefined =>
+        bind(nameOf(a).get, Set(strOf(l).get))
+      case In(a, list) if nameOf(a).isDefined && list.nonEmpty && list.forall(strOf(_).isDefined) =>
+        bind(nameOf(a).get, list.flatMap(strOf).toSet)
+      case _ => () // other conjuncts only narrow further — ignoring them is safe
+    }
+    (repoVals, pathVals) match {
+      case (Some(rs), Some(ps)) if rs.size.toLong * ps.size <= 1024 =>
+        Some(for { r <- rs; p <- ps } yield bucketOf(r, p, n))
+      case _ => None
+    }
+  }
 
   /** Snapshots store data/DV paths RELATIVE to the table root ("data/..."),
     * so a table directory can be moved/renamed/replicated and reopened at

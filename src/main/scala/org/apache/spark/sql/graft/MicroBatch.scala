@@ -21,3 +21,25 @@ object MicroBatch {
     spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
 }
+
+/** `private[sql]` access shim for Column ↔ Catalyst Expression and
+  * LogicalPlan → DataFrame conversions (the classic-API internals the
+  * SQL-DML rewrite and the key-predicate victim pruning need).
+  */
+object Internals {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** the Catalyst expression behind a classic Column (unresolved form) */
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** wrap a Catalyst expression as a classic Column */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** a DataFrame over an analyzed/analyzable logical plan */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+}

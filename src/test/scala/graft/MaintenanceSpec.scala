@@ -121,4 +121,47 @@ class MaintenanceSpec extends SparkSpec {
       intercept[IllegalArgumentException](t.readAt(1))
     } finally wal.unpersist()
   }
+
+  test("keyed DELETE/UPDATE victim scans prune to the key's bucket") {
+    val t = new LakeTable(spark, tmpDir("keydel"), defaultBuckets = 8, ApplyMode.CopyOnWrite)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal, "kd", 0L)
+    val key = t.read().select("repo", "path").head()
+    val (repo, path) = (key.getString(0), key.getString(1))
+    val keyedCond = col("repo") === repo && col("path") === path && col("lsn") > 0L
+
+    // the derived bucket set is exactly the key's bucket; extra non-key
+    // conjuncts only narrow the victims and never block the derivation
+    val expect = LakeTable.bucketOf(repo, path, 8)
+    assert(t.bucketsFor(keyedCond).contains(Set(expect)))
+    // repo alone cannot pin a bucket (the hash needs both key columns)
+    assert(t.bucketsFor(col("repo") === repo).isEmpty)
+    // IN-lists cross-product; reversed equality binds too
+    assert(t.bucketsFor(col("repo").isin("a", "b") && col("path").isin("p", "q")).get.size <= 4)
+    assert(t.bucketsFor(lit(repo) === col("repo") && col("path") === path)
+      .contains(Set(expect)))
+    // a predicate on a non-existent column must degrade to no pruning
+    assert(t.bucketsFor(col("no_such_col") === "x").isEmpty)
+
+    // the pruned victim scan opens ONLY that bucket's files
+    val victims = t.readLive(t.bucketsFor(keyedCond))
+    assert(victims.inputFiles.nonEmpty &&
+      victims.inputFiles.forall(_.contains(s"/b=$expect/")),
+      s"victim scan leaked outside bucket $expect: ${victims.inputFiles.toSeq}")
+    assert(victims.inputFiles.length < t.read().inputFiles.length)
+
+    // end-to-end: the keyed delete removes exactly the key, nothing else
+    val before = t.read().count()
+    t.deleteWhere(keyedCond)
+    assert(t.read().where(col("repo") === repo && col("path") === path).isEmpty)
+    assert(t.read().count() == before - 1)
+
+    // keyed UPDATE through the same pruned path
+    val key2 = t.read().select("repo", "path").head()
+    t.updateWhere(col("repo") === key2.getString(0) && col("path") === key2.getString(1),
+      Map("content" -> lit("patched")))
+    val row = t.read().where(col("repo") === key2.getString(0) && col("path") === key2.getString(1))
+    assert(row.select("content").head().getString(0) == "patched")
+    assert(t.read().count() == before - 1, "update must not change cardinality")
+  }
 }
