@@ -19,6 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL DML statements (UPDATE / MERGE INTO / arbitrary-predicate DELETE)
+    // over graft tables: analyzed plans are rewritten into the engine's
+    // distributed LakeTable paths (see graft.sources.GraftDmlRewrite)
+    e.injectPostHocResolutionRule(session => new graft.sources.GraftDmlRewrite(session))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

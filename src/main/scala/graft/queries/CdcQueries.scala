@@ -258,6 +258,54 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** SQL `MERGE INTO` through the GraftDmlRewrite rule (K4 as a SQL
+    * statement — the round-3 "Missing" item #2): one statement carrying all
+    * three action kinds against the replayed sm lake —
+    *   matched + op='D'  → DELETE  (javascript live rows)
+    *   matched           → UPDATE  (python live rows, 16-char content)
+    *   not matched       → INSERT  (one synthetic '__merged.txt' per repo)
+    * Final state must equal the DuckDB replay with the same three-way
+    * transform applied. Requires a session built with GraftExtensions
+    * (Verify/Bench register them).
+    */
+  def q49SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val dirT = s"$LakeRoot/sm_mrg"
+    val t = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t.currentSnapshot().exists(sn =>
+      sn.hwm == smCfg.events + 1 && sn.committed.keys.exists(_.startsWith("merge-")))
+    if (!ok) {
+      deleteRec(dirT)
+      val fresh = new LakeTable(s, dirT, smBuckets, ApplyMode.CopyOnWrite)
+      val wal = s.read.parquet(smWal)
+      val per = smCfg.events / smBatches
+      (0 until smBatches).foreach { i =>
+        fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smmrg", i.toLong)
+      }
+      val live = fresh.read()
+      val src = live.where(col("lang") === "python")
+          .select(col("repo"), col("path"),
+            substring(col("content"), 1, 16).as("content"), lit("U").as("op"))
+        .unionByName(live.where(col("lang") === "javascript")
+          .select(col("repo"), col("path"),
+            lit(null).cast("string").as("content"), lit("D").as("op")))
+        .unionByName(live.select("repo").distinct()
+          .select(col("repo"), lit("__merged.txt").as("path"),
+            col("repo").as("content"), lit("U").as("op")))
+      src.createOrReplaceTempView("q49_src")
+      s.conf.set("spark.sql.catalog.gsm", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gsm.root", LakeRoot)
+      s.sql("""MERGE INTO gsm.sm_mrg t USING q49_src s
+        ON t.repo = s.repo AND t.path = s.path
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET content = s.content
+        WHEN NOT MATCHED THEN INSERT (repo, path, content) VALUES (s.repo, s.path, s.content)""")
+    }
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
   /** publish-layer rollup over the snapshot (A1 over the lake). */
   def cdcLangCounts(s: SparkSession, dir: String): DataFrame =
     smLake(s).read()
@@ -439,6 +487,31 @@ object CdcQueries {
                      ORDER BY lsn DESC, "commit" DESC) AS rn
             FROM $walSrc)
       WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""",
+    // independent replay of the SQL MERGE: live state with python content
+    // truncated to 16 chars (matched update, '!merge-v6' commit),
+    // javascript rows deleted, plus one inserted '__merged.txt' per live
+    // repo (lang falls back to 'other'; content = the repo name)
+    "q49_sql_merge" -> s"""
+      SELECT repo, path, "commit", lang, content_sha FROM (
+        SELECT repo, path,
+               CASE WHEN lang = 'python' THEN '!merge-v6' ELSE "commit" END AS "commit",
+               lang,
+               CASE WHEN lang = 'python' THEN sha256(substr(content, 1, 16))
+                    ELSE sha256(content) END AS content_sha
+        FROM (SELECT repo, path, "commit", content,
+                     ${LangRules.langSqlCase("path")} AS lang
+              FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                           ORDER BY lsn DESC, "commit" DESC) AS rn
+                    FROM $walSrc)
+              WHERE rn = 1 AND op <> 'D')
+        WHERE lang <> 'javascript'
+        UNION ALL
+        SELECT DISTINCT repo, '__merged.txt', '!merge-v6', 'other', sha256(repo)
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+              FROM $walSrc)
+        WHERE rn = 1 AND op <> 'D'
+      ) ORDER BY repo, path""",
     // silver = the replay with the tail→sink transform (first 64-char
     // content block) applied to every surviving live row
     "q47_medallion" -> s"""
@@ -482,6 +555,7 @@ object CdcQueries {
     "q46_cdc_tail" -> q46CdcTail _,
     "q47_medallion" -> q47Medallion _,
     "q48_update" -> q48Update _,
+    "q49_sql_merge" -> q49SqlMerge _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

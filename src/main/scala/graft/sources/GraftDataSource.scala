@@ -150,6 +150,10 @@ final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  /** table root directory — the SQL DML rewrite (GraftDml) routes
+    * UPDATE/MERGE statements on this relation into the LakeTable API
+    */
+  def root: String = rootSnap._1
   override def schema(): StructType = tableSchema
   override def name(): String = s"graft:${rootSnap._1}@v${rootSnap._2.version}"
   /** DESCRIBE EXTENDED surface: layout + snapshot state at load time */
