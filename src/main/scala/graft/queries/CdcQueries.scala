@@ -258,6 +258,26 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** The change-TYPED tail (S8 with Delta-CDF parity, round-3 "Missing"
+    * #4): `changeTypes=true` synthesises `_change_type` ∈ {insert,
+    * update_postimage, delete} from each key's prior stored version,
+    * streamed per bucket as a k-way merge over the sorted delta files.
+    * Oracled against the replay: winner per (key, 10k-lsn batch), typed by
+    * a lag() over the key's stored history.
+    */
+  def q50ChangeTypes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_mor", "smmor")
+    val cp = java.nio.file.Files.createTempDirectory("q50cp").toString
+    val q = s.readStream.format("graft").option("changeTypes", "true").load(t.root)
+      .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
+      .writeStream.format("memory").queryName("q50_sink")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("q50_sink").orderBy("lsn", "repo", "path")
+  }
+
   /** SQL `MERGE INTO` through the GraftDmlRewrite rule (K4 as a SQL
     * statement — the round-3 "Missing" item #2): one statement carrying all
     * three action kinds against the replayed sm lake —
@@ -487,6 +507,19 @@ object CdcQueries {
                      ORDER BY lsn DESC, "commit" DESC) AS rn
             FROM $walSrc)
       WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""",
+    // the typed tail's oracle: stored rows = winner per (key, 10k batch);
+    // type from the PREVIOUS stored version of the key (absent or deleted
+    // → insert; live → update; tombstone → delete)
+    "q50_change_types" -> s"""
+      SELECT repo, path, lsn, "commit",
+             CASE WHEN op = 'D' THEN 'delete'
+                  WHEN coalesce(lag(op) OVER (PARTITION BY repo, path
+                       ORDER BY lsn, "commit"), 'D') = 'D' THEN 'insert'
+                  ELSE 'update_postimage' END AS "_change_type"
+      FROM (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path, CAST((lsn - 1) // 10000 AS BIGINT)
+                   ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc) WHERE rn = 1)
+      ORDER BY lsn, repo, path""",
     // independent replay of the SQL MERGE: live state with python content
     // truncated to 16 chars (matched update, '!merge-v6' commit),
     // javascript rows deleted, plus one inserted '__merged.txt' per live
@@ -556,6 +589,7 @@ object CdcQueries {
     "q47_medallion" -> q47Medallion _,
     "q48_update" -> q48Update _,
     "q49_sql_merge" -> q49SqlMerge _,
+    "q50_change_types" -> q50ChangeTypes _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -161,9 +161,25 @@ class GraftCatalog extends TableCatalog {
     new GraftTable((dir, snap), publicSchema(snap))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: schema evolves additively from writes; ALTER TABLE is not supported")
+  /** `ALTER TABLE ... ADD COLUMN(S)` — the DDL spelling of the engine's
+    * additive evolution: a metadata-only commit appending nullable columns
+    * (LakeTable.addColumns). Everything else (drop/rename/retype) is
+    * rejected — the evolution rules are add-only by design.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft: only top-level ADD COLUMN (got nested ${a.fieldNames.mkString(".")})")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft: schema evolves additively — only ADD COLUMN is supported, got $other")
+    }
+    val dir = dirOf(ident)
+    if (!fs.exists(s"$dir/meta/VERSION")) throw new NoSuchTableException(ident)
+    new LakeTable(SparkSession.active, dir).addColumns(adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

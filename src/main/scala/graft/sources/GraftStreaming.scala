@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.table.{Fs, Snapshot, SnapshotIO}
@@ -111,17 +111,36 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     }
   }
 
+  private val changeTypes = options.getOrElse("changetypes", "false").toBoolean
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[GraftOffset].lsn // exclusive
     val hi = end.asInstanceOf[GraftOffset].lsn   // inclusive
     if (hi <= lo) return Array.empty
     val snap = snapshot()
-    // same file-level lsn skipping the batch scan uses; the row-level
-    // (lo, hi] re-filter in the reader makes boundary files exact
-    snap.files.filter(f => f.maxLsn > lo && f.minLsn <= hi)
-      .map(f => GraftStreamPartition(
-        graft.table.LakeTable.resolveUnder(root, f.path), lo, hi): InputPartition)
-      .toArray
+    if (changeTypes) {
+      // `_change_type` (insert / update_postimage / delete) needs each
+      // key's PRIOR stored version, so the unit of work is a BUCKET, not a
+      // file: one partition per bucket that has changes in (lo, hi],
+      // carrying the bucket's full history at or below hi (files wholly
+      // above hi are skipped; unaffected buckets are skipped entirely).
+      // Sorted delta files stream a per-key k-way merge — O(files) memory.
+      snap.files.groupBy(_.bucket).values
+        .filter(_.exists(f => f.maxLsn > lo && f.minLsn <= hi))
+        .map { files =>
+          val hist = files.filter(_.minLsn <= hi)
+          GraftStreamChangePartition(
+            hist.map(f => graft.table.LakeTable.resolveUnder(root, f.path)),
+            hist.forall(_.sorted), lo, hi): InputPartition
+        }.toArray
+    } else {
+      // same file-level lsn skipping the batch scan uses; the row-level
+      // (lo, hi] re-filter in the reader makes boundary files exact
+      snap.files.filter(f => f.maxLsn > lo && f.minLsn <= hi)
+        .map(f => GraftStreamPartition(
+          graft.table.LakeTable.resolveUnder(root, f.path), lo, hi): InputPartition)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -136,12 +155,22 @@ final class GraftMicroBatchStream(root: String, required: StructType,
   */
 final case class GraftStreamPartition(file: String, lo: Long, hi: Long) extends InputPartition
 
+/** one bucket of a change-typed stream micro-batch: its full file history
+  * at or below hi, whether every file is (repo,path)-sorted, and the
+  * batch's lsn range
+  */
+final case class GraftStreamChangePartition(files: Seq[String], sorted: Boolean,
+                                            lo: Long, hi: Long) extends InputPartition
+
 final class GraftStreamReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftStreamPartition]
-    new GraftStreamReader(p.file, required, conf.value, p.lo, p.hi)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftStreamChangePartition =>
+        new GraftChangeTypeReader(p.files, p.sorted, required, conf.value, p.lo, p.hi)
+      case p: GraftStreamPartition =>
+        new GraftStreamReader(p.file, required, conf.value, p.lo, p.hi)
+    }
 }
 
 /** Row reader for one delta/data file in a stream batch: reads the required
@@ -185,4 +214,122 @@ final class GraftStreamReader(path: String, required: StructType, conf: Configur
 
   override def get(): InternalRow = current
   override def close(): Unit = cursor.close()
+}
+
+/** Change-typed tail reader for one bucket (`changeTypes=true`): emits the
+  * batch's rows with `_change_type` ∈ {insert, update_postimage, delete},
+  * derived from each key's PRIOR stored version — a key whose previous
+  * version is absent or a tombstone inserts; one with a live previous
+  * version updates; a tombstone deletes (Delta CDF's type vocabulary).
+  *
+  * Sorted delta files (every file written since the sort-order upgrade)
+  * stream a per-key k-way merge: memory is O(files) + O(versions of ONE
+  * key). Pre-upgrade unsorted files fall back to grouping the bucket in
+  * memory — compact() once to upgrade. CoW-collapse caveat: compaction and
+  * CoW rewrites fold a key's intermediate versions into the final one, so
+  * a post-compaction tail sees the surviving version as a single change
+  * (the standard lake-CDC behaviour without sidecar change files).
+  */
+final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required: StructType,
+                                  conf: Configuration, lo: Long, hi: Long)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val typeIdx = required.fieldNames.indexOf("_change_type")
+  // read schema: required minus the synthesised column, plus the
+  // bookkeeping columns the typing needs
+  private val base: Array[StructField] = required.fields.filterNot(_.name == "_change_type")
+  private val extraNames =
+    Seq("repo", "path", "lsn", "commit", "deleted").filterNot(n => base.exists(_.name == n))
+  private val extraTypes: Map[String, org.apache.spark.sql.types.DataType] = Map(
+    "repo" -> StringType, "path" -> StringType, "lsn" -> LongType,
+    "commit" -> StringType, "deleted" -> BooleanType)
+  private val ext: Array[StructField] = base ++ extraNames.map(n => StructField(n, extraTypes(n)))
+  private def idx(n: String): Int = ext.indexWhere(_.name == n)
+  private val repoIdx = idx("repo"); private val pathIdx = idx("path")
+  private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")
+  private val deletedIdx = idx("deleted")
+
+  private def cmpKey(a: Array[Any], b: Array[Any]): Int = {
+    val r = a(repoIdx).asInstanceOf[UTF8String].compareTo(b(repoIdx).asInstanceOf[UTF8String])
+    if (r != 0) r
+    else a(pathIdx).asInstanceOf[UTF8String].compareTo(b(pathIdx).asInstanceOf[UTF8String])
+  }
+  private def versionOrder(a: Array[Any], b: Array[Any]): Boolean = {
+    val la = a(lsnIdx).asInstanceOf[Long]; val lb = b(lsnIdx).asInstanceOf[Long]
+    if (la != lb) la < lb
+    else a(commitIdx).asInstanceOf[UTF8String].compareTo(b(commitIdx).asInstanceOf[UTF8String]) < 0
+  }
+
+  /** walk one key's full version chain in (lsn, commit) order, yielding the
+    * in-range versions with their change types
+    */
+  private def typed(versions: Seq[Array[Any]]): Seq[(Array[Any], String)] = {
+    var prevLive = false // key absent before its first stored version
+    versions.sortWith(versionOrder).flatMap { v =>
+      val del = v(deletedIdx) == true
+      val t = if (del) "delete" else if (prevLive) "update_postimage" else "insert"
+      prevLive = !del
+      val lsn = v(lsnIdx).asInstanceOf[Long]
+      if (lsn > lo && lsn <= hi) Some((v, t)) else None
+    }
+  }
+
+  private val out: Iterator[(Array[Any], String)] =
+    if (sorted) new Iterator[Seq[(Array[Any], String)]] {
+      // streaming k-way merge over the sorted files: one buffered row per
+      // file, one key's versions in flight
+      final class FileCursor(path: String) {
+        private val cur = new GroupRowCursor(path, ext, conf)
+        private var open = true
+        var row: Array[Any] = _
+        def advance(): Unit =
+          if (open && cur.advance()) row = cur.values.clone()
+          else { row = null; if (open) { open = false; cur.close() } }
+        advance()
+      }
+      private val cursors = files.map(new FileCursor(_)).toArray
+      def hasNext: Boolean = cursors.exists(_.row != null)
+      def next(): Seq[(Array[Any], String)] = {
+        var min: Array[Any] = null
+        cursors.foreach { c =>
+          if (c.row != null && (min == null || cmpKey(c.row, min) < 0)) min = c.row
+        }
+        val versions = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+        cursors.foreach { c =>
+          while (c.row != null && cmpKey(c.row, min) == 0) { versions += c.row; c.advance() }
+        }
+        typed(versions.toSeq)
+      }
+    }.flatten
+    else {
+      // unsorted fallback (pre-upgrade files): group the bucket in memory
+      val all = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+      files.foreach { f =>
+        val cur = new GroupRowCursor(f, ext, conf)
+        try while (cur.advance()) all += cur.values.clone()
+        finally cur.close()
+      }
+      all.groupBy(v => (v(repoIdx).toString, v(pathIdx).toString))
+        .valuesIterator.flatMap(vs => typed(vs.toSeq))
+    }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!out.hasNext) return false
+    val (v, t) = out.next()
+    val row = new Array[Any](required.length)
+    var i = 0; var j = 0
+    while (i < required.length) {
+      if (i == typeIdx) row(i) = UTF8String.fromString(t)
+      else { row(i) = v(j); j += 1 }
+      i += 1
+    }
+    current = new GenericInternalRow(row)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

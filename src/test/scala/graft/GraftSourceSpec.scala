@@ -233,6 +233,63 @@ class GraftSourceSpec extends SparkSpec {
       t.read().where(col("repo") === repos.head).select("repo", "lsn")))
   }
 
+  test("MOR deltas written (repo,path)-sorted; resolve streams a k-way merge in O(files) memory") {
+    val t = new LakeTable(spark, tmpDir("dsv2sorted"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "srt", 0L)
+    t.merge(wal.where(col("lsn") > 2000), "srt", 1L)
+    val snap = t.currentSnapshot().get
+    assert(snap.files.forall(_.sorted), "bucketResolve outputs must be marked sorted")
+    // the physical file really is ordered by (repo, path) — sort order is
+    // part of the format now, the streaming merge depends on it
+    val biggest = snap.files.maxBy(_.rows)
+    val rows = spark.read.parquet(t.resolvePath(biggest.path))
+      .select("repo", "path").coalesce(1).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.sameElements(rows.sortBy(identity)), "file rows must be (repo,path)-sorted")
+    // the scan takes the sorted-merge path for every multi-file bucket
+    val df = spark.read.format("graft").load(t.root)
+    val scan = scanOf(df.select("repo", "path", "commit", "lsn"))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    assert(parts.filter(_.resolveLatest).nonEmpty, "fixture must have multi-file buckets")
+    assert(parts.filter(_.resolveLatest).forall(_.sortedResolve),
+      "sorted files must be served by the streaming merge reader")
+    // and the served state equals the engine read path
+    assert(collectSorted(df.select("repo", "path", "commit", "lsn")) ==
+      collectSorted(t.read().select("repo", "path", "commit", "lsn")))
+  }
+
+  test("sorted-merge reader and hash-map fallback resolve identically") {
+    val t = new LakeTable(spark, tmpDir("dsv2srteq"), defaultBuckets = 2, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 1500), "se", 0L)
+    t.merge(wal.where(col("lsn") > 1500 && col("lsn") <= 3000), "se", 1L)
+    t.merge(wal.where(col("lsn") > 3000), "se", 2L)
+    val snap = t.currentSnapshot().get
+    val bucketFiles = snap.files.filter(_.bucket == 0).map(f => t.resolvePath(f.path))
+    assert(bucketFiles.size > 1)
+    val required = org.apache.spark.sql.types.StructType.fromDDL(
+      "repo STRING, path STRING, commit STRING, lsn BIGINT")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val factory = new graft.sources.GraftReaderFactory(required, conf, false)
+    def drain(p: graft.sources.GraftInputPartition): Seq[Seq[Any]] = {
+      val r = factory.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      try while (r.next()) {
+        val row = r.get()
+        out += Seq(row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString, row.getLong(3))
+      } finally r.close()
+      out.toSeq.sortBy(_.mkString("|"))
+    }
+    val viaSorted = drain(graft.sources.GraftInputPartition(bucketFiles, Nil,
+      resolveLatest = true, sortedResolve = true))
+    val viaHash = drain(graft.sources.GraftInputPartition(bucketFiles, Nil,
+      resolveLatest = true, sortedResolve = false))
+    assert(viaSorted.nonEmpty && viaSorted == viaHash,
+      s"sorted merge and hash resolve must agree (${viaSorted.size} vs ${viaHash.size} rows)")
+  }
+
   test("pre-upgrade snapshots without repo stats: no skipping, correct results") {
     val t = buildCow()
     // simulate a pre-upgrade snapshot: strip the repo stats

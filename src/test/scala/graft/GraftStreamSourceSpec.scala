@@ -190,4 +190,47 @@ class GraftStreamSourceSpec extends SparkSpec {
     val exp = expectedFeed(includeDeletes = true).filter(_._3 > per)
     assert(got(out) == exp)
   }
+
+  /** expected change types: winner per (key, commit batch), typed from the
+    * key's previous stored version (absent/deleted → insert; live →
+    * update_postimage; tombstone → delete)
+    */
+  private def expectedTyped(): Set[(String, String, Long, String)] = {
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val w = Window.partitionBy(col("repo"), col("path"),
+        ((col("lsn") - 1) / per).cast("long"))
+      .orderBy(col("lsn").desc, col("commit").desc)
+    val winners = wal.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val hist = Window.partitionBy("repo", "path").orderBy(col("lsn"), col("commit"))
+    winners.withColumn("prev_op", lag("op", 1).over(hist))
+      .select(col("repo"), col("path"), col("lsn"),
+        when(col("op") === "D", "delete")
+          .when(col("prev_op").isNull || col("prev_op") === "D", "insert")
+          .otherwise("update_postimage").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+  }
+
+  test("changeTypes tail: insert/update_postimage/delete from prior stored state") {
+    val t = buildMor()
+    assert(t.currentSnapshot().get.files.forall(_.sorted),
+      "fixture deltas must be sorted (streaming per-key merge path)")
+    val out = runToMemory(t.root, "tail_types", Map("changeTypes" -> "true"))
+    assert(out.columns.contains("_change_type"))
+    val gotTyped = out.select("repo", "path", "lsn", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(gotTyped == expectedTyped())
+    // the vocabulary is exactly Delta CDF's
+    assert(gotTyped.map(_._4).subsetOf(Set("insert", "update_postimage", "delete")))
+  }
+
+  test("changeTypes across rate-limited micro-batches: prior state crosses the batch boundary") {
+    val t = buildMor()
+    // 700-lsn batches: a key inserted in one micro-batch and updated in a
+    // later one must type the second change update_postimage, not insert
+    val out = runToMemory(t.root, "tail_types_rl",
+      Map("changeTypes" -> "true", "maxLsnsPerTrigger" -> "700"))
+    val gotTyped = out.select("repo", "path", "lsn", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(gotTyped == expectedTyped())
+  }
 }

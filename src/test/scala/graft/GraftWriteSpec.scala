@@ -320,6 +320,42 @@ class GraftWriteSpec extends SparkSpec {
     assert(e.getMessage.contains("cpid"), e.getMessage)
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old snapshots intact") {
+    val (cat, warehouse) = catalog("walter")
+    spark.sql(s"""CREATE TABLE $cat.evt (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+      TBLPROPERTIES ('mode' = 'cow', 'buckets' = '4')""")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    tableShape(wal.where(col("lsn") <= 500)).createOrReplaceTempView("alter_head")
+    spark.sql(s"INSERT INTO $cat.evt SELECT * FROM alter_head")
+    val t = new LakeTable(spark, s"$warehouse/evt")
+    val vBefore = t.currentSnapshot().get.version
+    val filesBefore = t.currentSnapshot().get.files.map(_.path).toSet
+
+    spark.sql(s"ALTER TABLE $cat.evt ADD COLUMN branch STRING")
+    val snap = t.currentSnapshot().get
+    assert(snap.version == vBefore + 1)
+    assert(snap.files.map(_.path).toSet == filesBefore, "ADD COLUMN must move no data")
+    // new column reads back null over pre-evolution files
+    val viaSql = spark.sql(s"SELECT branch FROM $cat.evt")
+    assert(viaSql.count() > 0 && viaSql.where(col("branch").isNotNull).isEmpty)
+    // pre-evolution snapshot still readable as written
+    assert(!spark.sql(s"SELECT * FROM $cat.evt VERSION AS OF $vBefore")
+      .columns.contains("branch"))
+    // writes can now fill the column
+    tableShape(wal.where(col("lsn") === 600)).withColumn("branch", lit("main"))
+      .createOrReplaceTempView("alter_tail")
+    spark.sql(s"INSERT INTO $cat.evt SELECT * FROM alter_tail")
+    assert(spark.sql(s"SELECT branch FROM $cat.evt WHERE branch = 'main'").count() > 0)
+    // add-only rules: duplicates and non-add changes are rejected
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evt ADD COLUMN branch STRING")
+    }.getMessage.contains("already exist"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evt DROP COLUMN branch")
+    }.getMessage.toLowerCase.contains("add column"))
+  }
+
   test("catalog rejects identifier segments that escape the warehouse root") {
     val (cat, warehouse) = catalog("wtrav")
     val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())

@@ -56,11 +56,13 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllMatchIn(planOf(resolved)).size
     assert(exchanges == 1, planOf(resolved))
     // the SUB-SPLIT variant (bucket × key-salt shuffle, window partitioned
-    // by (b, salt, repo, path)) must also plan exactly one Exchange:
-    // HashPartitioning(b, salt) satisfies the window's clustering
+    // by (b, repo, path, salt) — salt LAST so file rows come out
+    // (repo,path)-sorted, the MOR sorted-merge format) must also plan
+    // exactly one Exchange: HashPartitioning(b, salt) satisfies the
+    // window's clustering regardless of the key order
     val salt = pmod(xxhash64(col("repo"), col("path")), lit(4L)).cast("int")
     val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("b", "__salt", "repo", "path").orderBy(col("lsn").desc, col("commit").desc)
+      .partitionBy("b", "repo", "path", "__salt").orderBy(col("lsn").desc, col("commit").desc)
     val split = wal.withColumn("b", b).withColumn("__salt", salt)
       .repartition(32, col("b"), col("__salt"))
       .withColumn("__rn", row_number().over(ws)).where(col("__rn") === 1).drop("__rn", "__salt")
