@@ -290,6 +290,45 @@ class GraftSourceSpec extends SparkSpec {
       s"sorted merge and hash resolve must agree (${viaSorted.size} vs ${viaHash.size} rows)")
   }
 
+  test("wide sorted MOR buckets split into key-range resolve tasks; union is exact") {
+    // tiny rowgroups so the fixture files carry several blocks (the split
+    // points come from rowgroup boundary stats)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    val oldPage = hconf.get("parquet.page.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    hconf.setInt("parquet.page.size", 4 * 1024)
+    try {
+      val t = new LakeTable(spark, tmpDir("dsv2wide"), defaultBuckets = 2, ApplyMode.MergeOnRead)
+      // a WIDE key space (4k keys) so the per-commit deduped delta files
+      // span several of the tiny rowgroups configured above
+      val wideCfg = GenConfig(seed = 77, events = 20000, repos = 40, filesPerRepo = 100)
+      val wal = ChangeLogGen.changeLog(spark, wideCfg)
+      t.merge(wal.where(col("lsn") <= 10000), "wd", 0L)
+      t.merge(wal.where(col("lsn") > 10000), "wd", 1L)
+      val nBuckets = t.currentSnapshot().get.files.map(_.bucket).distinct.size
+      val df = spark.read.format("graft").option("wideBucketRows", "100").load(t.root)
+      val scan = scanOf(df.select("repo", "path", "commit", "lsn"))
+      val parts = scan.planInputPartitions().map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      val resolve = parts.filter(_.resolveLatest)
+      assert(resolve.length > nBuckets,
+        s"wide buckets must split: ${resolve.length} tasks over $nBuckets buckets")
+      assert(resolve.exists(_.range.isDefined))
+      // ranges must PARTITION the key space: the split scan's result equals
+      // the engine read exactly (no lost keys, no duplicated keys, each
+      // key's history resolved completely within its one range)
+      assert(collectSorted(df.select("repo", "path", "commit", "lsn")) ==
+        collectSorted(t.read().select("repo", "path", "commit", "lsn")))
+      // and an UNSPLIT scan of the same table agrees too
+      val whole = spark.read.format("graft").load(t.root)
+      assert(collectSorted(whole.select("repo", "path", "lsn")) ==
+        collectSorted(t.read().select("repo", "path", "lsn")))
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size") else hconf.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hconf.unset("parquet.page.size") else hconf.set("parquet.page.size", oldPage)
+    }
+  }
+
   test("pre-upgrade snapshots without repo stats: no skipping, correct results") {
     val t = buildCow()
     // simulate a pre-upgrade snapshot: strip the repo stats
