@@ -402,9 +402,10 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     */
   private def splitKeysFor(files: Seq[FileEntry]): Seq[(String, String)] = {
     val threshold = options.get("widebucketrows").map(_.toLong).getOrElse(8L * 1000 * 1000)
-    // FileEntry.rows carries the BUCKET-level row count (footerStats is
-    // per-bucket), so max — not sum — is the bucket size
-    val bucketRows = files.map(_.rows).max
+    // FileEntry.rows is per-file; the bucket's stored size is their sum
+    // (pre-upgrade snapshots carried bucket-level copies — summing those
+    // overestimates and only splits more eagerly, never incorrectly)
+    val bucketRows = files.map(_.rows).sum
     if (bucketRows <= threshold) return Nil
     val targetParts = math.min(64L, (bucketRows + threshold - 1) / threshold).toInt
     val big = files.maxBy(_.rows)

@@ -462,9 +462,10 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val resolved = bucketResolve(all, math.max(affected.fold(nBuckets)(_.size), 1))
     resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
 
-    // per-bucket (rows, min/max lsn) from the parquet FOOTERS of the files
-    // just written — driver-side metadata reads, no Spark job.
-    val stats = footerStats(commitDir)
+    // per-FILE (rows, min/max lsn/repo) from the parquet FOOTERS of the
+    // files just written — driver-side metadata reads, no Spark job.
+    val perFile = fileStats(commitDir)
+    val stats = bucketStatsOf(perFile)
     val totalRows = stats.map(_.rows).sum
     // tombstone count: one column-pruned pass over the written files'
     // `deleted` column (KBs of IO per batch).
@@ -475,9 +476,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           .agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
         if (t.isNullAt(0)) 0L else t.getLong(0)
       }
-    val newEntries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo, sorted = true))
-    }
+    val newEntries = entriesOf(perFile, sorted = true)
     val batchSchema = resolved.drop("b").schema
     val batchHwm = if (stats.isEmpty) Long.MinValue else stats.map(_.maxLsn).max
 
@@ -642,11 +641,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val dvCount = dvPaths0.map(parquetRowCount).sum
       val dvPaths = if (dvCount > 0) dvPaths0.map(LakeTable.relPath) else Nil
 
-      val stats = footerStats(commitDir)
-      val newEntries = stats.flatMap { st =>
-        LakeTable.listParquet(fs, s"$commitDir/b=${st.bucket}")
-          .map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo))
-      }
+      val perFile = fileStats(commitDir)
+      val stats = bucketStatsOf(perFile)
+      val newEntries = entriesOf(perFile, sorted = false)
       val tombstones = {
         val t = keep.agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
         if (t.isNullAt(0)) 0L else t.getLong(0)
@@ -719,11 +716,13 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     try r.getRecordCount finally r.close()
   }
 
-  /** per-bucket (rows, min/max lsn) read from parquet footers on the
-    * driver — metadata only, no executor work. Files per commit are few
-    * (≈ one per affected bucket), so this is microseconds per file.
+  /** PER-FILE (rows, min/max lsn, min/max repo) read from parquet footers
+    * on the driver — metadata only, no executor work. Per-file granularity
+    * keeps lsn/repo skipping tight when sub-splitting writes several files
+    * per bucket, and makes `totalRows` exact (a bucket-level copy on every
+    * file would overcount k×).
     */
-  private def footerStats(commitDir: String): Seq[BucketStats] = {
+  private def fileStats(commitDir: String): Seq[(Int, String, BucketStats)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
@@ -735,9 +734,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     import scala.collection.parallel.CollectionConverters._
     dirs.par.flatMap { d =>
       val bucket = new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b=").toInt
-      var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
-      var minRepo: String = null; var maxRepo: String = null
-      listParquet(fs, d).foreach { p =>
+      listParquet(fs, d).flatMap { p =>
+        var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
+        var minRepo: String = null; var maxRepo: String = null
         val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
         val r = ParquetFileReader.open(in)
         try {
@@ -767,10 +766,30 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             }
           }
         } finally r.close()
+        if (rows == 0) None
+        else Some((bucket, p, BucketStats(bucket, rows, minLsn, maxLsn, minRepo, maxRepo)))
       }
-      if (rows == 0) None else Some(BucketStats(bucket, rows, minLsn, maxLsn, minRepo, maxRepo))
-    }.seq.sortBy(_.bucket)
+    }.seq.sortBy(x => (x._1, x._2))
   }
+
+  /** the per-file stats as FileEntries (each file carries ITS OWN stats) */
+  private def entriesOf(perFile: Seq[(Int, String, BucketStats)], sorted: Boolean): Seq[FileEntry] =
+    perFile.map { case (b, p, st) =>
+      FileEntry(b, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn,
+        st.minRepo, st.maxRepo, sorted)
+    }
+
+  /** per-BUCKET aggregates of the per-file stats — the ledger's shape */
+  private def footerStats(commitDir: String): Seq[BucketStats] =
+    bucketStatsOf(fileStats(commitDir))
+
+  private def bucketStatsOf(perFile: Seq[(Int, String, BucketStats)]): Seq[BucketStats] =
+    perFile.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
+      val ss = xs.map(_._3)
+      BucketStats(b, ss.map(_.rows).sum, ss.map(_.minLsn).min, ss.map(_.maxLsn).max,
+        ss.map(_.minRepo).filter(_ != null).sortWith(LakeTable.utf8Cmp(_, _) < 0).headOption.orNull,
+        ss.map(_.maxRepo).filter(_ != null).sortWith(LakeTable.utf8Cmp(_, _) > 0).headOption.orNull)
+    }
 
   /** How many ways to sub-split each bucket's shuffle group, so that
     * resolve/compact TASK parallelism is decoupled from the FILE layout's
@@ -881,10 +900,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val newB = pmod(xxhash64(col("repo"), col("path")), lit(newBuckets.toLong)).cast("int")
     bucketResolve(source.withColumn("b", newB), newBuckets)
       .write.partitionBy("b").mode("overwrite").parquet(commitDir)
-    val stats = footerStats(commitDir)
-    val entries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}").map(p => FileEntry(st.bucket, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo, sorted = true))
-    }
+    val entries = entriesOf(fileStats(commitDir), sorted = true)
     try commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap, token)
     catch {
@@ -936,11 +952,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val resolved = bucketResolve(cleaned.withColumn("b", bCol), nBuckets)
     resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
-    val stats = footerStats(commitDir)
-    val newEntries = stats.flatMap { st =>
-      listParquet(fs, s"$commitDir/b=${st.bucket}")
-        .map(fp => FileEntry(st.bucket, LakeTable.relPath(fp), st.rows, st.minLsn, st.maxLsn, st.minRepo, st.maxRepo, sorted = true))
-    }
+    val perFile = fileStats(commitDir)
+    val stats = bucketStatsOf(perFile)
+    val newEntries = entriesOf(perFile, sorted = true)
     val tombstones =
       if (stats.isEmpty) 0L
       else {

@@ -50,6 +50,13 @@ class MaintenanceSpec extends SparkSpec {
         // files per bucket directory, strictly more than one per bucket
         assert(snap.files.size > 4, s"expected sub-split output, got ${snap.files.size} files")
         assert(snap.files.groupBy(_.bucket).values.forall(_.size <= 4))
+        // per-FILE stats: with several files per bucket, rows/totalRows must
+        // count each file's OWN rows (a bucket-level copy would overcount k×)
+        val actualRows = spark.read
+          .parquet(snap.files.map(f => t.resolvePath(f.path)): _*).count()
+        assert(snap.totalRows == actualRows,
+          s"totalRows ${snap.totalRows} != stored rows $actualRows")
+        assert(snap.files.map(_.rows).sum == actualRows)
         assert(stateOf(t) == before, "compaction must not change table state")
         // DSv2 still serves the multi-file-per-bucket layout
         assert(collectSorted(spark.read.format("graft").load(t.root)
