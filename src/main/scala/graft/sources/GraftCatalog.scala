@@ -171,6 +171,11 @@ class GraftCatalog extends TableCatalog {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft: only top-level ADD COLUMN (got nested ${a.fieldNames.mkString(".")})")
+        // pre-existing rows null-backfill the new column, so a NOT NULL
+        // promise cannot be honored — reject instead of silently coercing
+        require(a.isNullable,
+          s"graft: ADD COLUMN ${a.fieldNames.head} NOT NULL is not supported — " +
+            "existing rows are null-backfilled; declare the column nullable")
         StructField(a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft: schema evolves additively — only ADD COLUMN is supported, got $other")

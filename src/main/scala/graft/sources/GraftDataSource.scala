@@ -261,7 +261,15 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   // snapshot-stored paths are root-relative (relocatable tables)
   private def resolve(p: String): String = graft.table.LakeTable.resolveUnder(root, p)
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    // `_change_type` derives from per-key history in the STREAMING tail
+    // readers only; a batch scan would silently serve tombstones plus an
+    // all-null change-type column — reject loudly instead
+    require(!options.get("changetypes").exists(_.toBoolean),
+      "graft: changeTypes is a streaming-tail option — use spark.readStream.format(\"graft\")" +
+        ".option(\"changeTypes\", \"true\"), or drop the option for a batch read")
+    this
+  }
 
   // does any bucket need an in-reader latest-per-key resolve?
   private lazy val needResolve = snap.mode == "mor" &&
@@ -434,7 +442,16 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
       if (starts.size < 2) return Nil
       // every k-th rowgroup start (skip the first — it is the range floor)
       val step = math.max(1, starts.size / targetParts)
-      starts.zipWithIndex.collect { case (s, i) if i > 0 && i % step == 0 => s }.distinct
+      val picked = starts.zipWithIndex.collect { case (s, i) if i > 0 && i % step == 0 => s }.distinct
+      // split points MUST ascend: rowgroup stat composites (repoMin,
+      // pathMin) are conservative, not monotonic (a block's path-min spans
+      // all its repos), and unsorted points would make consecutive ranges
+      // OVERLAP — two tasks would both emit the keys in the inverted span
+      // (duplicate rows). Sorted arbitrary values are always valid points.
+      picked.sortWith { case ((r1, p1), (r2, p2)) =>
+        val c = graft.table.LakeTable.utf8Cmp(r1, r2)
+        if (c != 0) c < 0 else graft.table.LakeTable.utf8Cmp(p1, p2) < 0
+      }
     } finally reader.close()
   }
 
@@ -800,37 +817,33 @@ final class GraftResolveReader(files: Seq[String], required: StructType, conf: C
   override def close(): Unit = ()
 }
 
-/** Un-compacted MergeOnRead bucket reader over (repo, path)-SORTED delta
-  * files: a streaming k-way merge resolves latest-per-key in **O(files)
-  * memory** — one buffered row per open file — instead of the hash-map
-  * reader's O(live keys per bucket). This is the scale-safe external read
-  * path for a live multi-TB MOR bucket (round-3 VERDICT "Wrong" #3): the
-  * write side orders every bucketResolve output file by (repo, path) for
-  * free (the resolve window's sort), marks it in the FileEntry, and this
-  * reader merges the sorted runs. Winner per key = max (lsn, commit), exact
-  * ties to the LATER delta file (same contract as the hash-map reader and
-  * `LakeTable.latestPerKey`). Keys compare in UTF8String binary order —
-  * the same order Spark's SortExec wrote the files in.
+/** Shared bookkeeping-column vocabulary of the resolve/feed readers:
+  * the read schema is the required columns EXTENDED with whichever of
+  * these the resolve logic needs (dropped again at emit).
   */
-final class GraftSortedResolveReader(files: Seq[String], required: StructType, conf: Configuration,
-                                     range: Option[GraftKeyRange] = None)
-    extends PartitionReader[InternalRow] {
-
-  private val extraNames =
-    Seq("repo", "path", "lsn", "commit", "deleted").filterNot(required.fieldNames.contains)
-  private val extraTypes: Map[String, org.apache.spark.sql.types.DataType] = Map(
+private[sources] object ResolveColumns {
+  val types: Map[String, org.apache.spark.sql.types.DataType] = Map(
     "repo" -> StringType, "path" -> StringType, "lsn" -> LongType,
     "commit" -> StringType, "deleted" -> BooleanType)
-  private val ext: Array[StructField] =
-    required.fields ++ extraNames.map(n => StructField(n, extraTypes(n)))
-  private def idx(n: String): Int = ext.indexWhere(_.name == n)
-  private val repoIdx = idx("repo"); private val pathIdx = idx("path")
-  private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")
-  private val deletedIdx = idx("deleted")
-  private val exposeDeleted = required.fieldNames.contains("deleted")
+  val names: Seq[String] = Seq("repo", "path", "lsn", "commit", "deleted")
+  def extend(base: Array[StructField]): Array[StructField] =
+    base ++ names.filterNot(n => base.exists(_.name == n)).map(n => StructField(n, types(n)))
+}
 
-  // key-range bounds in UTF8String form (row values compare without
-  // materialising java Strings per row)
+/** THE streaming k-way merge over (repo, path)-sorted delta files — the
+  * one implementation behind the sorted resolve reader and the typed
+  * change feed (one copy of the comparator / cursor / grouping semantics;
+  * a tie-break fix cannot silently miss a reader). Memory is O(files):
+  * one buffered row (cloned — the parquet cursor reuses its array) per
+  * open file, plus the versions of the single key in flight. An optional
+  * half-open key range fast-forwards cursors to its floor (rowgroups
+  * outside the range are skipped via footer stats) and ends each file at
+  * its ceiling. Keys compare in UTF8String binary order — the order
+  * Spark's SortExec wrote the files in.
+  */
+private[sources] final class SortedKeyMerge(files: Seq[String], ext: Array[StructField],
+                                            repoIdx: Int, pathIdx: Int,
+                                            conf: Configuration, range: Option[GraftKeyRange]) {
   private val loR = range.flatMap(r => Option(r.loRepo)).map(UTF8String.fromString).orNull
   private val loP = range.flatMap(r => Option(r.loPath)).map(UTF8String.fromString).orNull
   private val hiR = range.filter(_.bounded).map(r => UTF8String.fromString(r.hiRepo)).orNull
@@ -838,13 +851,10 @@ final class GraftSortedResolveReader(files: Seq[String], required: StructType, c
   private def cmp2(r1: UTF8String, p1: UTF8String, r2: UTF8String, p2: UTF8String): Int = {
     val c = r1.compareTo(r2); if (c != 0) c else p1.compareTo(p2)
   }
+  def cmpKey(a: Array[Any], b: Array[Any]): Int =
+    cmp2(a(repoIdx).asInstanceOf[UTF8String], a(pathIdx).asInstanceOf[UTF8String],
+      b(repoIdx).asInstanceOf[UTF8String], b(pathIdx).asInstanceOf[UTF8String])
 
-  /** one open delta file with a buffered head row (cloned — the underlying
-    * cursor reuses its values array), fast-forwarded into the key range:
-    * rows below lo are skipped (their rowgroups mostly pruned already);
-    * the first row at/above hi ends the file (sorted — nothing further
-    * can be in range)
-    */
   private final class FileCursor(path: String) {
     private val cur = new GroupRowCursor(path, ext, conf, range)
     private var open = true
@@ -864,11 +874,61 @@ final class GraftSortedResolveReader(files: Seq[String], required: StructType, c
   }
   private val cursors: Array[FileCursor] = files.map(new FileCursor(_)).toArray
 
-  private def cmpKey(a: Array[Any], b: Array[Any]): Int = {
-    val r = a(repoIdx).asInstanceOf[UTF8String].compareTo(b(repoIdx).asInstanceOf[UTF8String])
-    if (r != 0) r
-    else a(pathIdx).asInstanceOf[UTF8String].compareTo(b(pathIdx).asInstanceOf[UTF8String])
+  def hasNextKey: Boolean = cursors.exists(_.row != null)
+
+  /** pop ALL versions of the smallest buffered key into `out` as
+    * (row, fileIndex) pairs — a file may hold several versions of one key
+    */
+  def nextKeyVersions(out: scala.collection.mutable.ArrayBuffer[(Array[Any], Int)]): Unit = {
+    out.clear()
+    // smallest buffered key (linear scan: open files per bucket are few,
+    // bounded by maybeCompact's file threshold)
+    var min: Array[Any] = null
+    var i = 0
+    while (i < cursors.length) {
+      val r = cursors(i).row
+      if (r != null && (min == null || cmpKey(r, min) < 0)) min = r
+      i += 1
+    }
+    if (min == null) return
+    i = 0
+    while (i < cursors.length) {
+      val c = cursors(i)
+      while (c.row != null && cmpKey(c.row, min) == 0) {
+        out += ((c.row, i))
+        c.advance()
+      }
+      i += 1
+    }
   }
+
+  /** MUST be called from the reader's close(): cursors not yet exhausted
+    * hold open parquet readers
+    */
+  def close(): Unit = cursors.foreach(_.close())
+}
+
+/** Un-compacted MergeOnRead bucket reader over (repo, path)-SORTED delta
+  * files: the SortedKeyMerge resolves latest-per-key in **O(files)
+  * memory** instead of the hash-map reader's O(live keys per bucket) —
+  * the scale-safe external read path for a live multi-TB MOR bucket
+  * (round-3 VERDICT "Wrong" #3). Winner per key = max (lsn, commit),
+  * exact ties to the LATER delta file (same contract as the hash-map
+  * reader and `LakeTable.latestPerKey`).
+  */
+final class GraftSortedResolveReader(files: Seq[String], required: StructType, conf: Configuration,
+                                     range: Option[GraftKeyRange] = None)
+    extends PartitionReader[InternalRow] {
+
+  private val ext: Array[StructField] = ResolveColumns.extend(required.fields)
+  private def idx(n: String): Int = ext.indexWhere(_.name == n)
+  private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")
+  private val deletedIdx = idx("deleted")
+  private val exposeDeleted = required.fieldNames.contains("deleted")
+
+  private val merge = new SortedKeyMerge(files, ext, idx("repo"), idx("path"), conf, range)
+  private val versions = scala.collection.mutable.ArrayBuffer[(Array[Any], Int)]()
+
   /** does (a from file ai) beat (b from file bi)? */
   private def wins(a: Array[Any], ai: Int, b: Array[Any], bi: Int): Boolean = {
     val la = a(lsnIdx).asInstanceOf[Long]; val lb = b(lsnIdx).asInstanceOf[Long]
@@ -882,28 +942,11 @@ final class GraftSortedResolveReader(files: Seq[String], required: StructType, c
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (true) {
-      // smallest buffered key (linear scan: open files per bucket are few,
-      // bounded by maybeCompact's file threshold)
-      var min: Array[Any] = null
-      var i = 0
-      while (i < cursors.length) {
-        val r = cursors(i).row
-        if (r != null && (min == null || cmpKey(r, min) < 0)) min = r
-        i += 1
-      }
-      if (min == null) return false
-      // winner across every row carrying that key, advancing contributors
-      // past it (a file may hold several versions of one key)
+    while (merge.hasNextKey) {
+      merge.nextKeyVersions(versions)
       var winner: Array[Any] = null; var winnerIdx = -1
-      i = 0
-      while (i < cursors.length) {
-        val c = cursors(i)
-        while (c.row != null && cmpKey(c.row, min) == 0) {
-          if (winner == null || wins(c.row, i, winner, winnerIdx)) { winner = c.row; winnerIdx = i }
-          c.advance()
-        }
-        i += 1
+      versions.foreach { case (v, i) =>
+        if (winner == null || wins(v, i, winner, winnerIdx)) { winner = v; winnerIdx = i }
       }
       val del = winner(deletedIdx)
       if (exposeDeleted || del == null || del == false) {
@@ -916,7 +959,7 @@ final class GraftSortedResolveReader(files: Seq[String], required: StructType, c
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = cursors.foreach(_.close())
+  override def close(): Unit = merge.close()
 }
 
 object GraftColumnarReader {

@@ -239,34 +239,28 @@ final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required:
   // read schema: required minus the synthesised column, plus the
   // bookkeeping columns the typing needs
   private val base: Array[StructField] = required.fields.filterNot(_.name == "_change_type")
-  private val extraNames =
-    Seq("repo", "path", "lsn", "commit", "deleted").filterNot(n => base.exists(_.name == n))
-  private val extraTypes: Map[String, org.apache.spark.sql.types.DataType] = Map(
-    "repo" -> StringType, "path" -> StringType, "lsn" -> LongType,
-    "commit" -> StringType, "deleted" -> BooleanType)
-  private val ext: Array[StructField] = base ++ extraNames.map(n => StructField(n, extraTypes(n)))
+  private val ext: Array[StructField] = ResolveColumns.extend(base)
   private def idx(n: String): Int = ext.indexWhere(_.name == n)
   private val repoIdx = idx("repo"); private val pathIdx = idx("path")
   private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")
   private val deletedIdx = idx("deleted")
 
-  private def cmpKey(a: Array[Any], b: Array[Any]): Int = {
-    val r = a(repoIdx).asInstanceOf[UTF8String].compareTo(b(repoIdx).asInstanceOf[UTF8String])
-    if (r != 0) r
-    else a(pathIdx).asInstanceOf[UTF8String].compareTo(b(pathIdx).asInstanceOf[UTF8String])
-  }
-  private def versionOrder(a: Array[Any], b: Array[Any]): Boolean = {
-    val la = a(lsnIdx).asInstanceOf[Long]; val lb = b(lsnIdx).asInstanceOf[Long]
+  private def versionOrder(a: (Array[Any], Int), b: (Array[Any], Int)): Boolean = {
+    val la = a._1(lsnIdx).asInstanceOf[Long]; val lb = b._1(lsnIdx).asInstanceOf[Long]
     if (la != lb) la < lb
-    else a(commitIdx).asInstanceOf[UTF8String].compareTo(b(commitIdx).asInstanceOf[UTF8String]) < 0
+    else {
+      val c = a._1(commitIdx).asInstanceOf[UTF8String]
+        .compareTo(b._1(commitIdx).asInstanceOf[UTF8String])
+      if (c != 0) c < 0 else a._2 < b._2 // exact tie: file order, matching the resolve
+    }
   }
 
   /** walk one key's full version chain in (lsn, commit) order, yielding the
     * in-range versions with their change types
     */
-  private def typed(versions: Seq[Array[Any]]): Seq[(Array[Any], String)] = {
+  private def typed(versions: Seq[(Array[Any], Int)]): Seq[(Array[Any], String)] = {
     var prevLive = false // key absent before its first stored version
-    versions.sortWith(versionOrder).flatMap { v =>
+    versions.sortWith(versionOrder).flatMap { case (v, _) =>
       val del = v(deletedIdx) == true
       val t = if (del) "delete" else if (prevLive) "update_postimage" else "insert"
       prevLive = !del
@@ -275,42 +269,30 @@ final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required:
     }
   }
 
+  // the SAME streaming k-way merge the sorted resolve reader uses — one
+  // copy of the comparator/cursor/grouping semantics (held in a field so
+  // close() can release not-yet-exhausted parquet readers)
+  private val merge: SortedKeyMerge =
+    if (sorted) new SortedKeyMerge(files, ext, repoIdx, pathIdx, conf, None) else null
+
   private val out: Iterator[(Array[Any], String)] =
     if (sorted) new Iterator[Seq[(Array[Any], String)]] {
-      // streaming k-way merge over the sorted files: one buffered row per
-      // file, one key's versions in flight
-      final class FileCursor(path: String) {
-        private val cur = new GroupRowCursor(path, ext, conf)
-        private var open = true
-        var row: Array[Any] = _
-        def advance(): Unit =
-          if (open && cur.advance()) row = cur.values.clone()
-          else { row = null; if (open) { open = false; cur.close() } }
-        advance()
-      }
-      private val cursors = files.map(new FileCursor(_)).toArray
-      def hasNext: Boolean = cursors.exists(_.row != null)
+      private val buf = scala.collection.mutable.ArrayBuffer[(Array[Any], Int)]()
+      def hasNext: Boolean = merge.hasNextKey
       def next(): Seq[(Array[Any], String)] = {
-        var min: Array[Any] = null
-        cursors.foreach { c =>
-          if (c.row != null && (min == null || cmpKey(c.row, min) < 0)) min = c.row
-        }
-        val versions = scala.collection.mutable.ArrayBuffer[Array[Any]]()
-        cursors.foreach { c =>
-          while (c.row != null && cmpKey(c.row, min) == 0) { versions += c.row; c.advance() }
-        }
-        typed(versions.toSeq)
+        merge.nextKeyVersions(buf)
+        typed(buf.toSeq)
       }
     }.flatten
     else {
       // unsorted fallback (pre-upgrade files): group the bucket in memory
-      val all = scala.collection.mutable.ArrayBuffer[Array[Any]]()
-      files.foreach { f =>
+      val all = scala.collection.mutable.ArrayBuffer[(Array[Any], Int)]()
+      files.zipWithIndex.foreach { case (f, fi) =>
         val cur = new GroupRowCursor(f, ext, conf)
-        try while (cur.advance()) all += cur.values.clone()
+        try while (cur.advance()) all += ((cur.values.clone(), fi))
         finally cur.close()
       }
-      all.groupBy(v => (v(repoIdx).toString, v(pathIdx).toString))
+      all.groupBy { case (v, _) => (v(repoIdx).toString, v(pathIdx).toString) }
         .valuesIterator.flatMap(vs => typed(vs.toSeq))
     }
 
@@ -331,5 +313,5 @@ final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required:
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (merge != null) merge.close()
 }

@@ -131,11 +131,11 @@ final class GraftStreamSink(spark: SparkSession, root: String,
 }
 
 object GraftWrite {
-  /** cpId prefixes reserved for engine-internal one-shot commits (see
-    * LakeTable.pruneEphemeralCommits) — user-supplied exactly-once ids must
-    * not collide with them.
+  /** cpId prefixes reserved for engine-internal one-shot commits (the one
+    * list lives next to pruneEphemeralCommits) — user-supplied exactly-once
+    * ids must not collide with them.
     */
-  val reservedCpIdPrefixes: Seq[String] = Seq("dsv2-", "delete-", "update-", "merge-")
+  def reservedCpIdPrefixes: Seq[String] = LakeTable.oneShotCpIdPrefixes
 
   /** Open the lake for a write: `mode`/`buckets` options only matter on the
     * CREATING write (an existing table reads its layout back from the

@@ -780,9 +780,6 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
 
   /** per-BUCKET aggregates of the per-file stats — the ledger's shape */
-  private def footerStats(commitDir: String): Seq[BucketStats] =
-    bucketStatsOf(fileStats(commitDir))
-
   private def bucketStatsOf(perFile: Seq[(Int, String, BucketStats)]): Seq[BucketStats] =
     perFile.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
       val ss = xs.map(_._3)
@@ -1036,7 +1033,15 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * metadata-skipped before any IO)
     */
   private[graft] def readLive(buckets: Option[Set[Int]]): DataFrame =
-    readResolved(buckets).where(!col("deleted")).drop("deleted")
+    readLiveAt(currentSnapshot(), buckets)
+
+  /** live rows of a PINNED snapshot: the victim scan must read the same
+    * snapshot its bucket set was derived from — a concurrent rebucket
+    * between derivation and scan would otherwise filter the NEW layout's
+    * files with OLD-layout bucket ids and silently miss victims
+    */
+  private def readLiveAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame =
+    readResolvedAt(snap, buckets).where(!col("deleted")).drop("deleted")
 
   /** Analyze `cond` against this snapshot's schema and derive the bucket
     * set its key-equality conjuncts pin (a Spark-4 Column is a lazy
@@ -1057,7 +1062,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
     val snap = currentSnapshot().getOrElse(return)
     val delLsn = snap.hwm + 1
-    val events = readLive(bucketsForAt(snap, cond)).where(cond).select(
+    val events = readLiveAt(Some(snap), bucketsForAt(snap, cond)).where(cond).select(
       lit(delLsn).as("lsn"), lit("D").as("op"), col("repo"), col("path"),
       lit(s"!delete-v${snap.version + 1}").as("commit"),
       lit(null).cast("string").as("content"))
@@ -1079,7 +1084,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     def valueOf(c: String) = set.getOrElse(c, col(c))
     // keyed conditions prune the victim scan to the buckets that can hold
     // the key — a selective UPDATE never scans the whole table
-    val live = readLive(bucketsForAt(snap, cond))
+    val live = readLiveAt(Some(snap), bucketsForAt(snap, cond))
     // only assignable payload columns: keys/bookkeeping are immutable,
     // lang/contentSha are DERIVED (recomputed by the merge) — rejecting
     // everything else also catches typos instead of silently no-opping
@@ -1303,10 +1308,15 @@ object LakeTable {
     * ones that aren't its own. Keeps snapshot metadata O(live checkpoints),
     * not O(statements ever executed).
     */
+  /** the ONE list of one-shot cpId prefixes — pruned here, rejected for
+    * user sink ids in GraftWrite (a second hardcoded copy could drift and
+    * re-open the pruned-exactly-once-state hole the sink guard closes)
+    */
+  val oneShotCpIdPrefixes: Seq[String] = Seq("dsv2-", "delete-", "update-", "merge-")
+
   def pruneEphemeralCommits(m: Map[String, CommitState], current: String): Map[String, CommitState] =
     m.filter { case (k, _) =>
-      k == current || !(k.startsWith("dsv2-") || k.startsWith("delete-") ||
-        k.startsWith("update-") || k.startsWith("merge-"))
+      k == current || !oneShotCpIdPrefixes.exists(k.startsWith)
     }
 
   /** The versions whose snapshot JSON still exists, probed DOWNWARD from

@@ -314,6 +314,22 @@ class GraftSourceSpec extends SparkSpec {
       assert(resolve.length > nBuckets,
         s"wide buckets must split: ${resolve.length} tasks over $nBuckets buckets")
       assert(resolve.exists(_.range.isDefined))
+      // per bucket, the ranges must be ASCENDING and CHAINED (each hi is
+      // the next lo): overlap would emit duplicate rows, a gap would lose
+      // keys — split points come from non-monotonic rowgroup stat
+      // composites and MUST be sorted before ranges are built
+      resolve.filter(_.range.isDefined).groupBy(_.files).values.foreach { ps =>
+        val rs = ps.flatMap(_.range)
+        rs.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.bounded && a.hiRepo == (if (b.loRepo == null) a.hiRepo else b.loRepo)
+              && (b.loRepo == null || (a.hiRepo == b.loRepo && a.hiPath == b.loPath)),
+              s"ranges must chain: $a -> $b")
+          case _ => ()
+        }
+        assert(rs.head.loRepo == null, "first range must be floor-unbounded")
+        assert(!rs.last.bounded, "last range must be ceiling-unbounded")
+      }
       // ranges must PARTITION the key space: the split scan's result equals
       // the engine read exactly (no lost keys, no duplicated keys, each
       // key's history resolved completely within its one range)
@@ -327,6 +343,14 @@ class GraftSourceSpec extends SparkSpec {
       if (oldBlock == null) hconf.unset("parquet.block.size") else hconf.set("parquet.block.size", oldBlock)
       if (oldPage == null) hconf.unset("parquet.page.size") else hconf.set("parquet.page.size", oldPage)
     }
+  }
+
+  test("changeTypes is rejected on BATCH reads (streaming-tail option only)") {
+    val t = buildCow()
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("changeTypes", "true").load(t.root).collect()
+    }
+    assert(e.getMessage.contains("streaming-tail option"), e.getMessage)
   }
 
   test("pre-upgrade snapshots without repo stats: no skipping, correct results") {

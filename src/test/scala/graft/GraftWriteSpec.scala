@@ -354,6 +354,11 @@ class GraftWriteSpec extends SparkSpec {
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.evt DROP COLUMN branch")
     }.getMessage.toLowerCase.contains("add column"))
+    // NOT NULL cannot be honored (existing rows null-backfill) — reject,
+    // never silently coerce to nullable
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evt ADD COLUMN strict STRING NOT NULL")
+    }.getMessage.contains("NOT NULL"))
   }
 
   test("catalog rejects identifier segments that escape the warehouse root") {
