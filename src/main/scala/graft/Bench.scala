@@ -36,7 +36,17 @@ object Bench {
       ts.sorted.apply(1)
     }
     graftScan(); parquetScan() // warm-up, untimed
-    Seq("scan_graft" -> medianOf3(graftScan _), "scan_parquet" -> medianOf3(parquetScan _))
+    // point lookup: a key-bound read must prune to ONE bucket (1/32 of the
+    // files) — the most common real query shape, benchmarked against the
+    // full scan above
+    val key = spark.read.format("graft").load(lakeDir)
+      .select("repo", "path").head()
+    def pointLookup() = spark.read.format("graft").load(lakeDir)
+      .where(col("repo") === key.getString(0) && col("path") === key.getString(1))
+      .collect()
+    pointLookup() // warm-up
+    Seq("scan_graft" -> medianOf3(graftScan _), "scan_parquet" -> medianOf3(parquetScan _),
+      "scan_point_lookup" -> medianOf3(pointLookup _))
   } catch { case e: Throwable => System.err.println(s"[bench] scan comparison failed: ${e.getMessage}"); Seq.empty }
 
   def main(args: Array[String]): Unit = {

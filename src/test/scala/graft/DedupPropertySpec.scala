@@ -68,4 +68,63 @@ class DedupPropertySpec extends SparkSpec {
         s"seed=$seed shuffle+repartition")
     }
   }
+
+  /** drain a resolve PartitionReader into (repo, path, lsn, commit) rows */
+  private def drain(p: graft.sources.GraftInputPartition): Set[(String, String, Long, String)] = {
+    val required = org.apache.spark.sql.types.StructType.fromDDL(
+      "repo STRING, path STRING, lsn BIGINT, commit STRING")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val factory = new graft.sources.GraftReaderFactory(required, conf, false)
+    val r = factory.createReader(p)
+    val out = scala.collection.mutable.Set[(String, String, Long, String)]()
+    try while (r.next()) {
+      val row = r.get()
+      out += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString,
+        row.getLong(2), row.getUTF8String(3).toString))
+    } finally r.close()
+    out.toSet
+  }
+
+  test("sorted-merge resolve == sequential oracle over random multi-file histories (10 seeds)") {
+    (200L to 209L).foreach { seed =>
+      val evs = sample(seed, 80)
+      // split into 1-4 "commit files": within each, the per-commit winner
+      // per key, written (repo,path)-sorted — the MOR delta layout
+      val nf = 1 + (seed % 4).toInt
+      val groups = evs.zipWithIndex.groupBy(_._2 % nf).toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val dir = tmpDir(s"srtprop$seed")
+      val files = groups.zipWithIndex.map { case (g, i) =>
+        val df = g.toDF()
+          .withColumn("deleted", col("op") === "D").drop("op", "ts")
+        LakeTable.latestPerKey(df)
+          .coalesce(1).sortWithinPartitions("repo", "path")
+          .write.parquet(s"$dir/f$i")
+        new java.io.File(s"$dir/f$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      }
+      val expected = oracle(evs).collect {
+        case ((repo, path), (lsn, commit, deleted)) if !deleted => (repo, path, lsn, commit)
+      }.toSet
+      // whole-bucket sorted merge == oracle
+      val whole = drain(graft.sources.GraftInputPartition(files, Nil,
+        resolveLatest = true, sortedResolve = true))
+      assert(whole == expected, s"seed=$seed whole-bucket")
+      // ARBITRARY key-range partitions must union to exactly the oracle
+      // (no lost keys, no duplicates) — the wide-bucket splitting contract
+      val keys = expected.map(k => (k._1, k._2)).toSeq.sortBy(identity)
+      if (keys.size >= 3) {
+        val s1 = keys(keys.size / 3); val s2 = keys(2 * keys.size / 3)
+        val ranges = Seq(
+          graft.sources.GraftKeyRange(null, null, s1._1, s1._2, bounded = true),
+          graft.sources.GraftKeyRange(s1._1, s1._2, s2._1, s2._2, bounded = true),
+          graft.sources.GraftKeyRange(s2._1, s2._2, null, null, bounded = false))
+        val parts = ranges.map(r => drain(graft.sources.GraftInputPartition(files, Nil,
+          resolveLatest = true, sortedResolve = true, range = Some(r))))
+        assert(parts.map(_.size).sum == expected.size,
+          s"seed=$seed ranges must be disjoint: ${parts.map(_.size)} vs ${expected.size}")
+        assert(parts.reduce(_ ++ _) == expected, s"seed=$seed range union")
+      }
+    }
+  }
 }
