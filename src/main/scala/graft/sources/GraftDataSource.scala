@@ -255,11 +255,47 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
 final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
                       lsnLo: Long, lsnHi: Long, vectorized: Boolean,
                       options: Map[String, String] = Map.empty,
-                      repoEq: Option[Set[String]] = None,
-                      pathEq: Option[Set[String]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+                      planRepoEq: Option[Set[String]] = None,
+                      planPathEq: Option[Set[String]] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   // snapshot-stored paths are root-relative (relocatable tables)
   private def resolve(p: String): String = graft.table.LakeTable.resolveUnder(root, p)
+
+  /** RUNTIME filtering (dynamic "partition" pruning for joins): when this
+    * scan joins a broadcast-able side on the key columns, Spark executes
+    * the build side first and hands the observed key values here as IN/=
+    * filters — they narrow the same repo/path equality sets plan-time
+    * pushdown uses, so a `fact JOIN dim ON fact.repo = dim.repo` reads
+    * only the files whose repo range intersects the dim's repos (and a
+    * key-equality join prunes to the matching buckets). Everything stays
+    * residual; skipped files cannot hold a surviving row (see liveFiles).
+    */
+  @volatile private var runtimeRepoEq: Option[Set[String]] = None
+  @volatile private var runtimePathEq: Option[Set[String]] = None
+  private def both(a: Option[Set[String]], b: Option[Set[String]]): Option[Set[String]] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x intersect y)
+      case _ => a.orElse(b)
+    }
+  private def repoEq: Option[Set[String]] = both(planRepoEq, runtimeRepoEq)
+  private def pathEq: Option[Set[String]] = both(planPathEq, runtimePathEq)
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns present in the PRUNED output — the planner resolves
+    // these against the scan's readSchema and throws on absent ones
+    Seq("repo", "path").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case EqualTo("repo", v: String) => runtimeRepoEq = both(runtimeRepoEq, Some(Set(v)))
+    case EqualTo("path", v: String) => runtimePathEq = both(runtimePathEq, Some(Set(v)))
+    case In("repo", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      runtimeRepoEq = both(runtimeRepoEq, Some(vs.map(_.asInstanceOf[String]).toSet))
+    case In("path", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      runtimePathEq = both(runtimePathEq, Some(vs.map(_.asInstanceOf[String]).toSet))
+    case _ => () // unusable runtime filter: no pruning, never wrong results
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
     // `_change_type` derives from per-key history in the STREAMING tail
@@ -283,7 +319,9 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * write side. Capped at 1024 pairs (an IN-list cross product beyond
     * that isn't a point lookup anymore).
     */
-  private lazy val prunedBuckets: Option[Set[Int]] = (repoEq, pathEq) match {
+  // a DEF, not a lazy val: runtime filters can narrow the sets after the
+  // scan was planned, and planInputPartitions must see the narrowed state
+  private def prunedBuckets: Option[Set[Int]] = (repoEq, pathEq) match {
     case (Some(rs), Some(ps)) if rs.size.toLong * ps.size <= 1024 =>
       Some(for { r <- rs; p <- ps }
         yield graft.table.LakeTable.bucketOf(r, p, snap.nBuckets))
@@ -294,7 +332,7 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * (UTF-8 byte order, same as the parquet stats they came from); files
     * from pre-upgrade snapshots carry no repo stats and are kept.
     */
-  private def repoMayMatch(f: FileEntry): Boolean = repoEq match {
+  private def repoMayMatch(f: FileEntry, rs0: Option[Set[String]]): Boolean = rs0 match {
     case Some(rs) if f.minRepo != null && f.maxRepo != null =>
       rs.exists(r => graft.table.LakeTable.utf8Cmp(r, f.minRepo) >= 0 &&
         graft.table.LakeTable.utf8Cmp(r, f.maxRepo) <= 0)
@@ -316,11 +354,14 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * winner is computed over its complete history; winners of NON-matching
     * keys may go stale, but those rows fail the residual key re-filter.
     */
-  private def liveFiles =
+  private def liveFiles = {
+    val pb = prunedBuckets // bind once — recomputing the cross product per file would be O(files × pairs)
+    val re = repoEq
     snap.files.filter(f =>
-      prunedBuckets.forall(_.contains(f.bucket)) &&
-      repoMayMatch(f) &&
+      pb.forall(_.contains(f.bucket)) &&
+      repoMayMatch(f, re) &&
       f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi))
+  }
 
   override def description(): String = {
     val total = snap.files.size

@@ -345,6 +345,55 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering: a broadcast join on repo prunes files at execution") {
+    // per-repo commits → tight per-file repo ranges (the CDC shape)
+    val t = new LakeTable(spark, tmpDir("dsv2rtf"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val repos = wal.select("repo").distinct().collect().map(_.getString(0)).sorted.take(4)
+    repos.zipWithIndex.foreach { case (r, i) =>
+      t.merge(wal.where(col("repo") === r), "rtf", i.toLong)
+    }
+    val totalFiles = t.currentSnapshot().get.files.size
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the stats-based benefit heuristic compares against the dim's
+    // (unknown) column stats; the fallback ratio path injects on size alone
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      import spark.implicits._
+      // DPP needs a SELECTIVE FILTER on the build side (a bare local
+      // relation never qualifies) — the realistic shape: a dim table
+      // filtered to the repos of interest
+      val dimDir = tmpDir("rtfdim")
+      repos.zipWithIndex.toSeq.toDF("repo", "tier")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).where(col("tier") === 0).select("repo")
+      val fact = spark.read.format("graft").load(t.root)
+      val joined = fact.join(broadcast(dim), "repo").select(col("repo"), col("lsn"))
+      val rows = joined.collect()
+      // correctness first
+      assert(rows.length ==
+        t.read().where(col("repo") === repos.head).count().toInt, "join result wrong")
+      // the executed scan carries a runtime filter and planned FEWER files
+      // than the table holds (per-file repo ranges exclude the other repos)
+      val scans = joined.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.nonEmpty)
+      assert(scans.head.runtimeFilters.nonEmpty,
+        "planner must inject a runtime filter for a filtered broadcast dim on filterAttributes")
+      // execution called scan.filter(...) with the dim's observed repo
+      // values — the scan now plans only the files whose repo range
+      // intersects them (BatchScanExec.inputPartitions is the pre-filter
+      // set, so re-plan through the mutated scan)
+      val planned = scans.head.scan.asInstanceOf[GraftScan].planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition]).flatMap(_.files).length
+      assert(planned < totalFiles,
+        s"runtime filter must prune files: $planned/$totalFiles")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("changeTypes is rejected on BATCH reads (streaming-tail option only)") {
     val t = buildCow()
     val e = intercept[Exception] {
@@ -362,7 +411,7 @@ class GraftSourceSpec extends SparkSpec {
     val scan = new GraftScan(t.root, snap.copy(files = stripped, manifests = Nil),
       org.apache.spark.sql.types.StructType.fromDDL("repo STRING, lsn BIGINT"),
       Array.empty, Long.MinValue, Long.MaxValue, false, Map.empty,
-      repoEq = Some(Set(repo)), pathEq = None)
+      planRepoEq = Some(Set(repo)), planPathEq = None)
     assert(scan.planInputPartitions().length == stripped.size,
       "files without repo stats must never be skipped")
   }
