@@ -319,13 +319,26 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * write side. Capped at 1024 pairs (an IN-list cross product beyond
     * that isn't a point lookup anymore).
     */
-  // a DEF, not a lazy val: runtime filters can narrow the sets after the
-  // scan was planned, and planInputPartitions must see the narrowed state
-  private def prunedBuckets: Option[Set[Int]] = (repoEq, pathEq) match {
-    case (Some(rs), Some(ps)) if rs.size.toLong * ps.size <= 1024 =>
-      Some(for { r <- rs; p <- ps }
-        yield graft.table.LakeTable.bucketOf(r, p, snap.nBuckets))
-    case _ => None
+  // NOT a lazy val (runtime filters can narrow the sets after planning)
+  // but memoized on the current equality-set state: Spark touches the
+  // plan several times per query (statistics, columnar probe, pre- and
+  // post-filter partition planning) and the 1024-pair hash cross product
+  // should not recompute on each
+  @volatile private var bucketsMemo: ((Option[Set[String]], Option[Set[String]]), Option[Set[Int]]) = null
+  private def prunedBuckets: Option[Set[Int]] = {
+    val key = (repoEq, pathEq)
+    val m = bucketsMemo
+    if (m != null && m._1 == key) m._2
+    else {
+      val v = key match {
+        case (Some(rs), Some(ps)) if rs.size.toLong * ps.size <= 1024 =>
+          Some(for { r <- rs; p <- ps }
+            yield graft.table.LakeTable.bucketOf(r, p, snap.nBuckets))
+        case _ => None
+      }
+      bucketsMemo = (key, v)
+      v
+    }
   }
 
   /** repo-range file skipping on the snapshot's per-file repo min/max
@@ -449,6 +462,11 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * are half-open and partition the key space); rowgroup starts give
     * roughly row-balanced ranges for free.
     */
+  // memoized per wide bucket (keyed on its largest file): Spark plans the
+  // partitions more than once per query (pre- and post-runtime-filter) and
+  // the footer read should happen once, not per planning pass
+  private val splitMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   private def splitKeysFor(files: Seq[FileEntry]): Seq[(String, String)] = {
     val threshold = options.get("widebucketrows").map(_.toLong).getOrElse(8L * 1000 * 1000)
     // FileEntry.rows is per-file; the bucket's stored size is their sum
@@ -458,6 +476,8 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     if (bucketRows <= threshold) return Nil
     val targetParts = math.min(64L, (bucketRows + threshold - 1) / threshold).toInt
     val big = files.maxBy(_.rows)
+    val cached = splitMemo.get(big.path)
+    if (cached != null) return cached
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(resolve(big.path)), conf))
@@ -480,19 +500,24 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
         }
         if (repo != null && path != null) Some((repo, path)) else None
       }
-      if (starts.size < 2) return Nil
-      // every k-th rowgroup start (skip the first — it is the range floor)
-      val step = math.max(1, starts.size / targetParts)
-      val picked = starts.zipWithIndex.collect { case (s, i) if i > 0 && i % step == 0 => s }.distinct
-      // split points MUST ascend: rowgroup stat composites (repoMin,
-      // pathMin) are conservative, not monotonic (a block's path-min spans
-      // all its repos), and unsorted points would make consecutive ranges
-      // OVERLAP — two tasks would both emit the keys in the inverted span
-      // (duplicate rows). Sorted arbitrary values are always valid points.
-      picked.sortWith { case ((r1, p1), (r2, p2)) =>
-        val c = graft.table.LakeTable.utf8Cmp(r1, r2)
-        if (c != 0) c < 0 else graft.table.LakeTable.utf8Cmp(p1, p2) < 0
-      }
+      val splits =
+        if (starts.size < 2) Nil
+        else {
+          // every k-th rowgroup start (skip the first — it is the range floor)
+          val step = math.max(1, starts.size / targetParts)
+          val picked = starts.zipWithIndex.collect { case (s, i) if i > 0 && i % step == 0 => s }.distinct
+          // split points MUST ascend: rowgroup stat composites (repoMin,
+          // pathMin) are conservative, not monotonic (a block's path-min spans
+          // all its repos), and unsorted points would make consecutive ranges
+          // OVERLAP — two tasks would both emit the keys in the inverted span
+          // (duplicate rows). Sorted arbitrary values are always valid points.
+          picked.sortWith { case ((r1, p1), (r2, p2)) =>
+            val c = graft.table.LakeTable.utf8Cmp(r1, r2)
+            if (c != 0) c < 0 else graft.table.LakeTable.utf8Cmp(p1, p2) < 0
+          }
+        }
+      splitMemo.put(big.path, splits)
+      splits
     } finally reader.close()
   }
 
@@ -803,15 +828,9 @@ final class GraftPartitionReader(path: String, required: StructType, conf: Confi
 final class GraftResolveReader(files: Seq[String], required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  // read schema = required ∪ {repo, path, lsn, commit, deleted}; the extras
+  // read schema = required ∪ the shared bookkeeping vocabulary; the extras
   // drive the resolve and are dropped from the emitted rows
-  private val extraNames =
-    Seq("repo", "path", "lsn", "commit", "deleted").filterNot(required.fieldNames.contains)
-  private val extraTypes: Map[String, org.apache.spark.sql.types.DataType] = Map(
-    "repo" -> StringType, "path" -> StringType, "lsn" -> LongType,
-    "commit" -> StringType, "deleted" -> BooleanType)
-  private val ext: Array[StructField] =
-    required.fields ++ extraNames.map(n => StructField(n, extraTypes(n)))
+  private val ext: Array[StructField] = ResolveColumns.extend(required.fields)
   private def idx(n: String): Int = ext.indexWhere(_.name == n)
   private val repoIdx = idx("repo"); private val pathIdx = idx("path")
   private val lsnIdx = idx("lsn"); private val commitIdx = idx("commit")

@@ -69,21 +69,24 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  /** drain a resolve PartitionReader into (repo, path, lsn, commit) rows */
-  private def drain(p: graft.sources.GraftInputPartition): Set[(String, String, Long, String)] = {
+  /** drain a resolve PartitionReader into (repo, path, lsn, commit) rows —
+    * a SEQUENCE, not a set: duplicate emissions (the failure class the
+    * split-point sort fix addressed) must stay visible to the comparison
+    */
+  private def drain(p: graft.sources.GraftInputPartition): Seq[(String, String, Long, String)] = {
     val required = org.apache.spark.sql.types.StructType.fromDDL(
       "repo STRING, path STRING, lsn BIGINT, commit STRING")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val factory = new graft.sources.GraftReaderFactory(required, conf, false)
     val r = factory.createReader(p)
-    val out = scala.collection.mutable.Set[(String, String, Long, String)]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
     try while (r.next()) {
       val row = r.get()
       out += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString,
         row.getLong(2), row.getUTF8String(3).toString))
     } finally r.close()
-    out.toSet
+    out.toSeq.sorted
   }
 
   test("sorted-merge resolve == sequential oracle over random multi-file histories (10 seeds)") {
@@ -105,14 +108,15 @@ class DedupPropertySpec extends SparkSpec {
       }
       val expected = oracle(evs).collect {
         case ((repo, path), (lsn, commit, deleted)) if !deleted => (repo, path, lsn, commit)
-      }.toSet
-      // whole-bucket sorted merge == oracle
+      }.toSeq.sorted
+      // whole-bucket sorted merge == oracle (sequence compare: a duplicate
+      // emission must FAIL, not collapse into a set)
       val whole = drain(graft.sources.GraftInputPartition(files, Nil,
         resolveLatest = true, sortedResolve = true))
       assert(whole == expected, s"seed=$seed whole-bucket")
       // ARBITRARY key-range partitions must union to exactly the oracle
       // (no lost keys, no duplicates) — the wide-bucket splitting contract
-      val keys = expected.map(k => (k._1, k._2)).toSeq.sortBy(identity)
+      val keys = expected.map(k => (k._1, k._2)).sorted
       if (keys.size >= 3) {
         val s1 = keys(keys.size / 3); val s2 = keys(2 * keys.size / 3)
         val ranges = Seq(
@@ -121,9 +125,7 @@ class DedupPropertySpec extends SparkSpec {
           graft.sources.GraftKeyRange(s2._1, s2._2, null, null, bounded = false))
         val parts = ranges.map(r => drain(graft.sources.GraftInputPartition(files, Nil,
           resolveLatest = true, sortedResolve = true, range = Some(r))))
-        assert(parts.map(_.size).sum == expected.size,
-          s"seed=$seed ranges must be disjoint: ${parts.map(_.size)} vs ${expected.size}")
-        assert(parts.reduce(_ ++ _) == expected, s"seed=$seed range union")
+        assert(parts.flatten.sorted == expected, s"seed=$seed range union (incl. duplicates)")
       }
     }
   }

@@ -322,8 +322,10 @@ class GraftSourceSpec extends SparkSpec {
         val rs = ps.flatMap(_.range)
         rs.sliding(2).foreach {
           case Array(a, b) =>
-            assert(a.bounded && a.hiRepo == (if (b.loRepo == null) a.hiRepo else b.loRepo)
-              && (b.loRepo == null || (a.hiRepo == b.loRepo && a.hiPath == b.loPath)),
+            // each range's ceiling IS the next range's floor — anything
+            // else (incl. a floor-unbounded range mid-chain) overlaps or
+            // gaps the key space
+            assert(a.bounded && b.loRepo == a.hiRepo && b.loPath == a.hiPath,
               s"ranges must chain: $a -> $b")
           case _ => ()
         }
