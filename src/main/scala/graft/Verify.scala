@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // the oracle SQL's fixture paths interpolate this tag at query-module
+    // init — set BEFORE anything touches SparkEntry, so the local replica
+    // is scale-correct at any sf (driver default sf0.01 is unchanged)
+    System.setProperty("graft.sf.tag", graft.queries.Fixtures.sfTag(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -21,6 +21,14 @@ object Fixtures {
   val FixtureRoot: String = sys.env.getOrElse("GRAFT_FIXTURE_ROOT", "/tmp/graft_fixtures")
   val LakeRoot: String = sys.env.getOrElse("GRAFT_LAKE_ROOT", "/tmp/graft_lakes")
 
+  /** sf tag the ORACLE SQL's fixture paths interpolate. Defaults to the
+    * driver's gated scale (sf0.01); graft.Verify sets the property from
+    * its sfDir BEFORE the oracle strings initialize, so the local replica
+    * is scale-correct at any sf. (Read at object-init of the query
+    * modules — set the property before touching SparkEntry.)
+    */
+  def oracleSfTag: String = sys.props.getOrElse("graft.sf.tag", "sf0.01")
+
   /** write-then-reread so the verify stage (both engines) sees the exact
     * same materialised candidate set, not a recomputation
     */

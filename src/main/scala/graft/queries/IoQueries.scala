@@ -93,7 +93,7 @@ object IoQueries {
   }
 
   private def csvSrc =
-    s"""read_csv('${CdcQueries.FixtureRoot}/events_csv_sf0.01/*.csv', delim=';', header=true,
+    s"""read_csv('${CdcQueries.FixtureRoot}/events_csv_${Fixtures.oracleSfTag}/*.csv', delim=';', header=true,
        |  columns={'event_id':'BIGINT','user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE','ts_epoch':'BIGINT'})""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -114,7 +114,7 @@ object IoQueries {
       JOIN
         (SELECT event_type, count(*) AS n_json,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS json_cents
-         FROM read_json('${CdcQueries.FixtureRoot}/events_json_sf0.01/*.json',
+         FROM read_json('${CdcQueries.FixtureRoot}/events_json_${Fixtures.oracleSfTag}/*.json',
                         columns={'event_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'})
          GROUP BY 1) j
       USING (event_type) ORDER BY 1"""

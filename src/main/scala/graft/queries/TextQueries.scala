@@ -282,7 +282,7 @@ object TextQueries {
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
           WHERE len(ws) >= 3)
         GROUP BY doc_id),
-      cand AS (SELECT doc_a, doc_b FROM read_parquet('${CdcQueries.FixtureRoot}/q24_cands_sf0.01/*.parquet')),
+      cand AS (SELECT doc_a, doc_b FROM read_parquet('${CdcQueries.FixtureRoot}/q24_cands_${Fixtures.oracleSfTag}/*.parquet')),
       scored AS (
         SELECT c.doc_a, c.doc_b,
                len(list_intersect(a.sset, b.sset))::DOUBLE AS inter,

@@ -143,7 +143,7 @@ object VectorQueries {
       .orderBy("ida", "idb")
   }
 
-  private val embSrc = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+  private val embSrc = s"read_parquet('/root/testdata/${Fixtures.oracleSfTag}/embeddings.parquet')"
 
   val oracles: Map[String, String] = Map(
     "q26_ann_brute" -> """
@@ -158,7 +158,7 @@ object VectorQueries {
     // verify stage of the LSH path: exact cosine top-k over the dumped
     // candidate pairs (generation recall pinned in VectorOpsSpec)
     "q27_ann_lsh" -> s"""
-      WITH cand AS (SELECT qid, nid FROM read_parquet('${CdcQueries.FixtureRoot}/q27_cands_sf0.01/*.parquet'))
+      WITH cand AS (SELECT qid, nid FROM read_parquet('${CdcQueries.FixtureRoot}/q27_cands_${Fixtures.oracleSfTag}/*.parquet'))
       SELECT qid, rnk, nid, sim FROM (
         SELECT c.qid, c.nid,
                round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 3) AS sim,
@@ -176,7 +176,7 @@ object VectorQueries {
         SELECT vec_id + 1000000,
                [CASE WHEN i = 1 THEN v[i] + 0.125 ELSE v[i] END FOR i IN generate_series(1, len(v))]
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embSrc WHERE vec_id < 40)),
-      cand AS (SELECT qid, nid FROM read_parquet('${CdcQueries.FixtureRoot}/q28_cands_sf0.01/*.parquet'))
+      cand AS (SELECT qid, nid FROM read_parquet('${CdcQueries.FixtureRoot}/q28_cands_${Fixtures.oracleSfTag}/*.parquet'))
       SELECT c.qid AS ida, c.nid AS idb,
              round(list_cosine_similarity(a.v, b.v), 4) AS sim
       FROM cand c JOIN aug a ON a.id = c.qid JOIN aug b ON b.id = c.nid
