@@ -169,7 +169,11 @@ final class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         .map(n => n -> col(n)).toMap
 
     def explicitSets(assignments: Seq[Assignment], forInsert: Boolean,
-                     fromStar: Boolean): Map[String, Column] =
+                     fromStar: Boolean): Map[String, Column] = {
+      // an INSERT * expansion assigns EVERY target column; a hand-written
+      // list naming a derived column is (almost always) partial — only the
+      // partial shape gets the dropped-assignment warning
+      val coversAll = assignments.length >= tOut.length
       assignments.filterNot(a => !forInsert && isIdentity(a)).flatMap { a =>
         val n = assignmentName(a)
         val nl = n.toLowerCase
@@ -179,12 +183,24 @@ final class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // Those star-shaped assignments are DROPPED (derived invariants are
         // recomputed; commit/lsn are pinned by the as-of-now contract; in
         // UPDATE the keys equal the join keys anyway); an explicit
-        // non-star assignment to them is an error.
-        val starShape = fromStar || (a.value match {
+        // non-star assignment to them is an error. UPDATE actions carry the
+        // analyzer's `fromStar` flag, so an EXPLICIT `SET lang = s.lang`
+        // raises the documented error instead of being silently dropped;
+        // InsertAction has no such flag, so INSERT falls back to the
+        // same-name shape test — with a warning, since user intent is
+        // ambiguous there.
+        val nameShape = a.value match {
           case v: AttributeReference => v.name.equalsIgnoreCase(n)
           case _ => false
-        })
-        if ((derived(nl) || bookkeeping(nl)) && starShape) None
+        }
+        val starShape = fromStar || (forInsert && nameShape)
+        if ((derived(nl) || bookkeeping(nl)) && starShape) {
+          if (!fromStar && !coversAll) logWarning(
+            s"graft MERGE: dropping INSERT assignment '$n = $n' — '$n' is " +
+              "derived/bookkeeping and recomputed by the merge (indistinguishable " +
+              "from an INSERT * expansion; remove the column to silence this)")
+          None
+        }
         else if (!forInsert && (nl == "repo" || nl == "path") && starShape) None
         else {
           require(!derived(nl) && !bookkeeping(nl),
@@ -194,6 +210,7 @@ final class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Some(n -> Internals.column(byName(a.value, tNames)))
         }
       }.toMap
+    }
 
     def condCol(c: Option[Expression]): Option[Column] =
       c.map(e => Internals.column(byName(e, tNames)))
@@ -259,6 +276,26 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
+    // statement-level conflict retry (Delta-style MERGE semantics): the
+    // events pin lsn = base hwm+1 and join against the base's live state,
+    // so a concurrent commit landing first would make the statement a
+    // silent no-op — merge(requireVersion) detects that and we re-derive
+    // the whole statement against the new head
+    val cpId = s"merge-${LakeTable.newToken}"
+    var attempts = 0
+    while (true) {
+      try { runOnce(session, cpId); return Seq.empty }
+      catch {
+        case e: graft.table.ConcurrentWriteException =>
+          attempts += 1
+          if (attempts >= 5) throw new graft.table.ConcurrentWriteException(
+            s"graft MERGE: lost $attempts concurrent-commit races (${e.getMessage})")
+      }
+    }
+    Seq.empty
+  }
+
+  private def runOnce(session: SparkSession, cpId: String): Unit = {
     import GraftMergeCommand._
     val lake = new LakeTable(session, root)
     val snap = lake.currentSnapshot().getOrElse(
@@ -308,6 +345,12 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
       case _: MDelete => lit("D")
       case _          => lit("U")
     }
+    // each payload CASE chain is cast to the TARGET column's type: an
+    // action branch that doesn't assign an evolved column contributes
+    // lit(null), and a chain whose every branch is lit(null) would
+    // otherwise type as NullType and abort the merge's schema union
+    // ("column type change StringType -> NullType")
+    val tgtSchema = tgt.schema
     val events = joined.where(applies).select(
       Seq(
         lit(snap.hwm + 1).as("lsn"),
@@ -316,9 +359,8 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan,
         chain(keyCol(srcPath, "path")).as("path"),
         lit(s"!merge-v${snap.version + 1}").as("commit"),
         chain(payloadCol("content")).cast("string").as("content")
-      ) ++ extras.map(x => chain(payloadCol(x)).as(x)): _*)
-    lake.merge(events, s"merge-${LakeTable.newToken}", 0L)
-    Seq.empty
+      ) ++ extras.map(x => chain(payloadCol(x)).cast(tgtSchema(x).dataType).as(x)): _*)
+    lake.merge(events, cpId, 0L, Some(snap.version))
   }
 }
 

@@ -96,6 +96,17 @@ final case class Snapshot(
   */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** A DML statement's BASE snapshot was superseded by a concurrent commit
+  * before the statement's own commit landed: its events (lsn = base hwm+1,
+  * victim set derived from the base) could silently lose the latest-per-key
+  * resolve to the interleaved commit — the statement would "succeed" while
+  * applying nothing. Statement-level callers (updateWhere / deleteWhere /
+  * SQL MERGE) catch this, re-derive against the new head and retry — the
+  * Delta-style MERGE conflict-retry shape, instead of last-writer-wins
+  * silence.
+  */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 object ApplyMode extends Enumeration {
   /** CopyOnWrite: merge rewrites affected buckets (read-optimised).
     * MergeOnRead: merge appends deduped deltas; reads resolve latest-per-key;
@@ -396,13 +407,28 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   /** Apply one micro-batch of ChangeEvents. Exactly-once: a batch whose
     * (cpId, batchId) is already committed is skipped entirely.
     * Returns the per-bucket ledger stats of the commit (empty if skipped).
+    *
+    * `requireVersion`: DML statements derive their events against a pinned
+    * base snapshot (lsn = base hwm+1, victims from the base's live set) —
+    * if the head is past that base at apply time, OR any commit interleaves
+    * before ours lands, the events are stale and the statement must be
+    * re-derived: throw ConcurrentWriteException instead of committing a
+    * possibly-no-op merge (the "MERGE reports success while silently
+    * applying nothing" hole). None = WAL-replay semantics, where events
+    * carry their own upstream LSNs and re-pointing is always safe.
     */
-  def merge(events: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+  def merge(events: DataFrame, cpId: String, batchId: Long,
+            requireVersion: Option[Int] = None): Seq[BucketStats] = {
     // ONE snapshot load serves the exactly-once check and the whole apply —
     // every load hydrates the manifest pointers, so redundant loads are
     // per-commit metadata reads, not free getters
     val snap = currentSnapshot()
     if (snap.exists(_.isCommitted(cpId, batchId))) return Seq.empty
+    requireVersion.foreach { rv =>
+      val at = snap.fold(0)(_.version)
+      if (at != rv) throw new ConcurrentWriteException(
+        s"merge($cpId): table advanced to v$at past the statement's base v$rv — re-derive and retry")
+    }
     val version = snap.fold(0)(_.version) + 1
     val prev = snap.getOrElse(emptySnapshot)
     val mode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
@@ -441,7 +467,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val token = LakeTable.newToken
     if (mode == ApplyMode.DeletionVector)
       return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows,
-        token, affectedAll)
+        token, affectedAll, requireVersion)
     val incoming = cleaned.withColumn("b", bCol)
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -537,6 +563,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             fs.deleteRecursive(commitDir)
             return Seq.empty
           }
+          if (requireVersion.isDefined) {
+            // DML statement: ANY interleaved commit invalidates the
+            // statement-derived events — never re-point, make the caller
+            // re-derive from the new head
+            fs.deleteRecursive(commitDir)
+            throw new ConcurrentWriteException(
+              s"merge($cpId): a concurrent commit superseded the statement's base v${requireVersion.get}")
+          }
           val rePointable = mode match {
             case ApplyMode.MergeOnRead => true
             case ApplyMode.CopyOnWrite =>
@@ -575,7 +609,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   private def mergeDv(events: DataFrame, cleaned: DataFrame, cpId: String, batchId: Long,
                       prev: Snapshot, version: Int, nBuckets: Int,
                       batchRows: Long, staleRows: Long, token: String,
-                      affected: Set[Int]): Seq[BucketStats] = {
+                      affected: Set[Int], requireVersion: Option[Int] = None): Seq[BucketStats] = {
     import org.apache.spark.sql.types.StructType
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bCol)
@@ -691,6 +725,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             if (reloaded.isCommitted(cpId, batchId)) {
               fs.deleteRecursive(commitDir)
               return Seq.empty
+            }
+            if (requireVersion.isDefined) {
+              fs.deleteRecursive(commitDir)
+              throw new ConcurrentWriteException(
+                s"merge($cpId): a concurrent commit superseded the statement's base v${requireVersion.get}")
             }
             val rePointable =
               reloaded.files.filter(f => affected(f.bucket)) == prev.files.filter(f => affected(f.bucket)) &&
@@ -1059,14 +1098,38 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   private[graft] def bucketsFor(cond: org.apache.spark.sql.Column): Option[Set[Int]] =
     currentSnapshot().flatMap(bucketsForAt(_, cond))
 
+  /** Statement-level conflict retry: derive the statement's events against
+    * the current head, apply with the head pinned (`requireVersion`), and
+    * on a concurrent-commit conflict re-derive from the NEW head — bounded
+    * attempts, then surface the conflict. One cpId per statement keeps the
+    * retries exactly-once-safe (a retry of an already-committed attempt is
+    * a detected no-op).
+    */
+  private def retryDml(what: String, attempts: Int = 5)(body: => Unit): Unit = {
+    var n = 0
+    while (true) {
+      try { body; return }
+      catch {
+        case e: ConcurrentWriteException =>
+          n += 1
+          if (n >= attempts) throw new ConcurrentWriteException(
+            s"$what: lost $n concurrent-commit races (${e.getMessage})")
+      }
+    }
+  }
+
   def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
-    val snap = currentSnapshot().getOrElse(return)
-    val delLsn = snap.hwm + 1
-    val events = readLiveAt(Some(snap), bucketsForAt(snap, cond)).where(cond).select(
-      lit(delLsn).as("lsn"), lit("D").as("op"), col("repo"), col("path"),
-      lit(s"!delete-v${snap.version + 1}").as("commit"),
-      lit(null).cast("string").as("content"))
-    merge(events, s"delete-${LakeTable.newToken}", 0L)
+    val cpId = s"delete-${LakeTable.newToken}"
+    retryDml(s"deleteWhere($root)") {
+      currentSnapshot().foreach { snap =>
+        val delLsn = snap.hwm + 1
+        val events = readLiveAt(Some(snap), bucketsForAt(snap, cond)).where(cond).select(
+          lit(delLsn).as("lsn"), lit("D").as("op"), col("repo"), col("path"),
+          lit(s"!delete-v${snap.version + 1}").as("commit"),
+          lit(null).cast("string").as("content"))
+        merge(events, cpId, 0L, Some(snap.version))
+      }
+    }
   }
 
   /** Filter-based UPDATE: re-emit every live row matching `cond` as a new
@@ -1079,29 +1142,33 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def updateWhere(cond: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column]): Unit = {
-    val snap = currentSnapshot().getOrElse(return)
-    val upLsn = snap.hwm + 1
-    def valueOf(c: String) = set.getOrElse(c, col(c))
-    // keyed conditions prune the victim scan to the buckets that can hold
-    // the key — a selective UPDATE never scans the whole table
-    val live = readLiveAt(Some(snap), bucketsForAt(snap, cond))
-    // only assignable payload columns: keys/bookkeeping are immutable,
-    // lang/contentSha are DERIVED (recomputed by the merge) — rejecting
-    // everything else also catches typos instead of silently no-opping
-    val assignable = live.columns.toSet -- Set("repo", "path", "commit", "lang", "contentSha", "lsn")
-    val bad = set.keySet -- assignable - "content"
-    require(bad.isEmpty,
-      s"updateWhere can only set ${("content" +: assignable.toSeq.sorted).mkString(", ")}; " +
-        s"rejected: ${bad.mkString(", ")} (keys are immutable; lang/contentSha are derived)")
-    // evolved payload columns ride along (transformed or as-is) — an
-    // update must never null-backfill what it didn't touch
-    val extras = live.columns.toSeq
-      .filterNot(Set("repo", "path", "commit", "lang", "content", "contentSha", "lsn"))
-    val events = live.where(cond).select(
-      Seq(lit(upLsn).as("lsn"), lit("U").as("op"), col("repo"), col("path"),
-        lit(s"!update-v${snap.version + 1}").as("commit"),
-        valueOf("content").as("content")) ++ extras.map(c => valueOf(c).as(c)): _*)
-    merge(events, s"update-${LakeTable.newToken}", 0L)
+    val cpId = s"update-${LakeTable.newToken}"
+    retryDml(s"updateWhere($root)") {
+      currentSnapshot().foreach { snap =>
+        val upLsn = snap.hwm + 1
+        def valueOf(c: String) = set.getOrElse(c, col(c))
+        // keyed conditions prune the victim scan to the buckets that can hold
+        // the key — a selective UPDATE never scans the whole table
+        val live = readLiveAt(Some(snap), bucketsForAt(snap, cond))
+        // only assignable payload columns: keys/bookkeeping are immutable,
+        // lang/contentSha are DERIVED (recomputed by the merge) — rejecting
+        // everything else also catches typos instead of silently no-opping
+        val assignable = live.columns.toSet -- Set("repo", "path", "commit", "lang", "contentSha", "lsn")
+        val bad = set.keySet -- assignable - "content"
+        require(bad.isEmpty,
+          s"updateWhere can only set ${("content" +: assignable.toSeq.sorted).mkString(", ")}; " +
+            s"rejected: ${bad.mkString(", ")} (keys are immutable; lang/contentSha are derived)")
+        // evolved payload columns ride along (transformed or as-is) — an
+        // update must never null-backfill what it didn't touch
+        val extras = live.columns.toSeq
+          .filterNot(Set("repo", "path", "commit", "lang", "content", "contentSha", "lsn"))
+        val events = live.where(cond).select(
+          Seq(lit(upLsn).as("lsn"), lit("U").as("op"), col("repo"), col("path"),
+            lit(s"!update-v${snap.version + 1}").as("commit"),
+            valueOf("content").as("content")) ++ extras.map(c => valueOf(c).as(c)): _*)
+        merge(events, cpId, 0L, Some(snap.version))
+      }
+    }
   }
 
   /** Additive schema evolution as a METADATA-ONLY commit (the DDL spelling

@@ -153,6 +153,71 @@ class GraftDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("r7", "s.py", "star-new")), state.toString)
   }
 
+  test("MERGE INTO an evolved MOR table: unassigned extra column types as its own type, not NullType") {
+    // the ADVICE repro: a table with a column beyond the core schema
+    // ('branch'), MOR mode, a MERGE whose actions never assign it — every
+    // branch of the extras CASE chain is lit(null), which must be CAST to
+    // the target type instead of typing as NullType and aborting the merge
+    val warehouse = tmpDir("mrgevo")
+    val cat = "gdmlmrgevo"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    spark.sql(s"""CREATE TABLE $cat.t (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT, branch STRING)
+      TBLPROPERTIES ('mode' = 'mor', 'buckets' = '4')""")
+    spark.sql(s"""INSERT INTO $cat.t VALUES
+      ('r1', 'a.py', 'c1', null, 'alpha', null, 10, 'main'),
+      ('r1', 'b.py', 'c2', null, 'beta',  null, 11, 'dev')""")
+    Seq(("r1", "a.py", null: String, "del"), ("r9", "new.go", "brand-new", "ins"))
+      .toDf(spark).createOrReplaceTempView("mrgevo_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING mrgevo_src s
+      ON t.repo = s.repo AND t.path = s.path
+      WHEN MATCHED AND s.op = 'del' THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (repo, path, content) VALUES (s.repo, s.path, s.content)""")
+    val t = new LakeTable(spark, s"$warehouse/t")
+    val state = collectSorted(t.read().select("repo", "path", "content", "branch"))
+    assert(state == Seq(
+      Seq("r1", "b.py", "beta", "dev"),
+      Seq("r9", "new.go", "brand-new", null)), state.toString)
+  }
+
+  test("explicit same-named UPDATE assignment is honored, derived one errors (fromStar only)") {
+    val (cat, warehouse) = fixture("mrgexpl")
+    // source carries content AND lang columns; SET content = s.content is
+    // an explicit non-star assignment that must APPLY (round-4 dropped it
+    // via the name-match heuristic)
+    spark.sql("""SELECT 'r1' AS repo, 'a.py' AS path, 'expl-alpha' AS content,
+        'forced-lang' AS lang""").createOrReplaceTempView("mrgexpl_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING mrgexpl_src s
+      ON t.repo = s.repo AND t.path = s.path
+      WHEN MATCHED THEN UPDATE SET content = s.content""")
+    val t = new LakeTable(spark, s"$warehouse/t")
+    assert(t.read().where(col("path") === "a.py").select("content").head().getString(0)
+      == "expl-alpha", "explicit same-named SET content = s.content must apply")
+    // an explicit SET lang = s.lang is user intent the engine cannot honor
+    // (lang is derived) — it must ERROR, not silently drop
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING mrgexpl_src s
+        ON t.repo = s.repo AND t.path = s.path
+        WHEN MATCHED THEN UPDATE SET lang = s.lang""")
+    }
+    assert(e.getMessage.contains("derived"), e.getMessage)
+  }
+
+  test("DML conflict detection: a stale statement base raises ConcurrentWriteException") {
+    val (_, warehouse) = fixture("cwx")
+    val t = new LakeTable(spark, s"$warehouse/t")
+    val base = t.currentSnapshot().get.version
+    // interleave a commit after the statement derived its base
+    t.deleteWhere(col("path") === "c.rs")
+    val events = spark.sql(
+      """SELECT CAST(99 AS BIGINT) AS lsn, 'U' AS op, 'r1' AS repo, 'a.py' AS path,
+         'cZ' AS commit, 'x' AS content""")
+    intercept[graft.table.ConcurrentWriteException] {
+      t.merge(events, "merge-cwx", 0L, requireVersion = Some(base))
+    }
+  }
+
   test("MERGE requires the key-equality ON clause") {
     val (cat, _) = fixture("mrgbad")
     Seq(("r1", "a.py", "x", "u")).toDf(spark).createOrReplaceTempView("mrgbad_src")
