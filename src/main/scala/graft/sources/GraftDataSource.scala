@@ -352,6 +352,20 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     case _ => true
   }
 
+  /** path-range file skipping — the same argument as repo skipping, for
+    * path-ONLY predicates (`WHERE path = 'README.md'` across repos, the
+    * "find this file everywhere" query, which binds no bucket and no repo
+    * range): value-based parquet stats, conservative under nulls, safe
+    * under the MOR resolve because path ranges partition by KEY — a
+    * skipped file holds no version of any matching key.
+    */
+  private def pathMayMatch(f: FileEntry, ps0: Option[Set[String]]): Boolean = ps0 match {
+    case Some(ps) if f.minPath != null && f.maxPath != null =>
+      ps.exists(p => graft.table.LakeTable.utf8Cmp(p, f.minPath) >= 0 &&
+        graft.table.LakeTable.utf8Cmp(p, f.maxPath) <= 0)
+    case _ => true
+  }
+
   /** File-level data skipping on the snapshot's per-file lsn stats.
     * With un-compacted MOR buckets, UPPER-bound skipping is disabled:
     * dropping the file holding a key's latest version would resurrect an
@@ -370,9 +384,11 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   private def liveFiles = {
     val pb = prunedBuckets // bind once — recomputing the cross product per file would be O(files × pairs)
     val re = repoEq
+    val pe = pathEq
     snap.files.filter(f =>
       pb.forall(_.contains(f.bucket)) &&
       repoMayMatch(f, re) &&
+      pathMayMatch(f, pe) &&
       f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi))
   }
 

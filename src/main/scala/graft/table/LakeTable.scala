@@ -22,7 +22,13 @@ final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, 
                              * (then the reader falls back to the hash-map
                              * resolve)
                              */
-                           sorted: Boolean = false)
+                           sorted: Boolean = false,
+                           /** min/max `path` (UTF-8 byte order) — lets a
+                             * path-ONLY predicate ("find this file across
+                             * all repos") skip files; null on pre-upgrade
+                             * snapshots (= no path skipping, never wrong)
+                             */
+                           minPath: String = null, maxPath: String = null)
 
 /** Per-checkpoint commit progress: the max CONTIGUOUS committed batchId
   * (`hwm`, -1 = none) plus a small out-of-order set (`pending`, batchIds
@@ -761,7 +767,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * per bucket, and makes `totalRows` exact (a bucket-level copy on every
     * file would overcount k×).
     */
-  private def fileStats(commitDir: String): Seq[(Int, String, BucketStats)] = {
+  private def fileStats(commitDir: String): Seq[LakeTable.FileStat] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
@@ -775,7 +781,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val bucket = new org.apache.hadoop.fs.Path(d).getName.stripPrefix("b=").toInt
       listParquet(fs, d).flatMap { p =>
         var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
-        var minRepo: String = null; var maxRepo: String = null
+        // string-key ranges (binary stats, UTF-8 byte order) feed the
+        // key-predicate file skipping in the DSv2 scan: repo for
+        // repo-bound predicates, path for path-only ones ("find this
+        // file across all repos")
+        val strMin = scala.collection.mutable.Map[String, String]()
+        val strMax = scala.collection.mutable.Map[String, String]()
         val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
         val r = ParquetFileReader.open(in)
         try {
@@ -785,20 +796,19 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             rows += blk.getRowCount
             (0 until blk.getColumns.size()).foreach { c =>
               val col = blk.getColumns.get(c)
-              if (col.getPath.toDotString == "lsn" && col.getStatistics != null) {
+              val name = col.getPath.toDotString
+              if (name == "lsn" && col.getStatistics != null) {
                 val st = col.getStatistics
                 minLsn = math.min(minLsn, st.genericGetMin.asInstanceOf[java.lang.Long])
                 maxLsn = math.max(maxLsn, st.genericGetMax.asInstanceOf[java.lang.Long])
               }
-              // repo min/max (binary stats, UTF-8 byte order) feed the
-              // key-predicate file skipping in the DSv2 scan
-              if (col.getPath.toDotString == "repo" && col.getStatistics != null &&
+              if ((name == "repo" || name == "path") && col.getStatistics != null &&
                   col.getStatistics.hasNonNullValue) {
                 (col.getStatistics.genericGetMin, col.getStatistics.genericGetMax) match {
                   case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
                     val mns = mn.toStringUsingUTF8; val mxs = mx.toStringUsingUTF8
-                    if (minRepo == null || LakeTable.utf8Cmp(mns, minRepo) < 0) minRepo = mns
-                    if (maxRepo == null || LakeTable.utf8Cmp(mxs, maxRepo) > 0) maxRepo = mxs
+                    if (!strMin.get(name).exists(LakeTable.utf8Cmp(_, mns) <= 0)) strMin(name) = mns
+                    if (!strMax.get(name).exists(LakeTable.utf8Cmp(_, mxs) >= 0)) strMax(name) = mxs
                   case _ => ()
                 }
               }
@@ -806,22 +816,23 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           }
         } finally r.close()
         if (rows == 0) None
-        else Some((bucket, p, BucketStats(bucket, rows, minLsn, maxLsn, minRepo, maxRepo)))
+        else Some(LakeTable.FileStat(bucket, p, rows, minLsn, maxLsn,
+          strMin.get("repo").orNull, strMax.get("repo").orNull,
+          strMin.get("path").orNull, strMax.get("path").orNull))
       }
-    }.seq.sortBy(x => (x._1, x._2))
+    }.seq.sortBy(x => (x.bucket, x.file))
   }
 
   /** the per-file stats as FileEntries (each file carries ITS OWN stats) */
-  private def entriesOf(perFile: Seq[(Int, String, BucketStats)], sorted: Boolean): Seq[FileEntry] =
-    perFile.map { case (b, p, st) =>
-      FileEntry(b, LakeTable.relPath(p), st.rows, st.minLsn, st.maxLsn,
-        st.minRepo, st.maxRepo, sorted)
+  private def entriesOf(perFile: Seq[LakeTable.FileStat], sorted: Boolean): Seq[FileEntry] =
+    perFile.map { st =>
+      FileEntry(st.bucket, LakeTable.relPath(st.file), st.rows, st.minLsn, st.maxLsn,
+        st.minRepo, st.maxRepo, sorted, st.minPath, st.maxPath)
     }
 
   /** per-BUCKET aggregates of the per-file stats — the ledger's shape */
-  private def bucketStatsOf(perFile: Seq[(Int, String, BucketStats)]): Seq[BucketStats] =
-    perFile.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
-      val ss = xs.map(_._3)
+  private def bucketStatsOf(perFile: Seq[LakeTable.FileStat]): Seq[BucketStats] =
+    perFile.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (b, ss) =>
       BucketStats(b, ss.map(_.rows).sum, ss.map(_.minLsn).min, ss.map(_.maxLsn).max,
         ss.map(_.minRepo).filter(_ != null).sortWith(LakeTable.utf8Cmp(_, _) < 0).headOption.orNull,
         ss.map(_.maxRepo).filter(_ != null).sortWith(LakeTable.utf8Cmp(_, _) > 0).headOption.orNull)
@@ -1280,6 +1291,13 @@ object LakeTable {
   final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
                                minRepo: String = null, maxRepo: String = null)
 
+  /** per-file footer stats of a just-written commit (driver-side metadata;
+    * `file` is the absolute path before relativisation)
+    */
+  final case class FileStat(bucket: Int, file: String, rows: Long, minLsn: Long, maxLsn: Long,
+                            minRepo: String, maxRepo: String,
+                            minPath: String, maxPath: String)
+
   /** UTF-8 BYTE-order comparison (what parquet binary column stats use);
     * Java String compareTo differs above the BMP, so repo-range skipping
     * must compare the way the stats were computed.
@@ -1488,8 +1506,11 @@ object SnapshotIO {
     val repoStats =
       if (f.minRepo == null || f.maxRepo == null) ""
       else s""","minRepo":${q(f.minRepo)},"maxRepo":${q(f.maxRepo)}"""
+    val pathStats =
+      if (f.minPath == null || f.maxPath == null) ""
+      else s""","minPath":${q(f.minPath)},"maxPath":${q(f.maxPath)}"""
     val sorted = if (f.sorted) ""","sorted":true""" else ""
-    s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}$repoStats$sorted}"""
+    s"""{"bucket":${f.bucket},"path":${q(f.path)},"rows":${f.rows},"minLsn":${f.minLsn},"maxLsn":${f.maxLsn}$repoStats$pathStats$sorted}"""
   }
 
   private def parseFile(fa: Any): FileEntry = {
@@ -1498,7 +1519,9 @@ object SnapshotIO {
       asLong(f("rows")), asLong(f("minLsn")), asLong(f("maxLsn")),
       f.get("minRepo").map(_.asInstanceOf[String]).orNull,
       f.get("maxRepo").map(_.asInstanceOf[String]).orNull,
-      f.get("sorted").contains(true))
+      f.get("sorted").contains(true),
+      f.get("minPath").map(_.asInstanceOf[String]).orNull,
+      f.get("maxPath").map(_.asInstanceOf[String]).orNull)
   }
 
   /** one commit's touched buckets → their full FileEntry lists — the

@@ -233,6 +233,33 @@ class GraftSourceSpec extends SparkSpec {
       t.read().where(col("repo") === repos.head).select("repo", "lsn")))
   }
 
+  test("path-only equality skips files via path min/max stats (find-this-file-everywhere)") {
+    // one commit per path-prefix cluster → tight per-file PATH ranges; a
+    // path-only predicate binds no bucket and no repo range, so this is
+    // the one skip the round-4 stats could not do
+    val t = new LakeTable(spark, tmpDir("dsv2patheq"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val paths = wal.select("path").distinct().collect().map(_.getString(0)).sorted.take(4)
+    paths.zipWithIndex.foreach { case (p, i) =>
+      t.merge(wal.where(col("path") === p), "pp", i.toLong)
+    }
+    val snap = t.currentSnapshot().get
+    assert(snap.files.forall(f => f.minPath != null && f.maxPath != null),
+      "commits must record per-file path min/max stats")
+    val all = spark.read.format("graft").load(t.root)
+    val total = scanOf(all.select("path", "lsn")).planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition]).flatMap(_.files).length
+    val one = all.where(col("path") === paths.head).select("path", "lsn")
+    val planned = scanOf(one).planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition]).flatMap(_.files)
+    assert(planned.length < total,
+      s"expected path-range file skipping: ${planned.length}/$total")
+    // correctness under the MOR resolve: all versions of the bound path's
+    // keys are in surviving files
+    assert(collectSorted(one) == collectSorted(
+      t.read().where(col("path") === paths.head).select("path", "lsn")))
+  }
+
   test("MOR deltas written (repo,path)-sorted; resolve streams a k-way merge in O(files) memory") {
     val t = new LakeTable(spark, tmpDir("dsv2sorted"), defaultBuckets = 4, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, cfg)
