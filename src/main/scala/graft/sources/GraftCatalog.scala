@@ -125,6 +125,19 @@ class GraftCatalog extends TableCatalog {
   /** SQL `VERSION AS OF n` */
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version))
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands the literal as MICROseconds
+    * since epoch; resolve to the latest snapshot committed at or before it
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!fs.exists(s"$dir/meta/VERSION")) throw new NoSuchTableException(ident)
+    val f = fs
+    val head = LakeTable.headVersion(f.exists, s"$dir/meta",
+      f.readString(s"$dir/meta/VERSION").trim.toInt)
+    val v = LakeTable.versionAsOfTimestamp(f.exists, f.readString, s"$dir/meta",
+      head, timestamp / 1000L)
+    loadAt(ident, Some(v.toString))
+  }
 
   /** CREATE TABLE (and the create half of CTAS). The engine's row model is
     * fixed at its CDC core — the declared schema must carry the key/order/
@@ -151,7 +164,8 @@ class GraftCatalog extends TableCatalog {
     // path must never be clobbered (tableExists above is only a fast-path)
     val stored = if (schema.fieldNames.contains("deleted")) schema
       else StructType(schema.fields :+ StructField("deleted", BooleanType, nullable = false))
-    val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode)
+    val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode,
+      tsMs = System.currentTimeMillis())
     if (!fs.atomicCreate(s"$dir/meta/snap-1.json", SnapshotIO.write(snap)))
       throw new TableAlreadyExistsException(ident)
     // properties file in graft.table.Catalog's format (shared warehouse)

@@ -84,7 +84,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   private var cached: Option[(String, (String, Snapshot))] = None
 
   private def cacheKey(options: CaseInsensitiveStringMap): String =
-    s"${options.get("path")}@${Option(options.get("snapshot")).getOrElse("latest")}"
+    s"${options.get("path")}@${Option(options.get("snapshot")).getOrElse("latest")}" +
+      s"@${Option(options.get("timestampAsOf")).getOrElse("-")}"
 
   private def loadSnapshot(options: CaseInsensitiveStringMap): (String, Snapshot) = synchronized {
     val key = cacheKey(options)
@@ -96,7 +97,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         val conf = SparkSession.active.sessionState.newHadoopConf()
         val fs = new Fs(conf)
         def load(p: String) = SnapshotIO.read(fs.readString(p), mp => fs.readString(s"$root/$mp"))
-        val snap = Option(options.get("snapshot")) match {
+        // timestamp time travel for PATH-based reads (the catalog spells it
+        // `TIMESTAMP AS OF`): resolve to the latest snapshot at or before
+        // the instant, then load that version
+        val versionOpt = Option(options.get("snapshot")).orElse(
+          Option(options.get("timestampAsOf")).map { ts =>
+            val vf = s"$root/meta/VERSION"
+            require(fs.exists(vf), s"graft: no table at $root (missing meta/VERSION)")
+            val head = graft.table.LakeTable.headVersion(fs.exists, s"$root/meta",
+              fs.readString(vf).trim.toInt)
+            graft.table.LakeTable.versionAsOfTimestamp(fs.exists, fs.readString,
+              s"$root/meta", head, graft.table.LakeTable.parseTimestampMs(ts)).toString
+          })
+        val snap = versionOpt match {
           case Some(v) =>
             val p = s"$root/meta/snap-$v.json"
             require(fs.exists(p), s"graft: snapshot $v expired or never existed under $root")

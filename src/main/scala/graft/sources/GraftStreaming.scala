@@ -48,8 +48,37 @@ final class GraftMicroBatchStream(root: String, required: StructType,
 
   private val conf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
-  private val startLsn = options.getOrElse("startlsn", "0").toLong
   private val maxPerTrigger = options.get("maxlsnspertrigger").map(_.toLong)
+  /** `startingTimestamp`: begin the tail AFTER the last snapshot committed
+    * at or before the instant (its hwm becomes the exclusive lower bound) —
+    * "tail everything since yesterday" without knowing an LSN. A timestamp
+    * before the first stamped snapshot tails from 0 (everything), the
+    * lenient end Delta's startingTimestamp also chose. Mutually exclusive
+    * with `startLsn`. Resolved once; the offset lives in the checkpoint
+    * thereafter.
+    */
+  private val startLsn: Long = {
+    val byLsn = options.get("startlsn")
+    val byTs = options.get("startingtimestamp")
+    require(byLsn.isEmpty || byTs.isEmpty,
+      "graft tail: give startLsn OR startingTimestamp, not both")
+    byTs match {
+      case Some(ts) =>
+        val tsMs = graft.table.LakeTable.parseTimestampMs(ts)
+        val f = fs
+        if (!f.exists(s"$root/meta/VERSION")) 0L
+        else {
+          val head = graft.table.LakeTable.headVersion(f.exists, s"$root/meta",
+            f.readString(s"$root/meta/VERSION").trim.toInt)
+          try {
+            val v = graft.table.LakeTable.versionAsOfTimestamp(f.exists, f.readString,
+              s"$root/meta", head, tsMs)
+            SnapshotIO.parse(f.readString(s"$root/meta/snap-$v.json")).hwm
+          } catch { case _: IllegalArgumentException => 0L } // before the first snapshot: tail all
+        }
+      case None => byLsn.getOrElse("0").toLong
+    }
+  }
 
   private def fs = new Fs(conf.value)
   /** latest snapshot; a registered-but-unwritten table (no VERSION yet)

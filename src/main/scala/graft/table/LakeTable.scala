@@ -76,6 +76,13 @@ final case class Snapshot(
     mode: String = "cow",   // apply mode fixed at table creation
     dvFiles: Seq[String] = Nil, // positional deletion-vector sidecars (dv mode)
     dvRows: Long = 0L,          // total superseded positions across dvFiles
+    /** commit wall-clock (epoch millis), stamped at the VERSION-flip write —
+      * backs timestamp time travel (`TIMESTAMP AS OF`, `startingTimestamp`).
+      * 0 on pre-upgrade snapshots (then timestamp resolution skips them).
+      * Clock caveat (same as Delta/Iceberg): commit times come from writer
+      * clocks, so resolution is only as monotonic as the fleet's clocks.
+      */
+    tsMs: Long = 0L,
     /** per-bucket MANIFEST pointers (bucket → root-relative manifest JSON
       * holding that bucket's CURRENT FileEntry list). A commit writes ONE
       * new manifest covering just its touched buckets and re-points the
@@ -210,6 +217,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * snapshot's schema, so pre-evolution snapshots stay readable as
     * written (SURVEY.md §7.6 "readers must resolve any historic snapshot").
     */
+  /** the version serving `TIMESTAMP AS OF tsMs`: the latest still-retained
+    * snapshot committed at or before the instant
+    */
+  def versionAsOf(tsMs: Long): Int = {
+    val cur = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    LakeTable.versionAsOfTimestamp(fs.exists, fs.readString, metaDir, cur.version, tsMs)
+  }
+
+  /** Timestamp time travel: live rows as of the last commit at or before
+    * `tsMs` (epoch millis) — the "query the table as of yesterday" read.
+    */
+  def readAtTimestamp(tsMs: Long): DataFrame = readAt(versionAsOf(tsMs))
+
   def readAt(version: Int): DataFrame = {
     val p = s"$metaDir/snap-$version.json"
     require(fs.exists(p), s"snapshot $version expired or never existed")
@@ -275,7 +296,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           b -> (if (changed.contains(b)) mp else prevMan(b))
         }
       }
-    if (!fs.atomicCreate(s"$metaDir/snap-${s.version}.json", SnapshotIO.write(s.copy(manifests = manifests)))) {
+    if (!fs.atomicCreate(s"$metaDir/snap-${s.version}.json",
+        SnapshotIO.write(s.copy(manifests = manifests, tsMs = System.currentTimeMillis())))) {
       if (changed.nonEmpty) fs.delete(s"$root/$mp")
       throw new CommitConflictException(
         s"snapshot ${s.version} of $root was committed by a concurrent writer")
@@ -1415,6 +1437,42 @@ object LakeTable {
     lo to head
   }
 
+  /** The latest still-existing version whose commit timestamp is at or
+    * before `tsMs` — the resolution behind `TIMESTAMP AS OF` and
+    * `startingTimestamp`. Only STAMPED snapshots qualify (pre-upgrade ones
+    * carry no commit time, so their instant is unknowable); errors when no
+    * snapshot is old enough, naming the earliest available instant (the
+    * Delta/Iceberg contract for a too-early timestamp). O(existing
+    * snapshots) metadata reads, manifest hydration skipped.
+    */
+  def versionAsOfTimestamp(exists: String => Boolean, readString: String => String,
+                           metaDir: String, head: Int, tsMs: Long): Int = {
+    val stamped = existingVersions(exists, metaDir, head)
+      .map(v => v -> SnapshotIO.parse(readString(s"$metaDir/snap-$v.json")).tsMs)
+      .filter(_._2 > 0)
+    val ok = stamped.filter(_._2 <= tsMs)
+    if (ok.isEmpty) {
+      val earliest = stamped.headOption
+        .map { case (v, t) => s"; earliest available: v$v @ ${java.time.Instant.ofEpochMilli(t)}" }
+        .getOrElse(" (no timestamped snapshots — table predates the tsMs format)")
+      throw new IllegalArgumentException(
+        s"no snapshot at or before ${java.time.Instant.ofEpochMilli(tsMs)}$earliest")
+    }
+    ok.map(_._1).max
+  }
+
+  /** option-string timestamp: epoch millis, or an ISO date/date-time
+    * interpreted as UTC ("2026-08-17", "2026-08-17 12:30:00")
+    */
+  def parseTimestampMs(s0: String): Long = {
+    val s = s0.trim
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else {
+      val t = if (s.contains("T") || s.contains(" ")) s.replace(" ", "T") else s + "T00:00:00"
+      java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
   /** VERSION is a last-writer-wins hint; snapshot versions are dense, so
     * the true head is the hint probed forward (shared by every reader).
     */
@@ -1555,7 +1613,8 @@ object SnapshotIO {
       s"""${q(cp)}:{"hwm":${c.hwm},"pending":${c.pending.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     val dvf = s.dvFiles.map(q).mkString("[", ",", "]")
-    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
+    val ts = if (s.tsMs > 0) s""""tsMs":${s.tsMs},""" else ""
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},$ts"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
   }
 
   /** parse WITHOUT a manifest loader — valid only for inline-file snapshots */
@@ -1605,7 +1664,8 @@ object SnapshotIO {
       totalRows = asLong(v("totalRows")),
       mode = v.get("mode").map(_.asInstanceOf[String]).getOrElse("cow"),
       dvFiles = v.get("dvFiles").map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil),
-      dvRows = v.get("dvRows").map(asLong).getOrElse(0L)
+      dvRows = v.get("dvRows").map(asLong).getOrElse(0L),
+      tsMs = v.get("tsMs").map(asLong).getOrElse(0L)
     )
   }
 }

@@ -191,6 +191,33 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got(out) == exp)
   }
 
+  test("startingTimestamp tails from the last snapshot at or before the instant") {
+    val t = new LakeTable(spark, tmpDir("tailts"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn").between(1, per)), "tailts", 0L)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    (1 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "tailts", i.toLong)
+    }
+    // from `between`: only commits 2..n (lsn > per) arrive
+    val out = runToMemory(t.root, "tail_ts",
+      Map("changeFeed" -> "true", "startingTimestamp" -> between.toString))
+    assert(got(out) == expectedFeed(includeDeletes = true).filter(_._3 > per))
+    // a pre-table timestamp tails everything (lenient lower end)
+    val all = runToMemory(t.root, "tail_ts_all",
+      Map("changeFeed" -> "true", "startingTimestamp" -> "1000"))
+    assert(got(all) == expectedFeed(includeDeletes = true))
+    // both bounds given: reject
+    val e = intercept[Exception] {
+      runToMemory(t.root, "tail_ts_bad",
+        Map("startLsn" -> "5", "startingTimestamp" -> between.toString))
+    }
+    assert(e.getMessage.contains("not both") ||
+      Option(e.getCause).exists(_.getMessage.contains("not both")), e.toString)
+  }
+
   /** expected change types: winner per (key, commit batch), typed from the
     * key's previous stored version (absent/deleted → insert; live →
     * update_postimage; tombstone → delete)

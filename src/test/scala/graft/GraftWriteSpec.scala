@@ -226,6 +226,32 @@ class GraftWriteSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $cat").isEmpty)
   }
 
+  test("TIMESTAMP AS OF resolves to the last commit at or before the instant") {
+    val (cat, warehouse) = catalog("wts")
+    spark.sql(s"""CREATE TABLE $cat.tt (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+      TBLPROPERTIES ('mode' = 'cow', 'buckets' = '4')""")
+    spark.sql(s"INSERT INTO $cat.tt VALUES ('r1','a.py','c1',null,'alpha',null,1)")
+    Thread.sleep(30) // commit clocks are millisecond-granular
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $cat.tt VALUES ('r1','b.py','c2',null,'beta',null,2)")
+    val t = new LakeTable(spark, s"$warehouse/tt")
+    assert(t.read().count() == 2)
+    // SQL surface: the literal resolves to the 1-row snapshot
+    val lit = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(between))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt TIMESTAMP AS OF '$lit'").head().getLong(0) == 1)
+    // path-based DSv2 option + API spell the same resolution
+    assert(spark.read.format("graft").option("timestampAsOf", between.toString)
+      .load(s"$warehouse/tt").count() == 1)
+    assert(t.readAtTimestamp(between).count() == 1)
+    assert(t.readAtTimestamp(System.currentTimeMillis()).count() == 2)
+    // before the first commit: a clear too-early error naming the earliest
+    val e = intercept[Exception] { t.readAtTimestamp(1000L) }
+    assert(e.getMessage.contains("no snapshot at or before"), e.getMessage)
+  }
+
   test("delete on a dv-mode table writes deletion vectors, no bucket rewrite") {
     val (cat, warehouse) = catalog("wdvdel")
     val wal = ChangeLogGen.changeLog(spark, cfg)
