@@ -41,14 +41,16 @@ object CdcQueries {
     * as-is; anything partial (crash mid-build) is detected via the
     * committed count and rebuilt from zero.
     */
-  def smLakeMode(spark: SparkSession, mode: ApplyMode.Value, name: String, cp: String): LakeTable = {
+  def smLakeMode(spark: SparkSession, mode: ApplyMode.Value, name: String, cp: String,
+                 cdf: Boolean = false): LakeTable = {
     ensureSmWal(spark)
     val dir = s"$LakeRoot/$name"
-    val t = new LakeTable(spark, dir, smBuckets, mode)
-    val ok = t.currentSnapshot().exists(s => s.committedCount == smBatches && s.hwm == smCfg.events)
+    val t = new LakeTable(spark, dir, smBuckets, mode, defaultCdf = cdf)
+    val ok = t.currentSnapshot().exists(s => s.committedCount == smBatches &&
+      s.hwm == smCfg.events && (!cdf || s.cdfSinceLsn >= 0))
     if (!ok) {
       deleteRec(dir)
-      val fresh = new LakeTable(spark, dir, smBuckets, mode)
+      val fresh = new LakeTable(spark, dir, smBuckets, mode, defaultCdf = cdf)
       val wal = spark.read.parquet(smWal)
       val per = smCfg.events / smBatches
       (0 until smBatches).foreach { i =>
@@ -276,6 +278,28 @@ object CdcQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("q50_sink").orderBy("lsn", "repo", "path")
+  }
+
+  /** The typed tail over COMMIT-TIME CDF SIDECARS (round-4 VERDICT #1):
+    * same table contents and same oracle as q50, but the lake is built
+    * with the change data feed ON, so every merge wrote its change
+    * sidecar and the tail plans one partition per in-range sidecar —
+    * O(batch) per trigger instead of re-reading bucket history. The two
+    * paths hashing identically against one replay oracle is the
+    * equivalence proof.
+    */
+  def q51CdfTypes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_cdf", "smcdf", cdf = true)
+    require(t.currentSnapshot().exists(_.cdfFiles.nonEmpty), "q51: sidecars must exist")
+    val cp = java.nio.file.Files.createTempDirectory("q51cp").toString
+    val q = s.readStream.format("graft").option("changeTypes", "true").load(t.root)
+      .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
+      .writeStream.format("memory").queryName("q51_sink")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("q51_sink").orderBy("lsn", "repo", "path")
   }
 
   /** SQL `MERGE INTO` through the GraftDmlRewrite rule (K4 as a SQL
@@ -570,7 +594,10 @@ object CdcQueries {
     ("q44_dsv2_write" -> m("cdc_snapshot")) + // DSv2 write path, same oracle
     ("q45_sql_delete" ->                       // replay minus the deleted language
       s"""SELECT * FROM (${m("cdc_snapshot").replace("ORDER BY repo, path", "")})
-          WHERE lang <> 'python' ORDER BY repo, path"""))
+          WHERE lang <> 'python' ORDER BY repo, path""") +
+    // the CDF sidecar path must hash-match the SAME typed-replay oracle as
+    // the history-walk path (q50) — that identity is the equivalence proof
+    ("q51_cdf_types" -> m("q50_change_types")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot" -> cdcSnapshot _,
@@ -590,6 +617,7 @@ object CdcQueries {
     "q48_update" -> q48Update _,
     "q49_sql_merge" -> q49SqlMerge _,
     "q50_change_types" -> q50ChangeTypes _,
+    "q51_cdf_types" -> q51CdfTypes _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

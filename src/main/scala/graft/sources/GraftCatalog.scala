@@ -164,8 +164,12 @@ class GraftCatalog extends TableCatalog {
     // path must never be clobbered (tableExists above is only a fast-path)
     val stored = if (schema.fieldNames.contains("deleted")) schema
       else StructType(schema.fields :+ StructField("deleted", BooleanType, nullable = false))
+    // TBLPROPERTIES ('cdf' = 'true'): change data feed on from creation —
+    // every commit writes its change sidecar
+    val cdf = Option(properties.get("cdf")).exists(_.toBoolean)
     val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode,
-      tsMs = System.currentTimeMillis())
+      tsMs = System.currentTimeMillis(),
+      cdfSinceLsn = if (cdf) 0L else -1L)
     if (!fs.atomicCreate(s"$dir/meta/snap-1.json", SnapshotIO.write(snap)))
       throw new TableAlreadyExistsException(ident)
     // properties file in graft.table.Catalog's format (shared warehouse)

@@ -41,6 +41,13 @@ final case class GraftOffset(lsn: Long) extends Offset {
   * the final one before the tail reads them (the standard lake-CDC caveat —
   * Delta's change feed without CDF files behaves the same way). Deletes
   * surface only with `changeFeed=true`, as rows with `deleted = true`.
+  *
+  * With the CHANGE DATA FEED on (`enableChangeDataFeed` / TBLPROPERTIES
+  * 'cdf'), commits write per-commit change sidecars and the
+  * `changeTypes=true` tail serves micro-batches from the sidecars alone:
+  * O(batch) per trigger, and exact types in ALL modes — including across
+  * CoW rewrites and compaction (the caveat above then applies only to
+  * pre-enable history, which falls back to the bucket walk).
   */
 final class GraftMicroBatchStream(root: String, required: StructType,
                                   options: Map[String, String])
@@ -147,7 +154,19 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     val hi = end.asInstanceOf[GraftOffset].lsn   // inclusive
     if (hi <= lo) return Array.empty
     val snap = snapshot()
-    if (changeTypes) {
+    if (changeTypes && snap.cdfSinceLsn >= 0 && lo >= snap.cdfSinceLsn) {
+      // CDF FAST PATH: every commit above cdfSinceLsn wrote its change
+      // sidecar at merge time (rows + `_change_type`, typed against the
+      // stored chain as of that commit), so the micro-batch reads ONLY the
+      // sidecars intersecting (lo, hi] — per-trigger work is O(batch),
+      // never O(table history), and the types survive CoW rewrites and
+      // compaction (the round-4 caveat). The bucket-history walk below
+      // remains the fallback for pre-CDF ranges.
+      snap.cdfFiles.filter(f => f.maxLsn > lo && f.minLsn <= hi)
+        .map(f => GraftCdfPartition(
+          graft.table.LakeTable.resolveUnder(root, f.path), lo, hi): InputPartition)
+        .toArray
+    } else if (changeTypes) {
       // `_change_type` (insert / update_postimage / delete) needs each
       // key's PRIOR stored version, so the unit of work is a BUCKET, not a
       // file: one partition per bucket that has changes in (lo, hi],
@@ -191,10 +210,18 @@ final case class GraftStreamPartition(file: String, lo: Long, hi: Long) extends 
 final case class GraftStreamChangePartition(files: Seq[String], sorted: Boolean,
                                             lo: Long, hi: Long) extends InputPartition
 
+/** one commit's CDF sidecar file intersecting a change-typed micro-batch's
+  * lsn range — the types were computed at commit time, the reader only
+  * range-filters and projects
+  */
+final case class GraftCdfPartition(file: String, lo: Long, hi: Long) extends InputPartition
+
 final class GraftStreamReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
+      case p: GraftCdfPartition =>
+        new GraftCdfReader(p.file, required, conf.value, p.lo, p.hi)
       case p: GraftStreamChangePartition =>
         new GraftChangeTypeReader(p.files, p.sorted, required, conf.value, p.lo, p.hi)
       case p: GraftStreamPartition =>
@@ -343,4 +370,37 @@ final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required:
 
   override def get(): InternalRow = current
   override def close(): Unit = if (merge != null) merge.close()
+}
+
+/** Reader for one commit's CDF sidecar in a change-typed micro-batch: the
+  * sidecar stores full post-image rows + `_change_type` (typed at commit
+  * time), so this is a plain projection + (lo, hi] lsn re-filter — no
+  * history, no merge, no per-key state. Rowgroup lsn stats prune inside
+  * the file for rate-limited triggers that split one commit's range.
+  */
+final class GraftCdfReader(path: String, required: StructType, conf: Configuration,
+                           lo: Long, hi: Long)
+    extends PartitionReader[InternalRow] {
+
+  private val ext: Array[StructField] =
+    if (required.fieldNames.contains("lsn")) required.fields
+    else required.fields :+ StructField("lsn", LongType)
+  private val lsnIdx = ext.indexWhere(_.name == "lsn")
+  private val cursor = new GroupRowCursor(path, ext, conf)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (cursor.advance()) {
+      val lsn = cursor.values(lsnIdx).asInstanceOf[Long]
+      if (lsn > lo && lsn <= hi) {
+        current = new GenericInternalRow(java.util.Arrays.copyOfRange(
+          cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = cursor.close()
 }

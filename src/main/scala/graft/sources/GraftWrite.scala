@@ -151,7 +151,8 @@ object GraftWrite {
     val o = options.asScala.map { case (k, v) => k.toLowerCase -> v }
     val buckets = o.get("buckets").map(_.toInt).getOrElse(32)
     val mode = graft.table.LakeTable.modeOf(o.getOrElse("mode", "cow"))
-    new LakeTable(spark, root, buckets, mode)
+    new LakeTable(spark, root, buckets, mode,
+      defaultCdf = o.get("cdf").exists(_.toBoolean))
   }
 
   /** V1 `Filter` → `Column` for the filter-based delete surface. None =

@@ -30,6 +30,14 @@ final case class FileEntry(bucket: Int, path: String, rows: Long, minLsn: Long, 
                              */
                            minPath: String = null, maxPath: String = null)
 
+/** One change-data-feed sidecar parquet written by a commit: the commit's
+  * newly stored rows (full post-images) each tagged `_change_type` ∈
+  * {insert, update_postimage, delete}, plus lsn range stats so a typed
+  * tail plans only the sidecars intersecting its (lo, hi] — per-batch
+  * work O(batch), never O(table history). The Delta-CDF file analogue.
+  */
+final case class CdfEntry(path: String, rows: Long, minLsn: Long, maxLsn: Long)
+
 /** Per-checkpoint commit progress: the max CONTIGUOUS committed batchId
   * (`hwm`, -1 = none) plus a small out-of-order set (`pending`, batchIds
   * above hwm+1 that arrived early). Streaming batchIds are monotonic per
@@ -83,6 +91,21 @@ final case class Snapshot(
       * clocks, so resolution is only as monotonic as the fleet's clocks.
       */
     tsMs: Long = 0L,
+    /** change-data-feed state: -1 = CDF off; >= 0 = every commit records a
+      * change sidecar for its rows above this lsn, so a typed tail whose
+      * cursor is at or past it reads ONLY sidecars (never bucket history).
+      * Set to the enabling instant's hwm by `enableChangeDataFeed` (0 at
+      * creation), RAISED by overwrite/truncate (replace operations restart
+      * coverage — their implicit deletions have no sidecar) and by
+      * `expireChangeFeed` (retention).
+      */
+    cdfSinceLsn: Long = -1L,
+    /** the change sidecars (root-relative), appended per commit; pruned by
+      * `expireChangeFeed`. Grows O(commits between expiries) — long-lived
+      * CDF tables expire consumed ranges periodically, the same retention
+      * contract as Delta's log/CDF cleanup.
+      */
+    cdfFiles: Seq[CdfEntry] = Nil,
     /** per-bucket MANIFEST pointers (bucket → root-relative manifest JSON
       * holding that bucket's CURRENT FileEntry list). A commit writes ONE
       * new manifest covering just its touched buckets and re-points the
@@ -156,7 +179,13 @@ object ApplyMode extends Enumeration {
   */
 final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets: Int = 32,
                       defaultMode: ApplyMode.Value = ApplyMode.CopyOnWrite,
-                      val prereduceHotKeys: Boolean = false) {
+                      val prereduceHotKeys: Boolean = false,
+                      /** create the table with the change data feed ON
+                        * (existing tables read their CDF state from the
+                        * snapshot — use enableChangeDataFeed() to turn it
+                        * on later)
+                        */
+                      val defaultCdf: Boolean = false) {
   import LakeTable._
 
   private val metaDir = s"$root/meta"
@@ -493,9 +522,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val token = LakeTable.newToken
+    // change data feed: ON when the snapshot says so (or at creation via
+    // defaultCdf) — the commit then also writes its change sidecar
+    val cdfOn = snap.map(_.cdfSinceLsn >= 0).getOrElse(defaultCdf)
     if (mode == ApplyMode.DeletionVector)
       return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows,
-        token, affectedAll, requireVersion)
+        token, affectedAll, requireVersion, cdfOn)
     val incoming = cleaned.withColumn("b", bCol)
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -533,6 +565,25 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val newEntries = entriesOf(perFile, sorted = true)
     val batchSchema = resolved.drop("b").schema
     val batchHwm = if (stats.isEmpty) Long.MinValue else stats.map(_.maxLsn).max
+
+    // CDF sidecar for this commit's newly stored rows (attempt-scoped under
+    // commitDir, so every conflict-cleanup path reclaims it with the data)
+    val cdfEntries: Seq[CdfEntry] =
+      if (!cdfOn || stats.isEmpty) Nil
+      else {
+        val out = spark.read.parquet(commitDir).drop("b")
+        val priorKeyed = readRawAt(snap, Some(affectedAll))
+          .select("repo", "path", "lsn", "commit", "deleted")
+        val newStored = mode match {
+          // MoR: every row of the delta IS newly stored
+          case ApplyMode.MergeOnRead => out
+          // CoW: the rewrite carries untouched winners forward — a change
+          // row is one whose (key, lsn, commit) was not already stored
+          case ApplyMode.CopyOnWrite =>
+            out.join(priorKeyed.drop("deleted"), Seq("repo", "path", "lsn", "commit"), "left_anti")
+        }
+        writeCdfSidecar(newStored, priorKeyed, s"$commitDir/cdf")
+      }
 
     // ---- optimistic commit loop (multi-writer safety) ----
     // Metadata is derived against the freshest head and committed
@@ -580,7 +631,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
           hwm = math.max(cur.hwm, batchHwm),
           totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
-          mode = modeString(mode)
+          mode = modeString(mode),
+          cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else -1L,
+          cdfFiles = if (cdfOn) cur.cdfFiles ++ cdfEntries else Nil
         ), cur, token)
         return stats
       } catch {
@@ -600,7 +653,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
               s"merge($cpId): a concurrent commit superseded the statement's base v${requireVersion.get}")
           }
           val rePointable = mode match {
-            case ApplyMode.MergeOnRead => true
+            // MoR deltas are base-independent — but a CDF sidecar is NOT
+            // (its types derive from prev's stored chains), so with the
+            // feed on a re-point is only safe when the winner left our
+            // affected buckets untouched
+            case ApplyMode.MergeOnRead =>
+              !cdfOn ||
+                reloaded.files.filter(f => affectedAll(f.bucket)) ==
+                  prev.files.filter(f => affectedAll(f.bucket))
             case ApplyMode.CopyOnWrite =>
               val a = affected.get
               reloaded.files.filter(f => a(f.bucket)) == prev.files.filter(f => a(f.bucket))
@@ -637,7 +697,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   private def mergeDv(events: DataFrame, cleaned: DataFrame, cpId: String, batchId: Long,
                       prev: Snapshot, version: Int, nBuckets: Int,
                       batchRows: Long, staleRows: Long, token: String,
-                      affected: Set[Int], requireVersion: Option[Int] = None): Seq[BucketStats] = {
+                      affected: Set[Int], requireVersion: Option[Int] = None,
+                      cdfOn: Boolean = false): Seq[BucketStats] = {
     import org.apache.spark.sql.types.StructType
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bCol)
@@ -646,7 +707,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // live existing versions of the affected buckets: key + order columns
     // + positions only (column-pruned — payloads never read)
     val exSchema = StructType.fromDDL(
-      "repo STRING, path STRING, ex_lsn BIGINT, ex_commit STRING, file_path STRING, row_index BIGINT")
+      "repo STRING, path STRING, ex_lsn BIGINT, ex_commit STRING, ex_deleted BOOLEAN, file_path STRING, row_index BIGINT")
     val existing =
       if (affFiles.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], exSchema)
@@ -654,6 +715,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val raw = spark.read.schema(StructType.fromDDL(prev.schemaDdl))
           .parquet(affFiles.map(f => resolvePath(f.path)): _*)
           .select(col("repo"), col("path"), col("lsn").as("ex_lsn"), col("commit").as("ex_commit"),
+            col("deleted").as("ex_deleted"),
             relPathCol(col("_metadata.file_path")).as("file_path"), col("_metadata.row_index").as("row_index"))
         // only LIVE rows can be superseded (or out-compete an incoming
         // version); already-dead positions must not shadow the live one
@@ -711,6 +773,24 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         if (t.isNullAt(0)) 0L else t.getLong(0)
       }
 
+      // CDF sidecar: DV mode knows each winner's prior-version liveness
+      // DIRECTLY from the join (ex_lsn/ex_deleted), so typing is a plain
+      // projection over `keep` — no chain walk, no extra read. Stale
+      // losers are dropped in DV mode (never stored), so the sidecar is
+      // exactly the stored changes.
+      val cdfEntries: Seq[CdfEntry] =
+        if (!cdfOn) Nil
+        else {
+          val dataColNames = batch.columns.filterNot(_ == "b").toSeq
+          keep.select(dataColNames.map(col) :+
+            when(col("deleted"), "delete")
+              .when(col("ex_lsn").isNotNull && !coalesce(col("ex_deleted"), lit(false)),
+                "update_postimage")
+              .otherwise("insert").as("_change_type"): _*)
+            .write.mode("overwrite").parquet(s"$commitDir/cdf")
+          cdfStatsOf(s"$commitDir/cdf")
+        }
+
       // ---- optimistic commit loop (multi-writer safety) ----
       // The DV pass read `prev`'s live positions of the affected buckets;
       // a conflicting commit that changed those buckets' files or their DV
@@ -743,7 +823,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             hwm = math.max(cur.hwm, batchHwm),
             totalRows = cur.totalRows + newEntries.map(_.rows).sum,
             dvFiles = cur.dvFiles ++ dvPaths,
-            dvRows = cur.dvRows + dvCount
+            dvRows = cur.dvRows + dvCount,
+            cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn,
+            cdfFiles = if (cdfOn) cur.cdfFiles ++ cdfEntries else cur.cdfFiles
           ), cur, token)
           return stats
         } catch {
@@ -859,6 +941,114 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         ss.map(_.minRepo).filter(_ != null).sortWith(LakeTable.utf8Cmp(_, _) < 0).headOption.orNull,
         ss.map(_.maxRepo).filter(_ != null).sortWith(LakeTable.utf8Cmp(_, _) > 0).headOption.orNull)
     }
+
+  // ---- change data feed (commit-time CDF sidecars) -----------------------
+
+  /** Type this commit's newly stored rows against the key's stored-version
+    * chain and write them as the commit's change sidecar (Delta-CDF shape:
+    * full post-images + `_change_type`). `newStored` = the commit's new
+    * rows (all data columns); `prior` = (repo, path, lsn, commit, deleted)
+    * of the PREVIOUS snapshot's stored versions of the affected buckets.
+    * The chain walk is one windowed pass over (new ∪ prior-of-new-keys):
+    * a version's type is delete if it is a tombstone, insert if its chain
+    * predecessor is absent or a tombstone, else update_postimage — the
+    * same rule the history-walk reader applies, evaluated once at commit
+    * time so tails never re-read history. Cost: O(batch) + a column-pruned
+    * key-semi-joined read of the affected buckets (no payloads).
+    */
+  private def writeCdfSidecar(newStored: DataFrame, prior: DataFrame, dir: String): Seq[CdfEntry] = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = newStored.select("repo", "path").distinct()
+    val pri = prior.join(keys, Seq("repo", "path"), "left_semi")
+      .withColumn("__new", lit(false))
+    val neu = newStored.withColumn("__new", lit(true))
+    // prior rows carry only the chain columns; payloads null-backfill
+    val unioned = neu.unionByName(pri, allowMissingColumns = true)
+    // exact (lsn, commit) ties order stored-before-new, matching the
+    // resolve's file-order tie-break
+    val w = Window.partitionBy("repo", "path")
+      .orderBy(col("lsn"), col("commit"), col("__new"))
+    val typed = unioned
+      .withColumn("__prevDel", lag(col("deleted"), 1).over(w))
+      .where(col("__new"))
+      .withColumn("_change_type",
+        when(col("deleted"), "delete")
+          .when(col("__prevDel").isNull || col("__prevDel"), "insert")
+          .otherwise("update_postimage"))
+      .drop("__new", "__prevDel")
+    typed.write.mode("overwrite").parquet(dir)
+    cdfStatsOf(dir)
+  }
+
+  /** per-sidecar-file (rows, lsn range) from parquet footers — driver-side
+    * metadata, no job; zero-row files dropped
+    */
+  private def cdfStatsOf(dir: String): Seq[CdfEntry] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.collection.parallel.CollectionConverters._
+    LakeTable.listParquet(fs, dir).par.flatMap { p =>
+      var rows = 0L; var minLsn = Long.MaxValue; var maxLsn = Long.MinValue
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val blocks = r.getFooter.getBlocks
+        (0 until blocks.size()).foreach { i =>
+          val blk = blocks.get(i)
+          rows += blk.getRowCount
+          (0 until blk.getColumns.size()).foreach { c =>
+            val col = blk.getColumns.get(c)
+            if (col.getPath.toDotString == "lsn" && col.getStatistics != null) {
+              val st = col.getStatistics
+              minLsn = math.min(minLsn, st.genericGetMin.asInstanceOf[java.lang.Long])
+              maxLsn = math.max(maxLsn, st.genericGetMax.asInstanceOf[java.lang.Long])
+            }
+          }
+        }
+      } finally r.close()
+      if (rows == 0) None else Some(CdfEntry(LakeTable.relPath(p), rows, minLsn, maxLsn))
+    }.seq.sortBy(_.path)
+  }
+
+  /** Turn the change data feed ON from now: commits after this one record
+    * change sidecars for rows above the current hwm (a typed tail whose
+    * cursor is at or past it serves purely from sidecars). Metadata-only
+    * commit; idempotent.
+    */
+  def enableChangeDataFeed(): Unit = {
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"enableChangeDataFeed: no table at $root"))
+      if (snap.cdfSinceLsn >= 0) return
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1, cdfSinceLsn = snap.hwm), snap)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"enableChangeDataFeed($root): lost 20 commit races")
+  }
+
+  /** CDF retention: drop sidecar entries wholly at or below `belowLsn` and
+    * raise the coverage floor — consumed ranges stop accreting snapshot
+    * metadata, and the files are reclaimed once no retained snapshot
+    * references them (expireSnapshots). Returns entries dropped.
+    */
+  def expireChangeFeed(belowLsn: Long): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(return 0)
+      if (snap.cdfSinceLsn < 0) return 0
+      val (dropped, kept) = snap.cdfFiles.partition(_.maxLsn <= belowLsn)
+      if (dropped.isEmpty && snap.cdfSinceLsn >= belowLsn) return 0
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1, cdfFiles = kept,
+          cdfSinceLsn = math.max(snap.cdfSinceLsn, belowLsn)), snap)
+        return dropped.size
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"expireChangeFeed($root): lost 20 commit races")
+  }
 
   /** How many ways to sub-split each bucket's shuffle group, so that
     * resolve/compact TASK parallelism is decoupled from the FILE layout's
@@ -1050,7 +1240,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
           hwm = math.max(cur.hwm, batchHwm),
           totalRows = total,
-          mode = modeString(theMode)
+          mode = modeString(theMode),
+          // a REPLACE's implicit deletions have no change rows — CDF
+          // coverage restarts above this commit (tails below fall back to
+          // the history walk, the standard lake-CDC replace caveat)
+          cdfSinceLsn = if (cur.cdfSinceLsn >= 0) math.max(cur.hwm, batchHwm) else -1L,
+          cdfFiles = cur.cdfFiles
         ), cur, token)
         return stats
       } catch {
@@ -1078,7 +1273,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val snap = currentSnapshot().getOrElse(return)
       try {
         commitSnapshot(snap.copy(version = snap.version + 1, files = Nil,
-          dvFiles = Nil, dvRows = 0L, totalRows = 0L), snap)
+          dvFiles = Nil, dvRows = 0L, totalRows = 0L,
+          cdfSinceLsn = if (snap.cdfSinceLsn >= 0) snap.hwm else -1L), snap)
         return
       } catch { case _: CommitConflictException => attempts += 1 } // metadata-only: just retry on the new head
     }
@@ -1246,12 +1442,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       .map(v => v -> loadSnap(s"$metaDir/snap-$v.json"))
     val retained = all.filter(_._1 > cur.version - keep)
     val live: Set[String] =
-      retained.flatMap(x => x._2.files.map(_.path) ++ x._2.dvFiles).toSet
+      retained.flatMap(x => x._2.files.map(_.path) ++ x._2.dvFiles ++
+        x._2.cdfFiles.map(_.path)).toSet
     val liveManifests: Set[String] = retained.flatMap(_._2.manifests.map(_._2)).toSet
-    // delete unreferenced data + DV files + manifests, then empty commit
-    // dirs, then old meta
+    // delete unreferenced data + DV + CDF files + manifests, then empty
+    // commit dirs, then old meta
     all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
-      (s.files.map(_.path) ++ s.dvFiles).filterNot(live).map(resolvePath).foreach(fs.delete)
+      (s.files.map(_.path) ++ s.dvFiles ++ s.cdfFiles.map(_.path))
+        .filterNot(live).map(resolvePath).foreach(fs.delete)
       s.manifests.map(_._2).filterNot(liveManifests).foreach(mp => fs.delete(s"$root/$mp"))
       fs.delete(s"$metaDir/snap-$v.json")
     }
@@ -1289,7 +1487,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val snaps = LakeTable.existingVersions(fs.exists, metaDir, cur.version)
       .map(v => loadSnap(s"$metaDir/snap-$v.json"))
     val referenced: Set[String] =
-      snaps.flatMap(s => (s.files.map(_.path) ++ s.dvFiles).map(resolvePath).flatMap(segOf)).toSet
+      snaps.flatMap(s => (s.files.map(_.path) ++ s.dvFiles ++ s.cdfFiles.map(_.path))
+        .map(resolvePath).flatMap(segOf)).toSet
     val liveManifests: Set[String] =
       snaps.flatMap(_.manifests.map(m => new org.apache.hadoop.fs.Path(m._2).getName)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -1614,7 +1813,12 @@ object SnapshotIO {
     }.mkString("{", ",", "}")
     val dvf = s.dvFiles.map(q).mkString("[", ",", "]")
     val ts = if (s.tsMs > 0) s""""tsMs":${s.tsMs},""" else ""
-    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},$ts"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
+    val cdf =
+      if (s.cdfSinceLsn < 0) ""
+      else s""""cdfSinceLsn":${s.cdfSinceLsn},"cdfFiles":${s.cdfFiles.map(c =>
+        s"""{"path":${q(c.path)},"rows":${c.rows},"minLsn":${c.minLsn},"maxLsn":${c.maxLsn}}""")
+        .mkString("[", ",", "]")},"""
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},$ts$cdf"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
   }
 
   /** parse WITHOUT a manifest loader — valid only for inline-file snapshots */
@@ -1665,7 +1869,13 @@ object SnapshotIO {
       mode = v.get("mode").map(_.asInstanceOf[String]).getOrElse("cow"),
       dvFiles = v.get("dvFiles").map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil),
       dvRows = v.get("dvRows").map(asLong).getOrElse(0L),
-      tsMs = v.get("tsMs").map(asLong).getOrElse(0L)
+      tsMs = v.get("tsMs").map(asLong).getOrElse(0L),
+      cdfSinceLsn = v.get("cdfSinceLsn").map(asLong).getOrElse(-1L),
+      cdfFiles = v.get("cdfFiles").map(_.asInstanceOf[Seq[Any]].map { ca =>
+        val c = ca.asInstanceOf[Map[String, Any]]
+        CdfEntry(c("path").asInstanceOf[String], asLong(c("rows")),
+          asLong(c("minLsn")), asLong(c("maxLsn")))
+      }).getOrElse(Nil)
     )
   }
 }

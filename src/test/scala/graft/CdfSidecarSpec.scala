@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.sources.{GraftCdfPartition, GraftMicroBatchStream, GraftOffset}
+import graft.table.{ApplyMode, LakeTable}
+
+/** Commit-time CDF sidecars (round-4 VERDICT #1): with the change data
+  * feed ON, every merge writes its newly stored rows + `_change_type` as a
+  * per-commit sidecar, and the typed tail serves micro-batches from the
+  * sidecars alone — per-trigger work O(batch) instead of re-reading each
+  * bucket's full history, types exact across CoW rewrites and compaction
+  * (the round-4 caveat), in all three apply modes.
+  */
+class CdfSidecarSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 77, events = 3000, repos = 8, filesPerRepo = 10)
+  val batches = 3
+  val per: Long = cfg.events / batches
+
+  private def build(mode: ApplyMode.Value, tag: String): LakeTable = {
+    val t = new LakeTable(spark, tmpDir(tag), defaultBuckets = 4, mode, defaultCdf = true)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), tag, i.toLong)
+    }
+    t
+  }
+
+  /** winners per (key, commit batch) typed by lag over the stored chain —
+    * the same oracle GraftStreamSourceSpec uses for the history-walk path
+    */
+  private def expectedTyped(): Set[(String, String, Long, String)] = {
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val w = Window.partitionBy(col("repo"), col("path"),
+        ((col("lsn") - 1) / per).cast("long"))
+      .orderBy(col("lsn").desc, col("commit").desc)
+    val winners = wal.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val hist = Window.partitionBy("repo", "path").orderBy(col("lsn"), col("commit"))
+    winners.withColumn("prev_op", lag("op", 1).over(hist))
+      .select(col("repo"), col("path"), col("lsn"),
+        when(col("op") === "D", "delete")
+          .when(col("prev_op").isNull || col("prev_op") === "D", "insert")
+          .otherwise("update_postimage").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+  }
+
+  private def runTyped(root: String, name: String,
+                       opts: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream.format("graft").option("changeTypes", "true")
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir(s"cp$name"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def typedSet(df: DataFrame): Set[(String, String, Long, String)] =
+    df.select("repo", "path", "lsn", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+
+  test("every commit records a sidecar; typed tail over sidecars == history-walk oracle (mor)") {
+    val t = build(ApplyMode.MergeOnRead, "cdfmor")
+    val snap = t.currentSnapshot().get
+    assert(snap.cdfSinceLsn == 0L, "defaultCdf table must cover from lsn 0")
+    assert(snap.cdfFiles.nonEmpty, "commits must record change sidecars")
+    assert(snap.cdfFiles.map(_.rows).sum ==
+      spark.read.parquet(snap.cdfFiles.map(f => t.resolvePath(f.path)): _*).count())
+    assert(typedSet(runTyped(t.root, "cdf_mor")) == expectedTyped())
+  }
+
+  test("typed tail is exact over CoW (round-4 caveat removed) and across compaction") {
+    val cow = build(ApplyMode.CopyOnWrite, "cdfcow")
+    // CoW rewrites collapse intermediate versions in the DATA files — the
+    // sidecars preserve each commit's changes exactly
+    assert(typedSet(runTyped(cow.root, "cdf_cow")) == expectedTyped())
+
+    val mor = build(ApplyMode.MergeOnRead, "cdfmorc")
+    mor.compact() // folds all deltas into one resolved file set
+    assert(mor.currentSnapshot().get.cdfFiles.nonEmpty, "compaction must keep sidecars")
+    assert(typedSet(runTyped(mor.root, "cdf_morc")) == expectedTyped(),
+      "types must survive compaction (sidecars, not history, serve the feed)")
+  }
+
+  test("typed tail is exact in dv mode (prior liveness from the DV join)") {
+    val t = build(ApplyMode.DeletionVector, "cdfdv")
+    assert(typedSet(runTyped(t.root, "cdf_dv")) == expectedTyped())
+  }
+
+  test("a late micro-batch plans ONLY in-range sidecars — no pre-lo history") {
+    val t = build(ApplyMode.MergeOnRead, "cdflate")
+    val snap = t.currentSnapshot().get
+    val lo = 2 * per // cursor already past the first two commits
+    val stream = new GraftMicroBatchStream(t.root,
+      org.apache.spark.sql.types.StructType.fromDDL("repo STRING, path STRING, lsn BIGINT, _change_type STRING"),
+      Map("changetypes" -> "true"))
+    val parts = stream.planInputPartitions(GraftOffset(lo), GraftOffset(snap.hwm))
+    assert(parts.nonEmpty && parts.forall(_.isInstanceOf[GraftCdfPartition]),
+      s"expected CDF partitions, got ${parts.map(_.getClass.getSimpleName).toSet}")
+    // the planned files are exactly the sidecars intersecting (lo, hwm] —
+    // bucket history (data files with minLsn <= lo) is never opened
+    val planned = parts.map(_.asInstanceOf[GraftCdfPartition].file).toSet
+    val inRange = snap.cdfFiles.filter(f => f.maxLsn > lo).map(f => t.resolvePath(f.path)).toSet
+    assert(planned == inRange, s"planned $planned vs expected $inRange")
+    val preLo = snap.cdfFiles.filter(_.maxLsn <= lo).map(f => t.resolvePath(f.path)).toSet
+    assert(planned.intersect(preLo).isEmpty, "pre-lo sidecars must be skipped")
+    assert(planned.intersect(snap.files.map(f => t.resolvePath(f.path)).toSet).isEmpty,
+      "no data-file history in a CDF-planned batch")
+  }
+
+  test("rate-limited CDF tail: range filter inside sidecars keeps batches exact") {
+    val t = build(ApplyMode.MergeOnRead, "cdfrl")
+    val out = runTyped(t.root, "cdf_rl", Map("maxLsnsPerTrigger" -> "700"))
+    assert(typedSet(out) == expectedTyped())
+  }
+
+  test("expireChangeFeed prunes consumed ranges; later tails still serve from sidecars") {
+    val t = build(ApplyMode.MergeOnRead, "cdfexp")
+    val before = t.currentSnapshot().get.cdfFiles.size
+    val dropped = t.expireChangeFeed(per) // first commit's range consumed
+    assert(dropped > 0 && dropped < before)
+    val snap = t.currentSnapshot().get
+    assert(snap.cdfSinceLsn == per)
+    // a tail from the new floor serves the remaining ranges exactly
+    val out = runTyped(t.root, "cdf_exp", Map("startLsn" -> per.toString))
+    assert(typedSet(out) == expectedTyped().filter(_._3 > per))
+    // a tail from BELOW the floor falls back to the history walk (mor
+    // history still present) — never wrong, just not O(batch)
+    val all = runTyped(t.root, "cdf_exp_all")
+    assert(typedSet(all) == expectedTyped())
+  }
+
+  test("feed enabled mid-life: coverage starts at the enabling hwm, fallback below") {
+    val t = new LakeTable(spark, tmpDir("cdfmid"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn").between(1, per)), "mid", 0L)
+    assert(t.currentSnapshot().get.cdfSinceLsn == -1L)
+    t.enableChangeDataFeed()
+    assert(t.currentSnapshot().get.cdfSinceLsn == per)
+    (1 until batches).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "mid", i.toLong)
+    }
+    val snap = t.currentSnapshot().get
+    assert(snap.cdfFiles.nonEmpty && snap.cdfFiles.forall(_.minLsn > per),
+      "sidecars exist only for post-enable commits")
+    // cursor at the floor: sidecar fast path
+    assert(typedSet(runTyped(t.root, "cdf_mid", Map("startLsn" -> per.toString)))
+      == expectedTyped().filter(_._3 > per))
+    // cursor below the floor: exact via history fallback
+    assert(typedSet(runTyped(t.root, "cdf_mid_all")) == expectedTyped())
+  }
+}
