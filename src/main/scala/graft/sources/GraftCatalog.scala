@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,7 +34,7 @@ import graft.table.{Fs, LakeTable, Snapshot, SnapshotIO}
   * Renames are a single directory move — snapshots store root-relative
   * paths, so a moved table is immediately consistent.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -215,4 +216,25 @@ class GraftCatalog extends TableCatalog {
     require(fs.rename(dirOf(oldIdent), dirOf(newIdent)),
       s"graft: rename ${oldIdent.name} -> ${newIdent.name} failed")
   }
+
+  // ---- stored procedures (the SQL maintenance surface) --------------------
+
+  /** `CALL g.system.compact('t')` etc. — see GraftProcedures. The table
+    * argument resolves through the same segment validation as identifiers
+    * ('ns.table' for namespaced tables), so a procedure can never escape
+    * the warehouse root either.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"graft: procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(ident.name, tbl => {
+      val parts = tbl.split('.')
+      dirOf(Identifier.of(parts.init, parts.last))
+    })
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 }

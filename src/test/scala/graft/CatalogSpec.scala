@@ -6,6 +6,60 @@ import graft.table.{ApplyMode, Catalog}
 /** Multi-tenant catalog: isolated tables, persisted properties, SQL views. */
 class CatalogSpec extends SparkSpec {
 
+  test("full maintenance cycle through SQL only: CALL procedures + DESCRIBE HISTORY") {
+    import org.apache.spark.sql.functions.col
+    val warehouse = tmpDir("catproc")
+    val cat = "gproc"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    spark.sql(s"""CREATE TABLE $cat.m (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+      TBLPROPERTIES ('mode' = 'mor', 'buckets' = '4')""")
+    spark.sql(s"INSERT INTO $cat.m VALUES ('r1','a.py','c1',null,'alpha',null,1)")
+    spark.sql(s"INSERT INTO $cat.m VALUES ('r1','a.py','c2',null,'alpha2',null,2)")
+    spark.sql(s"INSERT INTO $cat.m VALUES ('r2','b.rs','c3',null,'beta',null,3)")
+    val t = new graft.table.LakeTable(spark, s"$warehouse/m")
+    val filesBefore = t.currentSnapshot().get.files.size
+    assert(filesBefore > 2, "mor inserts must stack deltas")
+
+    // the discovery surface: SHOW PROCEDURES lists the maintenance set
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect().map(_.toSeq.mkString("."))
+    assert(graft.sources.GraftProcedures.names.forall(n => listed.exists(_.contains(n))),
+      s"SHOW PROCEDURES missing entries: $listed")
+
+    // compact folds the deltas; row state unchanged
+    val c = spark.sql(s"CALL $cat.system.compact('m')").collect().head
+    assert(c.getInt(0) == filesBefore && c.getInt(1) < filesBefore)
+    assert(collectSorted(t.read().select("repo", "path", "content")) ==
+      Seq(Seq("r1", "a.py", "alpha2"), Seq("r2", "b.rs", "beta")))
+
+    // rebucket re-keys the layout
+    val rb = spark.sql(s"CALL $cat.system.rebucket('m', 8)").collect().head
+    assert(rb.getInt(0) == 8 && t.currentSnapshot().get.nBuckets == 8)
+
+    // CDF lifecycle: enable, change, expire consumed range
+    spark.sql(s"CALL $cat.system.enable_change_data_feed('m')")
+    spark.sql(s"INSERT INTO $cat.m VALUES ('r2','b.rs','c4',null,'beta2',null,4)")
+    assert(t.currentSnapshot().get.cdfFiles.nonEmpty, "post-enable commit writes a sidecar")
+    val ex = spark.sql(s"CALL $cat.system.expire_change_feed('m', 4)").collect().head
+    assert(ex.getInt(0) == 1 && ex.getLong(1) == 4L)
+
+    // history: newest first, versions dense, commit times stamped
+    val hist = spark.sql(s"CALL $cat.system.describe_history('m')")
+    val versions = hist.select("version").collect().map(_.getInt(0)).toSeq
+    assert(versions == versions.sorted.reverse && versions.head == t.currentSnapshot().get.version)
+    assert(hist.where(col("commit_time").isNull).count() == 0, "all commits stamped")
+    assert(hist.select("mode").head().getString(0) == "mor")
+
+    // retention: keep 2 snapshots, orphan sweep runs clean
+    spark.sql(s"CALL $cat.system.expire_snapshots('m', 2)")
+    val kept = spark.sql(s"CALL $cat.system.describe_history('m')").count()
+    assert(kept == 2, s"expected 2 retained snapshots, got $kept")
+    assert(spark.sql(s"CALL $cat.system.vacuum_orphans('m', 0)").collect().head.getInt(0) >= 0)
+    // table still serves after the full cycle
+    assert(t.read().count() == 2)
+  }
+
   test("tenant tables are isolated, properties persist, views register") {
     val cat = new Catalog(spark, tmpDir("catalog"))
     val a = cat.table("tenant_a", nBuckets = 4, mode = ApplyMode.CopyOnWrite)
