@@ -42,4 +42,11 @@ object Internals {
   /** a DataFrame over an analyzed/analyzable logical plan */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** `private[spark]` listener-bus drain: block until queued task-end
+    * events are delivered, so a per-query metrics listener reads a
+    * complete set (Bench's input-metrics accounting).
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
