@@ -99,7 +99,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   private def publicSchema(snap: Snapshot): StructType =
-    StructType(StructType.fromDDL(snap.schemaDdl).fields
+    StructType(snap.logicalSchema.fields
       .filterNot(_.name == "deleted").map(_.copy(nullable = true)))
 
   private def loadAt(ident: Identifier, version: Option[String]): Table = {
@@ -180,28 +180,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable((dir, snap), publicSchema(snap))
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — the DDL spelling of the engine's
-    * additive evolution: a metadata-only commit appending nullable columns
-    * (LakeTable.addColumns). Everything else (drop/rename/retype) is
-    * rejected — the evolution rules are add-only by design.
+  /** `ALTER TABLE ... ADD COLUMN(S) | RENAME COLUMN | DROP COLUMN` —
+    * additive evolution plus COLUMN MAPPING: rename/drop are metadata-only
+    * commits over the logical→storage name map (files never move; historic
+    * snapshots serve under their own mapping; a dropped storage name is
+    * retired so a later same-named ADD can't resurrect stale values).
+    * Retype stays rejected. Core CDC columns are contract-fixed.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val dir = dirOf(ident)
+    if (!fs.exists(s"$dir/meta/VERSION")) throw new NoSuchTableException(ident)
+    val lake = new LakeTable(SparkSession.active, dir)
+    def oneName(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft: only top-level $what (got nested ${fieldNames.mkString(".")})")
+      fieldNames.head
+    }
+    val adds = changes.collect {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"graft: only top-level ADD COLUMN (got nested ${a.fieldNames.mkString(".")})")
         // pre-existing rows null-backfill the new column, so a NOT NULL
         // promise cannot be honored — reject instead of silently coercing
         require(a.isNullable,
-          s"graft: ADD COLUMN ${a.fieldNames.head} NOT NULL is not supported — " +
+          s"graft: ADD COLUMN ${a.fieldNames.mkString(".")} NOT NULL is not supported — " +
             "existing rows are null-backfilled; declare the column nullable")
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft: schema evolves additively — only ADD COLUMN is supported, got $other")
+        StructField(oneName(a.fieldNames, "ADD COLUMN"), a.dataType, nullable = true)
     }
-    val dir = dirOf(ident)
-    if (!fs.exists(s"$dir/meta/VERSION")) throw new NoSuchTableException(ident)
-    new LakeTable(SparkSession.active, dir).addColumns(adds)
+    changes.foreach {
+      case _: TableChange.AddColumn => ()
+      case r: TableChange.RenameColumn =>
+        lake.renameColumn(oneName(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        lake.dropColumn(oneName(d.fieldNames, "DROP COLUMN"))
+      case other => throw new UnsupportedOperationException(
+        s"graft: supported ALTERs are ADD/RENAME/DROP COLUMN (no retype), got $other")
+    }
+    if (adds.nonEmpty) lake.addColumns(adds)
     loadTable(ident)
   }
 

@@ -149,7 +149,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val (_, snap) = loadSnapshot(options)
     val changeTypes = options.getBoolean("changeTypes", false)
     val keepDeleted = options.getBoolean("changeFeed", false) || changeTypes
-    val fields = StructType.fromDDL(snap.schemaDdl).fields
+    // LOGICAL names at the public surface; readers translate back to the
+    // storage names per snapshot (column mapping)
+    val fields = snap.logicalSchema.fields
       .filter(f => keepDeleted || f.name != "deleted").map(_.copy(nullable = true))
     // `changeTypes=true` (streaming tail): synthesised change-kind column,
     // Delta CDF vocabulary (insert / update_postimage / delete)
@@ -553,7 +555,14 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new GraftReaderFactory(required, conf, vectorized)
+    // COLUMN MAPPING: `required` carries logical names; files store
+    // physical ones. InternalRows are positional, so translating the
+    // requested field names here is the whole read-side story — Spark
+    // consumes the rows under readSchema()'s logical names.
+    val physRequired =
+      if (snap.renames.isEmpty) required
+      else StructType(required.fields.map(f => f.copy(name = snap.physicalOf(f.name))))
+    new GraftReaderFactory(physRequired, conf, vectorized)
   }
 
   /** `spark.readStream.format("graft")` — the incremental CDC tail over

@@ -191,8 +191,16 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStreamReaderFactory(required, conf)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping: translate the requested logical names to storage
+    // names (rows are positional; Spark consumes them under the logical
+    // readSchema). The synthetic _change_type passes through unmapped.
+    val snap = snapshot()
+    val phys =
+      if (snap.renames.isEmpty) required
+      else StructType(required.fields.map(f => f.copy(name = snap.physicalOf(f.name))))
+    new GraftStreamReaderFactory(phys, conf)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -106,6 +106,21 @@ final case class Snapshot(
       * contract as Delta's log/CDF cleanup.
       */
     cdfFiles: Seq[CdfEntry] = Nil,
+    /** COLUMN MAPPING (rename/drop for evolved payload columns —
+      * Delta/Iceberg's column-ID idea, name-keyed because the engine's
+      * core columns are contract-fixed and unmappable): `schemaDdl` always
+      * holds the PHYSICAL storage schema (what files contain and every
+      * internal path operates on); `renames` maps logical → physical for
+      * the columns whose user-facing name differs (sparse; absent =
+      * identical); `retiredPhysicals` are storage names of dropped or
+      * renamed-away columns that may still exist in old files — a
+      * re-added column with such a name gets a FRESH physical name, so
+      * stale stored values can never resurrect under a new logical
+      * column. Rename/drop are metadata-only commits; time travel reads
+      * every snapshot under ITS OWN mapping.
+      */
+    renames: Map[String, String] = Map.empty,
+    retiredPhysicals: Seq[String] = Nil,
     /** per-bucket MANIFEST pointers (bucket → root-relative manifest JSON
       * holding that bucket's CURRENT FileEntry list). A commit writes ONE
       * new manifest covering just its touched buckets and re-points the
@@ -118,6 +133,15 @@ final case class Snapshot(
       */
     manifests: Seq[(Int, String)] = Nil
 ) {
+  def physicalOf(logical: String): String = renames.getOrElse(logical, logical)
+  def logicalOf(physical: String): String =
+    renames.collectFirst { case (l, p) if p == physical => l }.getOrElse(physical)
+  /** user-facing schema: physical storage fields under their logical names */
+  def logicalSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).fields
+        .map(f => f.copy(name = logicalOf(f.name))))
+
   def isCommitted(cpId: String, batchId: Long): Boolean =
     committed.get(cpId).exists(_.contains(batchId))
   def withCommit(cpId: String, batchId: Long): Map[String, CommitState] =
@@ -273,7 +297,10 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       case "dv"  => applyDv(raw, s.dvFiles)
       case _     => raw
     }
-    resolved.where(!col("deleted")).drop("deleted")
+    // each snapshot serves under ITS OWN column mapping: a pre-rename
+    // snapshot still shows the old logical names (and pre-drop ones the
+    // dropped column)
+    toLogical(resolved.where(!col("deleted")).drop("deleted"), Some(s))
   }
 
   /** Commit: write ONE manifest covering this commit's TOUCHED buckets
@@ -386,8 +413,19 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * LSN-ordered dedup at read time; DeletionVector anti-joins the dead
     * positions out.
     */
-  def readResolved(buckets: Option[Set[Int]] = None): DataFrame =
-    readResolvedAt(currentSnapshot(), buckets)
+  def readResolved(buckets: Option[Set[Int]] = None): DataFrame = {
+    val snap = currentSnapshot()
+    toLogical(readResolvedAt(snap, buckets), snap)
+  }
+
+  /** PUBLIC-BOUNDARY column mapping: internal paths (merge, compaction,
+    * stats) operate on the physical storage schema; user-facing frames
+    * alias each physical column to its logical name. Identity when the
+    * table has no renames.
+    */
+  private def toLogical(df: DataFrame, snap: Option[Snapshot]): DataFrame =
+    snap.filter(_.renames.nonEmpty).fold(df)(s =>
+      df.select(df.columns.map(c => col(c).as(s.logicalOf(c))).toSeq: _*))
 
   private def readResolvedAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame = {
     val raw = readRawAt(snap, buckets)
@@ -430,7 +468,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         }
         // row-level filter on top of the file-level skip (rowgroup stats
         // prune further inside the surviving files)
-        resolved.where(col("lsn") >= fromLsn)
+        toLogical(resolved.where(col("lsn") >= fromLsn), Some(s))
     }
   }
 
@@ -447,8 +485,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * process_layers.py:58-99). Extra event columns (schema evolution, e.g.
     * `branch`) pass through untouched.
     */
-  private def clean(events: DataFrame): DataFrame = {
+  private def clean(events: DataFrame, snap: Option[Snapshot]): DataFrame = {
     val extra = events.columns.toSeq.filterNot(Set("lsn", "ts", "op", "repo", "path", "commit", "content"))
+    // events arrive under LOGICAL names; storage uses physical — map
+    // renamed payload columns, and refuse a NEW column whose name lands on
+    // a retired/renamed storage name (old files hold stale values there;
+    // ALTER TABLE ADD COLUMN assigns it a fresh physical name instead)
+    val mapped = extra.map(c => c -> snap.fold(c)(_.physicalOf(c)))
+    snap.foreach { s =>
+      val taken = s.retiredPhysicals.toSet ++ s.renames.values
+      val bad = mapped.collect { case (l, p) if l == p && taken(p) => l }
+      require(bad.isEmpty,
+        s"column(s) ${bad.mkString(", ")} collide with retired/renamed storage names — " +
+          "add them via ALTER TABLE ADD COLUMN (fresh storage name) instead of implicit widening")
+    }
     events.select(
       Seq(
         col("repo"), col("path"), col("commit"),
@@ -457,7 +507,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         when(col("content").isNull, lit(null)).otherwise(sha2(col("content"), 256)).as("contentSha"),
         col("lsn"),
         (col("op") === "D").as("deleted")
-      ) ++ extra.map(col): _*
+      ) ++ mapped.map { case (l, p) => col(l).as(p) }: _*
     )
   }
 
@@ -518,7 +568,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // the hot key on every input partition, so the bucket shuffle moves one
     // row per key instead of the flood. Off by default: for typical batches
     // it would add a shuffle without removing bytes.
-    val cleaned0 = clean(events)
+    val cleaned0 = clean(events, snap)
     val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val token = LakeTable.newToken
@@ -633,7 +683,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
           mode = modeString(mode),
           cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else -1L,
-          cdfFiles = if (cdfOn) cur.cdfFiles ++ cdfEntries else Nil
+          cdfFiles = if (cdfOn) cur.cdfFiles ++ cdfEntries else Nil,
+          renames = cur.renames,
+          retiredPhysicals = cur.retiredPhysicals
         ), cur, token)
         return stats
       } catch {
@@ -1207,7 +1259,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val theMode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
     val token = LakeTable.newToken
     val commitDir = s"$dataDir/c${prev.version + 1}-$token"
-    val cleaned = clean(events)
+    val cleaned = clean(events, snap)
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val resolved = bucketResolve(cleaned.withColumn("b", bCol), nBuckets)
     resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
@@ -1245,7 +1297,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           // coverage restarts above this commit (tails below fall back to
           // the history walk, the standard lake-CDC replace caveat)
           cdfSinceLsn = if (cur.cdfSinceLsn >= 0) math.max(cur.hwm, batchHwm) else -1L,
-          cdfFiles = cur.cdfFiles
+          cdfFiles = cur.cdfFiles,
+          renames = cur.renames,
+          retiredPhysicals = cur.retiredPhysicals
         ), cur, token)
         return stats
       } catch {
@@ -1309,7 +1363,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * files with OLD-layout bucket ids and silently miss victims
     */
   private def readLiveAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame =
-    readResolvedAt(snap, buckets).where(!col("deleted")).drop("deleted")
+    toLogical(readResolvedAt(snap, buckets).where(!col("deleted")).drop("deleted"), snap)
 
   /** Analyze `cond` against this snapshot's schema and derive the bucket
     * set its key-equality conjuncts pin (a Spark-4 Column is a lazy
@@ -1318,7 +1372,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   private def bucketsForAt(snap: Snapshot, cond: org.apache.spark.sql.Column): Option[Set[Int]] =
     try {
-      emptyTable(StructType.fromDDL(snap.schemaDdl)).where(cond)
+      emptyTable(snap.logicalSchema).where(cond)
         .queryExecution.analyzed
         .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
         .flatMap(LakeTable.bucketsFromPredicate(_, snap.nBuckets))
@@ -1414,16 +1468,89 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val snap = currentSnapshot().getOrElse(
         throw new IllegalStateException(s"addColumns: no table at $root"))
       val prev = StructType.fromDDL(snap.schemaDdl)
-      val clash = cols.map(_.name.toLowerCase)
-        .intersect(prev.fieldNames.map(_.toLowerCase).toSeq)
+      val logicalNames = prev.fieldNames.map(n => snap.logicalOf(n).toLowerCase).toSeq
+      val clash = cols.map(_.name.toLowerCase).intersect(logicalNames)
       require(clash.isEmpty, s"addColumns: column(s) ${clash.mkString(", ")} already exist")
-      val next = StructType(prev.fields ++ cols.map(_.copy(nullable = true)))
+      // a name landing on a retired or in-use STORAGE name gets a fresh
+      // physical name — old files' stale values can never resurrect under
+      // the new logical column
+      val taken = snap.retiredPhysicals.toSet ++ prev.fieldNames ++ snap.renames.values
+      val withPhys = cols.map { f =>
+        if (taken(f.name)) (f.copy(name = s"${f.name}__c${snap.version + 1}", nullable = true),
+          Some(f.name -> s"${f.name}__c${snap.version + 1}"))
+        else (f.copy(nullable = true), None)
+      }
+      val next = StructType(prev.fields ++ withPhys.map(_._1))
       try {
-        commitSnapshot(snap.copy(version = snap.version + 1, schemaDdl = next.toDDL), snap)
+        commitSnapshot(snap.copy(version = snap.version + 1, schemaDdl = next.toDDL,
+          renames = snap.renames ++ withPhys.flatMap(_._2)), snap)
         return
       } catch { case _: CommitConflictException => attempts += 1 } // metadata-only: re-derive and retry
     }
     throw new CommitConflictException(s"addColumns($root): lost $attempts commit races")
+  }
+
+  /** non-mappable columns: the engine's CDC contract (keys, bookkeeping,
+    * derived invariants, tombstone flag) — renaming/dropping them would
+    * break the merge/resolve semantics, same rule as the DML immutability
+    * checks
+    */
+  private val coreColumns =
+    Set("repo", "path", "commit", "lang", "content", "contentsha", "lsn", "deleted")
+
+  /** Column RENAME as a metadata-only commit (column mapping): the storage
+    * name stays what it always was — files never move — and the snapshot
+    * maps the new logical name onto it. Historic snapshots keep their own
+    * mapping, so time travel shows the names of its day.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(!coreColumns(oldName.toLowerCase) && !coreColumns(newName.toLowerCase),
+      s"renameColumn: '$oldName' -> '$newName' touches a core engine column (immutable contract)")
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"renameColumn: no table at $root"))
+      val prev = StructType.fromDDL(snap.schemaDdl)
+      val phys = prev.fieldNames.find(p => snap.logicalOf(p).equalsIgnoreCase(oldName)).getOrElse(
+        throw new IllegalArgumentException(s"renameColumn: no column '$oldName'"))
+      val takenLogical = prev.fieldNames.map(p => snap.logicalOf(p).toLowerCase).toSet
+      require(!takenLogical(newName.toLowerCase),
+        s"renameColumn: column '$newName' already exists")
+      require(!prev.fieldNames.contains(newName) && !snap.retiredPhysicals.contains(newName),
+        s"renameColumn: '$newName' collides with a storage column name")
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1,
+          renames = (snap.renames - snap.logicalOf(phys)) + (newName -> phys)), snap)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"renameColumn($root): lost 20 commit races")
+  }
+
+  /** Column DROP as a metadata-only commit: the field leaves the snapshot
+    * schema (readers stop requesting it — mask-on-read), its storage name
+    * is RETIRED (a later re-add gets a fresh physical name), and files are
+    * untouched — pre-drop snapshots still serve the column.
+    */
+  def dropColumn(name: String): Unit = {
+    require(!coreColumns(name.toLowerCase),
+      s"dropColumn: '$name' is a core engine column (immutable contract)")
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"dropColumn: no table at $root"))
+      val prev = StructType.fromDDL(snap.schemaDdl)
+      val phys = prev.fieldNames.find(p => snap.logicalOf(p).equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"dropColumn: no column '$name'"))
+      val next = StructType(prev.fields.filterNot(_.name == phys))
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1, schemaDdl = next.toDDL,
+          renames = snap.renames - snap.logicalOf(phys),
+          retiredPhysicals = snap.retiredPhysicals :+ phys), snap)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"dropColumn($root): lost 20 commit races")
   }
 
   /** Snapshot expiry: keep the latest `keep` snapshots; delete older
@@ -1813,12 +1940,20 @@ object SnapshotIO {
     }.mkString("{", ",", "}")
     val dvf = s.dvFiles.map(q).mkString("[", ",", "]")
     val ts = if (s.tsMs > 0) s""""tsMs":${s.tsMs},""" else ""
+    val colMap = {
+      val rn = if (s.renames.isEmpty) ""
+        else s""""renames":${s.renames.toSeq.sortBy(_._1)
+          .map { case (l, p) => s"${q(l)}:${q(p)}" }.mkString("{", ",", "}")},"""
+      val rt = if (s.retiredPhysicals.isEmpty) ""
+        else s""""retired":${s.retiredPhysicals.map(q).mkString("[", ",", "]")},"""
+      rn + rt
+    }
     val cdf =
       if (s.cdfSinceLsn < 0) ""
       else s""""cdfSinceLsn":${s.cdfSinceLsn},"cdfFiles":${s.cdfFiles.map(c =>
         s"""{"path":${q(c.path)},"rows":${c.rows},"minLsn":${c.minLsn},"maxLsn":${c.maxLsn}}""")
         .mkString("[", ",", "]")},"""
-    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},$ts$cdf"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
+    s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},$ts$colMap$cdf"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
   }
 
   /** parse WITHOUT a manifest loader — valid only for inline-file snapshots */
@@ -1875,7 +2010,11 @@ object SnapshotIO {
         val c = ca.asInstanceOf[Map[String, Any]]
         CdfEntry(c("path").asInstanceOf[String], asLong(c("rows")),
           asLong(c("minLsn")), asLong(c("maxLsn")))
-      }).getOrElse(Nil)
+      }).getOrElse(Nil),
+      renames = v.get("renames").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (l, p) => l -> p.asInstanceOf[String] }).getOrElse(Map.empty),
+      retiredPhysicals = v.get("retired")
+        .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil)
     )
   }
 }

@@ -373,13 +373,14 @@ class GraftWriteSpec extends SparkSpec {
       .createOrReplaceTempView("alter_tail")
     spark.sql(s"INSERT INTO $cat.evt SELECT * FROM alter_tail")
     assert(spark.sql(s"SELECT branch FROM $cat.evt WHERE branch = 'main'").count() > 0)
-    // add-only rules: duplicates and non-add changes are rejected
+    // duplicates and retype stay rejected; DROP/RENAME are column-mapping
+    // metadata ops since round 5 (SchemaEvolutionSpec pins them)
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.evt ADD COLUMN branch STRING")
     }.getMessage.contains("already exist"))
     assert(intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.evt DROP COLUMN branch")
-    }.getMessage.toLowerCase.contains("add column"))
+      spark.sql(s"ALTER TABLE $cat.evt ALTER COLUMN branch TYPE BIGINT")
+    }.getMessage.toLowerCase.contains("not_supported_change_column"))
     // NOT NULL cannot be honored (existing rows null-backfill) — reject,
     // never silently coerce to nullable
     assert(intercept[Exception] {

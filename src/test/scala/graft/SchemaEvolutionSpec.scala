@@ -52,6 +52,97 @@ class SchemaEvolutionSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("column mapping: rename is metadata-only, old files serve, travel keeps old names") {
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      val t = new LakeTable(spark, tmpDir("cmap"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+      val evolved = wal.where(col("lsn") <= 2000)
+        .withColumn("branch", concat(lit("b/"), pmod(col("lsn"), lit(5)).cast("string")))
+      t.merge(evolved, "cmap", 0L)
+      val vPre = t.currentSnapshot().get.version
+      val preVals = collectSorted(t.read().select("repo", "path", "branch"))
+
+      t.renameColumn("branch", "ref")
+      // metadata-only: same files, new logical name, identical values
+      assert(t.currentSnapshot().get.files == // rename commit moved no data
+        t.currentSnapshot().get.files)
+      val out = t.read()
+      assert(out.columns.contains("ref") && !out.columns.contains("branch"))
+      assert(collectSorted(out.select("repo", "path", "ref")) == preVals,
+        "old files must serve the renamed column (storage name unchanged)")
+      // time travel to the pre-rename snapshot shows the OLD logical name
+      val old = t.readAt(vPre)
+      assert(old.columns.contains("branch") && !old.columns.contains("ref"))
+
+      // a post-rename batch writes the LOGICAL name; values land in the
+      // same storage column and read back under 'ref'
+      val more = wal.where(col("lsn").between(2001, 2200))
+        .withColumn("ref", lit("b/new"))
+      t.merge(more, "cmap", 1L)
+      assert(t.read().where(col("ref") === "b/new").count() > 0)
+      // predicates and updates address the logical name
+      t.updateWhere(col("ref") === "b/new", Map("ref" -> lit("b/upd")))
+      assert(t.read().where(col("ref") === "b/upd").count() > 0)
+
+      // core columns are contract-fixed
+      val e = intercept[Exception] { t.renameColumn("content", "body") }
+      assert(e.getMessage.contains("core"), e.getMessage)
+    } finally wal.unpersist()
+  }
+
+  test("column mapping: drop masks on read, retires the storage name, re-add cannot resurrect") {
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      val t = new LakeTable(spark, tmpDir("cdrop"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+      t.merge(wal.where(col("lsn") <= 2000)
+        .withColumn("branch", lit("stale-value")), "cdrop", 0L)
+      val vPre = t.currentSnapshot().get.version
+      t.dropColumn("branch")
+      assert(!t.read().columns.contains("branch"), "dropped column must mask on read")
+      assert(t.readAt(vPre).columns.contains("branch"), "pre-drop snapshot still serves it")
+      assert(t.currentSnapshot().get.retiredPhysicals == Seq("branch"))
+
+      // implicit widening with the retired name is rejected with guidance
+      val e = intercept[Exception] {
+        t.merge(wal.where(col("lsn").between(2001, 2100))
+          .withColumn("branch", lit("x")), "cdrop", 1L)
+      }
+      assert(e.getMessage.contains("ALTER TABLE ADD COLUMN"), e.getMessage)
+
+      // explicit re-ADD gets a FRESH storage name: old rows read NULL (the
+      // stale stored values never resurrect), new writes round-trip
+      t.addColumns(Seq(org.apache.spark.sql.types.StructField("branch",
+        org.apache.spark.sql.types.StringType)))
+      assert(t.read().columns.contains("branch"))
+      assert(t.read().where(col("branch").isNotNull).count() == 0,
+        "re-added column must not resurrect dropped values")
+      t.merge(wal.where(col("lsn").between(2001, 2100))
+        .withColumn("branch", lit("fresh")), "cdrop", 2L)
+      assert(t.read().where(col("branch") === "fresh").count() > 0)
+      assert(t.read().where(col("branch") === "stale-value").count() == 0)
+    } finally wal.unpersist()
+  }
+
+  test("column mapping through SQL: ALTER RENAME/DROP COLUMN + catalog reads") {
+    val warehouse = tmpDir("cmapsql")
+    val cat = "gcmap"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    spark.sql(s"""CREATE TABLE $cat.t (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT, branch STRING)
+      TBLPROPERTIES ('mode' = 'mor', 'buckets' = '4')""")
+    spark.sql(s"INSERT INTO $cat.t VALUES ('r1','a.py','c1',null,'alpha',null,1,'main')")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN branch TO ref")
+    assert(spark.sql(s"SELECT ref FROM $cat.t").head().getString(0) == "main")
+    assert(spark.table(s"$cat.t").columns.contains("ref"))
+    // rename survives another write + a VERSION AS OF shows the old name
+    spark.sql(s"INSERT INTO $cat.t (repo, path, commit, lang, content, contentSha, lsn, ref) " +
+      s"VALUES ('r2','b.py','c2',null,'beta',null,2,'dev')")
+    assert(spark.sql(s"SELECT ref FROM $cat.t WHERE repo = 'r2'").head().getString(0) == "dev")
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN ref")
+    assert(!spark.table(s"$cat.t").columns.contains("ref"))
+  }
+
   test("MOR: a NARROWER batch after evolution must not regress the schema") {
     // regression (round-1 advice): a post-evolution batch that lacks the
     // evolved column used to reset schemaDdl to the batch schema, silently
