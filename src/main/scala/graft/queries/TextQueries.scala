@@ -214,7 +214,39 @@ object TextQueries {
       .limit(50)
   }
 
+  /** Exact-substring dedup (the Lee-et-al "Deduplicating Training Data"
+    * suffix-array modality, re-expressed Spark-native): a duplicated
+    * substring of length >= L always contains a duplicated L-gram, and a
+    * duplicated L-gram IS a duplicated substring of length L — so grouping
+    * the xxhash64'd sliding L-char windows finds exactly the documents
+    * sharing >= L consecutive chars with another document. Windows travel
+    * as 8-byte hashes (never 64-char strings), duplicate detection is one
+    * hash groupBy with map-side combine, and the re-join is LINEAR in gram
+    * occurrences (no pairwise blowup) — the shape survives a 100x corpus.
+    * L = 64 chars ~ the paper's 50-BPE-token threshold. Output: per doc,
+    * the number of distinct duplicated windows it contains.
+    */
+  def q52SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val L = 64
+    val grams = T(s, dir, "documents").where(length(col("text")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${L - 1}), i -> xxhash64(substring(text, i, $L)))")).as("g"))
+      .distinct()
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
+    grams.join(dup, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // same gram decomposition on the raw text (no hash needed in DuckDB)
+    "q52_substring_dedup" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 64) AS gram
+            FROM d, LATERAL unnest(range(1, length(text) - 62)) AS u(i)),
+      dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2)
+      SELECT doc_id, count(*) AS dup_windows FROM g JOIN dup USING (gram)
+      GROUP BY 1 ORDER BY 1""",
     "q17_sha_docs" -> """
       SELECT lang, count(*) AS n, count(DISTINCT sha256(text)) AS n_sha
       FROM documents GROUP BY 1 ORDER BY 1""",
@@ -296,6 +328,7 @@ object TextQueries {
     "q23_shingle_pairs" -> q23ShinglePairs _,
     "q24_minhash_lsh" -> ((s: SparkSession, d: String) => q24MinhashLsh(s, d)),
     "q25_simhash" -> q25Simhash _,
-    "q31_dup_clusters" -> q31DupClusters _
+    "q31_dup_clusters" -> q31DupClusters _,
+    "q52_substring_dedup" -> q52SubstringDedup _
   )
 }
