@@ -651,8 +651,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val v = cur.version + 1
       try {
         if (stats.isEmpty) { // empty batch still commits (records the id)
+          // a defaultCdf table whose FIRST batch is empty must still turn
+          // the feed on — the next non-empty commit reads the flag from
+          // the snapshot, not from constructor args
           commitSnapshot(cur.copy(version = v,
-            committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId)), cur, token)
+            committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
+            cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn), cur, token)
           return Seq.empty
         }
         val kept = mode match {
@@ -860,7 +864,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         try {
           if (stats.isEmpty && dvCount == 0) {
             commitSnapshot(cur.copy(version = v,
-              committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId)), cur, token)
+              committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
+              cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn), cur, token)
             return Seq.empty
           }
           val schemaDdl = LakeTable.unionSchema(StructType.fromDDL(cur.schemaDdl), cleaned.schema).toDDL
@@ -1476,8 +1481,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       // the new logical column
       val taken = snap.retiredPhysicals.toSet ++ prev.fieldNames ++ snap.renames.values
       val withPhys = cols.map { f =>
-        if (taken(f.name)) (f.copy(name = s"${f.name}__c${snap.version + 1}", nullable = true),
-          Some(f.name -> s"${f.name}__c${snap.version + 1}"))
+        if (taken(f.name)) {
+          var fresh = s"${f.name}__c${snap.version + 1}"
+          while (taken(fresh)) fresh = s"${fresh}x" // fresh name must be unique too
+          (f.copy(name = fresh, nullable = true), Some(f.name -> fresh))
+        }
         else (f.copy(nullable = true), None)
       }
       val next = StructType(prev.fields ++ withPhys.map(_._1))
@@ -1516,11 +1524,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val takenLogical = prev.fieldNames.map(p => snap.logicalOf(p).toLowerCase).toSet
       require(!takenLogical(newName.toLowerCase),
         s"renameColumn: column '$newName' already exists")
-      require(!prev.fieldNames.contains(newName) && !snap.retiredPhysicals.contains(newName),
+      require(newName == phys ||
+          (!prev.fieldNames.contains(newName) && !snap.retiredPhysicals.contains(newName)),
         s"renameColumn: '$newName' collides with a storage column name")
       try {
-        commitSnapshot(snap.copy(version = snap.version + 1,
-          renames = (snap.renames - snap.logicalOf(phys)) + (newName -> phys)), snap)
+        // renaming BACK to the storage name needs no mapping entry
+        val next = (snap.renames - snap.logicalOf(phys)) ++
+          (if (newName == phys) Map.empty else Map(newName -> phys))
+        commitSnapshot(snap.copy(version = snap.version + 1, renames = next), snap)
         return
       } catch { case _: CommitConflictException => attempts += 1 }
     }

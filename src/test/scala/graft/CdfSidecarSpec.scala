@@ -136,6 +136,17 @@ class CdfSidecarSpec extends SparkSpec {
     assert(typedSet(all) == expectedTyped())
   }
 
+  test("an EMPTY first batch on a defaultCdf table still turns the feed on") {
+    val t = new LakeTable(spark, tmpDir("cdfempty"), defaultBuckets = 4,
+      ApplyMode.MergeOnRead, defaultCdf = true)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(lit(false)), "empty", 0L) // streaming can deliver an empty batch 0
+    assert(t.currentSnapshot().get.cdfSinceLsn == 0L,
+      "the feed must be on from lsn 0 even when the first commit is empty")
+    t.merge(wal.where(col("lsn") <= per), "empty", 1L)
+    assert(t.currentSnapshot().get.cdfFiles.nonEmpty)
+  }
+
   test("feed enabled mid-life: coverage starts at the enabling hwm, fallback below") {
     val t = new LakeTable(spark, tmpDir("cdfmid"), defaultBuckets = 4, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, cfg)

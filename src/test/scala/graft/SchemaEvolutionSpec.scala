@@ -87,6 +87,11 @@ class SchemaEvolutionSpec extends SparkSpec {
       // core columns are contract-fixed
       val e = intercept[Exception] { t.renameColumn("content", "body") }
       assert(e.getMessage.contains("core"), e.getMessage)
+
+      // renaming BACK to the storage name drops the mapping entry entirely
+      t.renameColumn("ref", "branch")
+      assert(t.currentSnapshot().get.renames.isEmpty)
+      assert(t.read().columns.contains("branch"))
     } finally wal.unpersist()
   }
 
