@@ -130,3 +130,67 @@ object TailMain {
     spark.stop()
   }
 }
+
+/** CDF scale probe — the round-5 evidence run: a LONG-history MOR table
+  * (many commits), then a typed change tail (`changeTypes=true`) of ONLY
+  * the last commit's lsn range, timed on two otherwise-identical tables:
+  * one with commit-time CDF sidecars, one without (the bucket-history
+  * fallback). The fallback's per-trigger work grows with the table's
+  * whole history; the sidecar path reads one commit's change file — the
+  * gap is the point, and it widens linearly with table age.
+  * Args: workDir [commits] [eventsPerCommit]
+  */
+object CdfProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CdfProbe <workDir> [commits] [eventsPerCommit]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 50
+    val perC = if (args.length > 2) args(2).toLong else 10000L
+    val spark = Cli.session("graft-cdf-probe")
+    import org.apache.spark.sql.functions._
+    val events = commits * perC
+    val cfg = GenConfig(seed = 99, events = events, repos = 50, filesPerRepo = 40)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    def build(dir: String, cdf: Boolean): LakeTable = {
+      val t0 = new LakeTable(spark, dir, 16, ApplyMode.MergeOnRead, defaultCdf = cdf)
+      val done = t0.currentSnapshot().exists(s =>
+        s.hwm == events && (s.cdfSinceLsn >= 0) == cdf)
+      if (done) t0
+      else {
+        fs.deleteRecursive(dir)
+        val t = new LakeTable(spark, dir, 16, ApplyMode.MergeOnRead, defaultCdf = cdf)
+        (0 until commits).foreach { i =>
+          t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "probe", i.toLong)
+        }
+        t
+      }
+    }
+    val withCdf = build(s"$work/cdf_on", cdf = true)
+    val without = build(s"$work/cdf_off", cdf = false)
+    val histFiles = without.currentSnapshot().get.files.size
+    val lo = events - perC // tail ONLY the last commit's range
+    def drainSec(root: String, tag: String): Double = {
+      val times = (0 until 3).map { i =>
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft")
+          .option("changeTypes", "true").option("startLsn", lo.toString)
+          .load(root)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$work/cp_${tag}_$i")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1) // median of 3 (fresh checkpoint each — same work)
+    }
+    drainSec(withCdf.root, "warm") // JVM/codegen warm-up, untimed
+    val cdfSec = drainSec(withCdf.root, "on")
+    val fbSec = drainSec(without.root, "off")
+    val f = java.text.NumberFormat.getInstance(java.util.Locale.ROOT)
+    println(f"[cdfprobe] commits=$commits eventsPerCommit=$perC histFiles=$histFiles " +
+      f"tailRange=${perC} cdfSec=$cdfSec%.2f fallbackSec=$fbSec%.2f speedup=${fbSec / cdfSec}%.1fx")
+    spark.stop()
+  }
+}
