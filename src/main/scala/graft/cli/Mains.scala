@@ -142,10 +142,11 @@ object TailMain {
   */
 object CdfProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CdfProbe <workDir> [commits] [eventsPerCommit]")
+    require(args.nonEmpty, "usage: CdfProbe <workDir> [commits] [eventsPerCommit] [mode]")
     val work = args(0)
     val commits = if (args.length > 1) args(1).toInt else 50
     val perC = if (args.length > 2) args(2).toLong else 10000L
+    val applyMode = Cli.mode(if (args.length > 3) args(3) else "mor")
     val spark = Cli.session("graft-cdf-probe")
     import org.apache.spark.sql.functions._
     val events = commits * perC
@@ -154,16 +155,21 @@ object CdfProbe {
     wal.count()
     val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
     def build(dir: String, cdf: Boolean): LakeTable = {
-      val t0 = new LakeTable(spark, dir, 16, ApplyMode.MergeOnRead, defaultCdf = cdf)
+      val t0 = new LakeTable(spark, dir, 16, applyMode, defaultCdf = cdf)
       val done = t0.currentSnapshot().exists(s =>
         s.hwm == events && (s.cdfSinceLsn >= 0) == cdf)
       if (done) t0
       else {
         fs.deleteRecursive(dir)
-        val t = new LakeTable(spark, dir, 16, ApplyMode.MergeOnRead, defaultCdf = cdf)
+        val t = new LakeTable(spark, dir, 16, applyMode, defaultCdf = cdf)
+        val b0 = System.nanoTime()
         (0 until commits).foreach { i =>
           t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "probe", i.toLong)
         }
+        // the feed's WRITE-side price (sidecar derivation + write per
+        // commit) — the opt-in cost the read-side speedup buys
+        println(f"[cdfprobe] build mode=${LakeTable.modeName(applyMode)} cdf=$cdf " +
+          f"ingestSec=${(System.nanoTime() - b0) / 1e9}%.1f")
         t
       }
     }
