@@ -154,17 +154,27 @@ final class GraftMicroBatchStream(root: String, required: StructType,
     val hi = end.asInstanceOf[GraftOffset].lsn   // inclusive
     if (hi <= lo) return Array.empty
     val snap = snapshot()
-    if (changeTypes && snap.cdfSinceLsn >= 0 && lo >= snap.cdfSinceLsn) {
-      // CDF FAST PATH: every commit above cdfSinceLsn wrote its change
-      // sidecar at merge time (rows + `_change_type`, typed against the
-      // stored chain as of that commit), so the micro-batch reads ONLY the
-      // sidecars intersecting (lo, hi] — per-trigger work is O(batch),
-      // never O(table history), and the types survive CoW rewrites and
-      // compaction (the round-4 caveat). The bucket-history walk below
-      // remains the fallback for pre-CDF ranges.
+    val cdfCovered = snap.cdfSinceLsn >= 0 && lo >= snap.cdfSinceLsn
+    if (cdfCovered) {
+      // CDF FAST PATH (typed AND untyped tails): every commit above
+      // cdfSinceLsn wrote its change sidecar at merge time (full
+      // post-images + `_change_type`, typed against the stored chain as
+      // of that commit), so the micro-batch reads ONLY the sidecars
+      // intersecting (lo, hi] — per-trigger work is O(batch), never
+      // O(table history). For the typed tail this replaces the
+      // bucket-history walk; for the plain changeFeed it replaces the
+      // lsn-skipped file read — which on a CopyOnWrite table meant
+      // re-reading every REWRITTEN bucket each trigger (rewrites carry
+      // old rows under new files), and delivered collapsed history.
+      // Sidecars give CoW tails O(batch) IO and per-commit fidelity.
+      // The walks below remain the fallback for pre-CDF ranges.
       snap.cdfFiles.filter(f => f.maxLsn > lo && f.minLsn <= hi)
         .map(f => GraftCdfPartition(
-          graft.table.LakeTable.resolveUnder(root, f.path), lo, hi): InputPartition)
+          graft.table.LakeTable.resolveUnder(root, f.path), lo, hi,
+          // the upsert-only feed (no `deleted` in the read schema) must
+          // drop tombstone rows, exactly like GraftStreamReader; typed
+          // consumers always see deletes (that is the point of the feed)
+          keepDeletes = changeTypes || required.fieldNames.contains("deleted")): InputPartition)
         .toArray
     } else if (changeTypes) {
       // `_change_type` (insert / update_postimage / delete) needs each
@@ -218,18 +228,19 @@ final case class GraftStreamPartition(file: String, lo: Long, hi: Long) extends 
 final case class GraftStreamChangePartition(files: Seq[String], sorted: Boolean,
                                             lo: Long, hi: Long) extends InputPartition
 
-/** one commit's CDF sidecar file intersecting a change-typed micro-batch's
-  * lsn range — the types were computed at commit time, the reader only
-  * range-filters and projects
+/** one commit's CDF sidecar file intersecting a micro-batch's lsn range —
+  * the change rows (and types) were computed at commit time, the reader
+  * only range-filters, optionally drops tombstones, and projects
   */
-final case class GraftCdfPartition(file: String, lo: Long, hi: Long) extends InputPartition
+final case class GraftCdfPartition(file: String, lo: Long, hi: Long,
+                                   keepDeletes: Boolean = true) extends InputPartition
 
 final class GraftStreamReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftCdfPartition =>
-        new GraftCdfReader(p.file, required, conf.value, p.lo, p.hi)
+        new GraftCdfReader(p.file, required, conf.value, p.lo, p.hi, p.keepDeletes)
       case p: GraftStreamChangePartition =>
         new GraftChangeTypeReader(p.files, p.sorted, required, conf.value, p.lo, p.hi)
       case p: GraftStreamPartition =>
@@ -387,20 +398,25 @@ final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required:
   * the file for rate-limited triggers that split one commit's range.
   */
 final class GraftCdfReader(path: String, required: StructType, conf: Configuration,
-                           lo: Long, hi: Long)
+                           lo: Long, hi: Long, keepDeletes: Boolean = true)
     extends PartitionReader[InternalRow] {
 
-  private val ext: Array[StructField] =
-    if (required.fieldNames.contains("lsn")) required.fields
-    else required.fields :+ StructField("lsn", LongType)
+  private val extraNames =
+    Seq("lsn", "deleted").filterNot(required.fieldNames.contains)
+  private val ext: Array[StructField] = required.fields ++ extraNames.map {
+    case "lsn"     => StructField("lsn", LongType)
+    case "deleted" => StructField("deleted", BooleanType)
+  }
   private val lsnIdx = ext.indexWhere(_.name == "lsn")
+  private val deletedIdx = ext.indexWhere(_.name == "deleted")
   private val cursor = new GroupRowCursor(path, ext, conf)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (cursor.advance()) {
       val lsn = cursor.values(lsnIdx).asInstanceOf[Long]
-      if (lsn > lo && lsn <= hi) {
+      val isDel = cursor.values(deletedIdx) == true
+      if (lsn > lo && lsn <= hi && (keepDeletes || !isDel)) {
         current = new GenericInternalRow(java.util.Arrays.copyOfRange(
           cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
         return true

@@ -136,6 +136,81 @@ class CdfSidecarSpec extends SparkSpec {
     assert(typedSet(all) == expectedTyped())
   }
 
+  private def runFeed(root: String, name: String,
+                      opts: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream.format("graft")
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir(s"cp$name"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def feedSet(df: DataFrame): Set[(String, String, Long)] =
+    df.select("repo", "path", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  /** per-(key, commit-batch) winners of the WAL — what a tail delivers */
+  private def expectedFeed(includeDeletes: Boolean): Set[(String, String, Long)] = {
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val w = Window.partitionBy(col("repo"), col("path"),
+        ((col("lsn") - 1) / per).cast("long"))
+      .orderBy(col("lsn").desc, col("commit").desc)
+    val winners = wal.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val kept = if (includeDeletes) winners else winners.where(col("op") =!= "D")
+    kept.select("repo", "path", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("UNTYPED tails ride the sidecars too: changeFeed + upsert feeds stay exact") {
+    val t = build(ApplyMode.MergeOnRead, "cdfuntyped")
+    // with tombstones (changeFeed) and without (upsert-only) — both must
+    // equal the replay, served from sidecars instead of data files
+    val cf = runFeed(t.root, "cdf_u_cf", Map("changeFeed" -> "true"))
+    assert(feedSet(cf) == expectedFeed(includeDeletes = true))
+    assert(cf.where(col("deleted")).count() > 0, "changeFeed exposes tombstones")
+    val up = runFeed(t.root, "cdf_u_up")
+    assert(feedSet(up) == expectedFeed(includeDeletes = false))
+    assert(!up.columns.contains("deleted"))
+  }
+
+  test("CoW changeFeed via sidecars: per-commit fidelity AND no bucket re-read") {
+    val t = build(ApplyMode.CopyOnWrite, "cdfcowfeed")
+    // a CoW tail WITHOUT sidecars collapses intermediate versions (the
+    // rewrite keeps only winners); with sidecars every commit's winners
+    // are delivered — full per-commit fidelity from O(batch) files
+    val out = runFeed(t.root, "cdf_cow_feed", Map("changeFeed" -> "true"))
+    assert(feedSet(out) == expectedFeed(includeDeletes = true))
+    // and the planning proves the O(batch) claim: a late batch plans
+    // only sidecars, no rewritten-bucket data files
+    val snap = t.currentSnapshot().get
+    val stream = new GraftMicroBatchStream(t.root,
+      org.apache.spark.sql.types.StructType.fromDDL("repo STRING, path STRING, lsn BIGINT"),
+      Map("changefeed" -> "true"))
+    val parts = stream.planInputPartitions(GraftOffset(2 * per), GraftOffset(snap.hwm))
+    assert(parts.nonEmpty && parts.forall(_.isInstanceOf[GraftCdfPartition]),
+      s"expected sidecar partitions, got ${parts.map(_.getClass.getSimpleName).toSet}")
+  }
+
+  test("DML statements write sidecars: updateWhere/deleteWhere type their victims") {
+    val t = build(ApplyMode.CopyOnWrite, "cdfdml")
+    val victim = t.read().where(!col("deleted").isNotNull || lit(true))
+      .select("repo", "path").head()
+    val hwm = t.currentSnapshot().get.hwm
+    t.updateWhere(col("repo") === victim.getString(0) && col("path") === victim.getString(1),
+      Map("content" -> lit("patched")))
+    t.deleteWhere(col("repo") === victim.getString(0) && col("path") === victim.getString(1))
+    // tail ONLY the two statements' range: served from their sidecars
+    val out = runTyped(t.root, "cdf_dml", Map("startLsn" -> hwm.toString))
+    val got = out.select("repo", "path", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (victim.getString(0), victim.getString(1), "update_postimage"),
+      (victim.getString(0), victim.getString(1), "delete")), got.toString)
+  }
+
   test("an EMPTY first batch on a defaultCdf table still turns the feed on") {
     val t = new LakeTable(spark, tmpDir("cdfempty"), defaultBuckets = 4,
       ApplyMode.MergeOnRead, defaultCdf = true)
