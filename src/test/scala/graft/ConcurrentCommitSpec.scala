@@ -69,6 +69,42 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(state(root) == replayOracle())
   }
 
+  test("two concurrent CDF writers: no lost or duplicated sidecar rows") {
+    // with the feed on, MOR re-points are DENIED when the winner touched
+    // our buckets (sidecar types derive from the base state) — the losing
+    // writer redoes the merge. Whatever the interleave, the sidecars must
+    // hold exactly one change row per stored winner: none lost to a race,
+    // none duplicated by a redo. (Exact TYPES under out-of-order commits
+    // have the documented immutable-sidecar semantics, so this pins the
+    // row set; CdfSidecarSpec pins types on ordered histories.)
+    val root = tmpDir("occcdf")
+    val mk = () => new LakeTable(spark, root, 4, ApplyMode.MergeOnRead, defaultCdf = true)
+    inParallel(
+      () => { val t = mk(); val wal = ChangeLogGen.changeLog(spark, cfg)
+        Seq(0, 2, 4, 6).zipWithIndex.foreach { case (b, i) =>
+          t.merge(wal.where(col("lsn").between(b * per + 1, (b + 1) * per)), "w1", i.toLong) } },
+      () => { val t = mk(); val wal = ChangeLogGen.changeLog(spark, cfg)
+        Seq(1, 3, 5, 7).zipWithIndex.foreach { case (b, i) =>
+          t.merge(wal.where(col("lsn").between(b * per + 1, (b + 1) * per)), "w2", i.toLong) } })
+    val t = new LakeTable(spark, root)
+    val snap = t.currentSnapshot().get
+    assert(snap.committedCount == nb && snap.hwm == cfg.events)
+    assert(state(root) == replayOracle())
+    // sidecar rows == stored winners, exactly once each
+    val sidecarRows = spark.read
+      .parquet(snap.cdfFiles.map(f => t.resolvePath(f.path)): _*)
+      .select("repo", "path", "lsn", "commit")
+    assert(sidecarRows.count() == sidecarRows.distinct().count(), "no duplicated change rows")
+    val storedAll = spark.read.parquet(snap.files.map(f => t.resolvePath(f.path)): _*)
+      .select("repo", "path", "lsn", "commit")
+    assert(collectSorted(sidecarRows) == collectSorted(storedAll),
+      "every stored delta row has exactly one sidecar change row")
+    // every row carries a valid type
+    val types = spark.read.parquet(snap.cdfFiles.map(f => t.resolvePath(f.path)): _*)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("insert", "update_postimage", "delete")))
+  }
+
   test("two concurrent CoW writers on overlapping buckets: redo path converges") {
     val root = tmpDir("occcow")
     inParallel(
