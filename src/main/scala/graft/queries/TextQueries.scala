@@ -228,13 +228,13 @@ object TextQueries {
     */
   def q52SubstringDedup(s: SparkSession, dir: String): DataFrame = {
     val L = 64
-    // persisted: both the duplicate-gram aggregation and the re-join scan
-    // the gram set — without it the explode+distinct runs twice
+    // the gram set feeds both the duplicate detection and the re-join;
+    // recomputing the explode is cheap (measured a wash vs persist at
+    // sf0.1, and a persist would pin O(corpus windows) cache per call)
     val grams = T(s, dir, "documents").where(length(col("text")) >= L)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${L - 1}), i -> xxhash64(substring(text, i, $L)))")).as("g"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
     grams.join(dup, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))

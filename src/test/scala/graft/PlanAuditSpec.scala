@@ -71,6 +71,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(t.merge(wal, "a", 0L).nonEmpty)
   }
 
+  test("q52 substring dedup: hash joins only, no cartesian, no UDF") {
+    val p = planOf(graft.queries.TextQueries.q52SubstringDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram dedup must stay equi-join shaped:\n" + p)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+    // grams travel as 8-byte hashes — never the raw 64-char windows
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("clean-stage categorisation stays in whole-stage codegen (no UDF)") {
     val wal = ChangeLogGen.changeLog(spark, GenConfig(seed = 9, events = 100, repos = 3, filesPerRepo = 5))
     val df = wal.select(graft.model.LangRules.langFor(col("path")).as("lang"))
