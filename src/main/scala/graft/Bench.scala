@@ -125,7 +125,15 @@ object Bench {
       s""""$k":{"rows":$r,"bytes":$b,"tasks":$tk}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"inputs":$ins,"sf":"$sfDir"}""")
+    // Emission shape is LOAD-BEARING: the driver harness keeps only the
+    // last ~2000 chars of output and parses the JSON line it finds there.
+    // r5's artifact lost every per-query time because the large `inputs`
+    // forensics block sat inside the ONE line between `queries` and the
+    // tail window. So: inputs go on their OWN earlier line (still in the
+    // artifact when the window allows), and the final line stays compact —
+    // metric/value/queries/sf always parse whole.
+    println(s"""{"metric":"inputs","inputs":$ins}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -230,10 +230,18 @@ object TextQueries {
     val L = 64
     // the gram set feeds both the duplicate detection and the re-join;
     // recomputing the explode is cheap (measured a wash vs persist at
-    // sf0.1, and a persist would pin O(corpus windows) cache per call)
+    // sf0.1, and a persist would pin O(corpus windows) cache per call).
+    // Gram identity is 128-bit — TWO independent xxhash64 values (the
+    // second seeded by an extra literal), so a single 64-bit collision
+    // between distinct windows can no longer mark a false duplicate: at
+    // web-corpus gram counts (~1e14) 64-bit birthday collisions are
+    // certain, 128-bit ones stay ~1e-11. Windows still travel as 16-byte
+    // hashes, never 64-char strings.
     val grams = T(s, dir, "documents").where(length(col("text")) >= L)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${L - 1}), i -> xxhash64(substring(text, i, $L)))")).as("g"))
+        s"""transform(sequence(1, length(text) - ${L - 1}),
+           |  i -> named_struct('h1', xxhash64(substring(text, i, $L)),
+           |                    'h2', xxhash64(substring(text, i, $L), ${L}L)))""".stripMargin)).as("g"))
       .distinct()
     val dup = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
     grams.join(dup, "g")

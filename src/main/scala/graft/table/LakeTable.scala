@@ -487,6 +487,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   private def clean(events: DataFrame, snap: Option[Snapshot]): DataFrame = {
     val extra = events.columns.toSeq.filterNot(Set("lsn", "ts", "op", "repo", "path", "commit", "content"))
+    // a payload column named like a runtime-synthesised one (bucket column
+    // `b`, `_change_type`, `__`-temps) would be silently clobbered by the
+    // write path — reject at the boundary, same rule as ALTER TABLE
+    extra.foreach(c => LakeTable.reservedName(c).foreach(why =>
+      throw new IllegalArgumentException(
+        s"event column '$c' collides with $why — rename it upstream")))
     // events arrive under LOGICAL names; storage uses physical — map
     // renamed payload columns, and refuse a NEW column whose name lands on
     // a retired/renamed storage name (old files hold stale values there;
@@ -677,6 +683,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // overwrites the same entry idempotently — no lineage gaps.
         ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(cur.hwm, batchHwm),
           totalRows - tombstones, tombstones, batchRows, staleRows))
+        // CDF state is decided against the FRESH head `cur`, not the
+        // snapshot this merge derived from: an enableChangeDataFeed (or a
+        // concurrent CDF commit) landing mid-merge passes the re-point
+        // check (metadata-only), and committing `cdfOn`-derived state here
+        // would silently disable the feed and drop every registered
+        // sidecar. If the head says the feed is ON but THIS commit wrote
+        // no sidecar, the commit is an uncovered range — preserve the
+        // registered sidecars and RAISE the floor past this batch
+        // (coverage restarts, like overwrite), never resetting to -1/Nil.
+        val (nextCdfSince, nextCdfFiles) =
+          if (cdfOn) (math.max(cur.cdfSinceLsn, 0L), cur.cdfFiles ++ cdfEntries)
+          else if (cur.cdfSinceLsn >= 0)
+            (math.max(cur.cdfSinceLsn, batchHwm), cur.cdfFiles)
+          else (-1L, Seq.empty[CdfEntry])
         commitSnapshot(Snapshot(
           version = v,
           schemaDdl = schemaDdl,
@@ -686,8 +706,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           hwm = math.max(cur.hwm, batchHwm),
           totalRows = kept.map(_.rows).sum + newEntries.map(_.rows).sum,
           mode = modeString(mode),
-          cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else -1L,
-          cdfFiles = if (cdfOn) cur.cdfFiles ++ cdfEntries else Nil,
+          cdfSinceLsn = nextCdfSince,
+          cdfFiles = nextCdfFiles,
           renames = cur.renames,
           retiredPhysicals = cur.retiredPhysicals
         ), cur, token)
@@ -881,7 +901,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             totalRows = cur.totalRows + newEntries.map(_.rows).sum,
             dvFiles = cur.dvFiles ++ dvPaths,
             dvRows = cur.dvRows + dvCount,
-            cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn,
+            // feed enabled concurrently mid-merge (cdfOn stale-false but the
+            // fresh head says ON): this commit carries no sidecar, so raise
+            // the floor past it — a "covered" tail must never silently miss
+            // a commit's rows (same rule as the CoW/MoR commit loop)
+            cdfSinceLsn =
+              if (cdfOn) math.max(cur.cdfSinceLsn, 0L)
+              else if (cur.cdfSinceLsn >= 0) math.max(cur.cdfSinceLsn, batchHwm)
+              else cur.cdfSinceLsn,
             cdfFiles = if (cdfOn) cur.cdfFiles ++ cdfEntries else cur.cdfFiles
           ), cur, token)
           return stats
@@ -1063,7 +1090,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           }
         }
       } finally r.close()
-      if (rows == 0) None else Some(CdfEntry(LakeTable.relPath(p), rows, minLsn, maxLsn))
+      if (rows == 0) None
+      else {
+        // a non-empty sidecar without lsn footer stats would be excluded
+        // from EVERY micro-batch by the tail's range planning — lost change
+        // rows. We write these files ourselves with a non-null lsn column,
+        // so absent stats can only mean corruption: fail the commit loudly.
+        require(minLsn != Long.MaxValue && maxLsn != Long.MinValue,
+          s"CDF sidecar $p has $rows rows but no lsn column statistics — " +
+            "the change-feed range planner would silently skip it")
+        Some(CdfEntry(LakeTable.relPath(p), rows, minLsn, maxLsn))
+      }
     }.seq.sortBy(_.path)
   }
 
@@ -1468,6 +1505,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def addColumns(cols: Seq[StructField]): Unit = {
     require(cols.nonEmpty, "addColumns: no columns given")
+    cols.foreach(f => LakeTable.reservedName(f.name).foreach(why =>
+      throw new IllegalArgumentException(
+        s"addColumns: '${f.name}' collides with $why — pick another name")))
     var attempts = 0
     while (attempts < 20) {
       val snap = currentSnapshot().getOrElse(
@@ -1514,6 +1554,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def renameColumn(oldName: String, newName: String): Unit = {
     require(!coreColumns(oldName.toLowerCase) && !coreColumns(newName.toLowerCase),
       s"renameColumn: '$oldName' -> '$newName' touches a core engine column (immutable contract)")
+    LakeTable.reservedName(newName).foreach(why =>
+      throw new IllegalArgumentException(
+        s"renameColumn: '$newName' collides with $why — pick another name"))
     var attempts = 0
     while (attempts < 20) {
       val snap = currentSnapshot().getOrElse(
@@ -1656,6 +1699,22 @@ object LakeTable {
   final case class FileStat(bucket: Int, file: String, rows: Long, minLsn: Long, maxLsn: Long,
                             minRepo: String, maxRepo: String,
                             minPath: String, maxPath: String)
+
+  /** Names the engine SYNTHESISES at runtime: the streaming change-feed's
+    * `_change_type`, the bucket partition column `b` every write stamps
+    * (`withColumn("b", ...)` would silently clobber a user column of that
+    * name), and the `__`-prefixed shuffle/window temporaries. A logical
+    * column under any of these would be shadowed or destroyed by the
+    * synthesiser, so schema evolution and the event-ingest path reject
+    * them up front. Returns what the name collides with.
+    */
+  def reservedName(n: String): Option[String] = {
+    val l = n.toLowerCase
+    if (l == "_change_type") Some("the change-feed's synthesized _change_type column")
+    else if (l == "b") Some("the bucket partition column the write path stamps")
+    else if (l.startsWith("__")) Some("engine-internal temporary columns (__ prefix)")
+    else None
+  }
 
   /** UTF-8 BYTE-order comparison (what parquet binary column stats use);
     * Java String compareTo differs above the BMP, so repo-range skipping

@@ -105,6 +105,41 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(types.subsetOf(Set("insert", "update_postimage", "delete")))
   }
 
+  test("enableChangeDataFeed racing a merge: feed survives, no silent coverage gap") {
+    // the r5-ADVICE race: a merge in flight while enableChangeDataFeed
+    // lands concurrently used to pass the metadata-only re-point check and
+    // commit cdfSinceLsn=-1/cdfFiles=Nil — silently disabling the feed and
+    // dropping every registered sidecar. Pin the two invariants that must
+    // hold under EVERY interleave: (1) the feed stays on; (2) coverage is
+    // sound — every stored row above the final floor has exactly one
+    // sidecar change row (a mid-race commit that wrote no sidecar must
+    // have raised the floor past itself instead).
+    (0 until 3).foreach { round =>
+      val root = tmpDir(s"occenable$round")
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      val t0 = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+      t0.merge(wal.where(col("lsn") <= per), "seed", 0L) // table exists pre-race
+      inParallel(
+        () => { val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+          (1 until nb).foreach { b =>
+            t.merge(wal.where(col("lsn").between(b * per + 1, (b + 1) * per)), "w", b.toLong) } },
+        () => { Thread.sleep(50L * round); new LakeTable(spark, root).enableChangeDataFeed() })
+      val t = new LakeTable(spark, root)
+      val snap = t.currentSnapshot().get
+      assert(snap.cdfSinceLsn >= 0, s"round $round: the race must never disable the feed")
+      assert(snap.hwm == cfg.events)
+      assert(state(root) == replayOracle())
+      val covered = spark.read.parquet(snap.files.map(f => t.resolvePath(f.path)): _*)
+        .where(col("lsn") > snap.cdfSinceLsn).select("repo", "path", "lsn", "commit")
+      val sidecar =
+        if (snap.cdfFiles.isEmpty) covered.limit(0)
+        else spark.read.parquet(snap.cdfFiles.map(f => t.resolvePath(f.path)): _*)
+          .where(col("lsn") > snap.cdfSinceLsn).select("repo", "path", "lsn", "commit")
+      assert(collectSorted(sidecar) == collectSorted(covered),
+        s"round $round: every stored row above the floor needs exactly one sidecar row")
+    }
+  }
+
   test("two concurrent CoW writers on overlapping buckets: redo path converges") {
     val root = tmpDir("occcow")
     inParallel(

@@ -192,6 +192,31 @@ class SchemaEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException](LakeTable.unionSchema(prev, bad))
   }
 
+  test("reserved synthetic names are rejected at every evolution boundary") {
+    import org.apache.spark.sql.types._
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val t = new LakeTable(spark, tmpDir("evoReserved"), defaultBuckets = 4)
+    t.merge(wal.where(col("lsn") <= 500), "rsv", 0L)
+    // _change_type: a logical column there would shadow the typed tail's
+    // synthesized column; `b` would be clobbered by the bucket stamp;
+    // __-prefixed names collide with engine shuffle/window temporaries
+    intercept[IllegalArgumentException](t.addColumns(Seq(StructField("_change_type", StringType))))
+    intercept[IllegalArgumentException](t.addColumns(Seq(StructField("b", StringType))))
+    intercept[IllegalArgumentException](t.addColumns(Seq(StructField("__salt", StringType))))
+    t.addColumns(Seq(StructField("branch", StringType)))
+    intercept[IllegalArgumentException](t.renameColumn("branch", "_change_type"))
+    intercept[IllegalArgumentException](t.renameColumn("branch", "__x"))
+    // the ingest boundary rejects reserved EVENT columns too (an event
+    // column `b` was silently destroyed by withColumn before this guard)
+    intercept[IllegalArgumentException](
+      t.merge(wal.where(col("lsn") > 500).withColumn("b", lit("x")), "rsv", 1L))
+    intercept[IllegalArgumentException](
+      t.merge(wal.where(col("lsn") > 500).withColumn("_change_type", lit("x")), "rsv", 2L))
+    // sanity: a legitimate batch still lands after the rejections
+    t.merge(wal.where(col("lsn") > 500), "rsv", 3L)
+    assert(t.read().count() > 0)
+  }
+
   test("evolution works in MergeOnRead mode too (deltas with mixed schemas)") {
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
