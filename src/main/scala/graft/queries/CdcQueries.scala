@@ -585,7 +585,19 @@ object CdcQueries {
       FROM (SELECT *, row_number() OVER (PARTITION BY repo, path, CAST((lsn - 1) // 10000 AS BIGINT)
                    ORDER BY lsn DESC, "commit" DESC) AS rn
             FROM $walSrc)
-      WHERE rn = 1 ORDER BY lsn, repo, path"""
+      WHERE rn = 1 ORDER BY lsn, repo, path""",
+    // replay with the score derived from the lsn exactly as the batches
+    // assigned it: int (lsn % 97) for the two pre-widening batches, a
+    // beyond-int value after — per-repo live aggregate over the winners
+    "q53_widen" -> s"""
+      SELECT repo,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lsn <= ${2 * (smCfg.events / smBatches)}
+                           THEN lsn % 97 ELSE 5000000000 + lsn END) AS BIGINT) AS score_sum
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                   ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1"""
   ).pipe(m => m +
     ("cdc_snapshot_dv" -> m("cdc_snapshot")) + // DV apply, same replay oracle
     ("q39_dsv2_dv" -> m("cdc_snapshot")) +     // DSv2 over live DVs, same oracle
@@ -598,6 +610,41 @@ object CdcQueries {
     // the CDF sidecar path must hash-match the SAME typed-replay oracle as
     // the history-walk path (q50) — that identity is the equivalence proof
     ("q51_cdf_types" -> m("q50_change_types")))
+
+  /** TYPE WIDENING end-to-end (round-5 VERDICT "Missing" #3): the first
+    * two 10k-lsn batches carry an int `score`, `widenColumn` flips the
+    * declared type to bigint METADATA-ONLY (the narrow files stay on disk
+    * and are promoted at decode), and the last three batches carry values
+    * only a bigint can hold, stored wide. The aggregate reads THROUGH the
+    * mixed narrow/wide file set; the oracle recomputes the same winners in
+    * DuckDB deriving the score from the lsn — a promotion bug (wrong
+    * values) or a lost widening (overflow/abort) both fail the hash gate.
+    */
+  def q53Widen(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val dirT = s"$LakeRoot/sm_widen"
+    val per = smCfg.events / smBatches
+    val t = new LakeTable(s, dirT, smBuckets, ApplyMode.MergeOnRead)
+    val ok = t.currentSnapshot().exists(sn =>
+      sn.committedCount == smBatches && sn.hwm == smCfg.events)
+    if (!ok) {
+      deleteRec(dirT)
+      val fresh = new LakeTable(s, dirT, smBuckets, ApplyMode.MergeOnRead)
+      val wal = s.read.parquet(smWal)
+      (0 until smBatches).foreach { i =>
+        val b = wal.where(col("lsn").between(i * per + 1, (i + 1) * per))
+        val withScore =
+          if (i < 2) b.withColumn("score", (col("lsn") % 97).cast("int"))
+          else b.withColumn("score", lit(5000000000L) + col("lsn"))
+        if (i == 2) fresh.widenColumn("score", org.apache.spark.sql.types.LongType)
+        fresh.merge(withScore, "smwiden", i.toLong)
+      }
+    }
+    new LakeTable(s, dirT, smBuckets, ApplyMode.MergeOnRead).read()
+      .groupBy("repo")
+      .agg(count(lit(1)).as("n"), sum("score").as("score_sum"))
+      .orderBy("repo")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot" -> cdcSnapshot _,
@@ -618,6 +665,7 @@ object CdcQueries {
     "q49_sql_merge" -> q49SqlMerge _,
     "q50_change_types" -> q50ChangeTypes _,
     "q51_cdf_types" -> q51CdfTypes _,
+    "q53_widen" -> q53Widen _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

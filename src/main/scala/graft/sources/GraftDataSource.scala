@@ -8,6 +8,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -729,6 +730,20 @@ private[sources] final class GroupRowCursor(path: String, fields: Array[StructFi
   }
   reader.setRequestedSchema(projection)
   private val fieldIdx: Array[Int] = fields.map(f => present.indexOf(f.name))
+  /** the file's PHYSICAL primitive per requested field — after a
+    * `widenColumn`, files written before the widening commit hold the
+    * narrow type (INT32 under a bigint/double column, FLOAT under double)
+    * and must be promoted at decode; files written after hold the wide
+    * type. Same per-file promotion Spark's vectorized reader does natively.
+    */
+  private val phys: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
+    fields.map { f =>
+      if (!fileSchema.containsField(f.name)) null
+      else {
+        val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+        if (t.isPrimitive) t.asPrimitiveType().getPrimitiveTypeName else null
+      }
+    }
 
   /** which rowgroups to read: with a key range, a block whose conservative
     * key interval [(minRepo,minPath), (maxRepo,maxPath)] misses [lo, hi)
@@ -803,9 +818,16 @@ private[sources] final class GroupRowCursor(path: String, fields: Array[StructFi
         if (j < 0 || g.getFieldRepetitionCount(j) == 0) null // evolution gap or null
         else fields(i).dataType match {
           case StringType  => UTF8String.fromString(g.getString(j, 0))
-          case LongType    => g.getLong(j, 0)
+          case LongType    =>
+            if (phys(i) == PrimitiveTypeName.INT32) g.getInteger(j, 0).toLong
+            else g.getLong(j, 0)
           case IntegerType => g.getInteger(j, 0)
-          case DoubleType  => g.getDouble(j, 0)
+          case DoubleType  => phys(i) match {
+            case PrimitiveTypeName.FLOAT => g.getFloat(j, 0).toDouble
+            case PrimitiveTypeName.INT32 => g.getInteger(j, 0).toDouble
+            case _                       => g.getDouble(j, 0)
+          }
+          case FloatType   => g.getFloat(j, 0)
           case BooleanType => g.getBoolean(j, 0)
           case other => throw new UnsupportedOperationException(
             s"graft scan: unsupported column type $other for ${fields(i).name}")

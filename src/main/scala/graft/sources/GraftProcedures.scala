@@ -35,7 +35,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
-    "describe_history")
+    "describe_history", "widen_column")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -70,6 +70,8 @@ object GraftProcedures {
       case "expire_snapshots"   => Array(p("table", StringType), pDef("keep", IntegerType, "2"))
       case "vacuum_orphans"     => Array(p("table", StringType), pDef("older_than_hours", IntegerType, "24"))
       case "expire_change_feed" => Array(p("table", StringType), p("below_lsn", LongType))
+      case "widen_column"       => Array(p("table", StringType), p("column", StringType),
+                                         p("type", StringType))
       case _                    => Array(p("table", StringType))
     }
 
@@ -114,6 +116,21 @@ object GraftProcedures {
           val dropped = lake.expireChangeFeed(input.getLong(1))
           statusScan("sidecars_dropped" -> IntegerType,
             "cdf_since_lsn" -> LongType)(dropped, lake.currentSnapshot().get.cdfSinceLsn)
+        case "widen_column" =>
+          // SQL route for type widening: Spark's own ALTER COLUMN TYPE is
+          // rejected by the analyzer (NOT_SUPPORTED_CHANGE_COLUMN) before
+          // any catalog sees it, so the lossless metadata-only widening
+          // ships as a procedure, Iceberg-style
+          val colName = input.getUTF8String(1).toString
+          val target = org.apache.spark.sql.types.DataType.fromDDL(
+            input.getUTF8String(2).toString)
+          lake.widenColumn(colName, target)
+          val head = lake.currentSnapshot().get
+          val widened = org.apache.spark.sql.types.StructType.fromDDL(head.schemaDdl)
+            .fields.find(_.name == head.physicalOf(colName))
+            .map(_.dataType.simpleString).orNull
+          statusScan("column" -> StringType, "type" -> StringType)(
+            UTF8String.fromString(colName), UTF8String.fromString(widened))
         case "describe_history" =>
           describeHistory(lake, dir)
       }

