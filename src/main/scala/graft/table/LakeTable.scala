@@ -497,6 +497,23 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       case None => readResolved()
       case Some(s) =>
         val schema = StructType.fromDDL(s.schemaDdl)
+        // CDF FAST PATH (the batch analogue of the streaming tail's): when
+        // the feed covers [fromLsn, hwm], the changed rows ARE the sidecar
+        // rows — O(changes) IO instead of every file whose lsn range
+        // intersects the cursor. On CoW that replaces re-reading every
+        // REWRITTEN bucket (rewrites carry old rows under new files, so
+        // their lsn ranges span everything); on MoR it skips the delta
+        // stack. latestPerKey in every mode — a key changed in several
+        // covered commits appears in each commit's sidecar — and replace
+        // commits are delivered as their synthetic keyed diff, including
+        // the vanished-key deletions the data files cannot express.
+        if (s.cdfSinceLsn >= 0 && fromLsn > s.cdfSinceLsn) {
+          val sc = s.cdfFiles.filter(_.maxLsn >= fromLsn)
+          val raw =
+            if (sc.isEmpty) emptyTable(schema)
+            else spark.read.schema(schema).parquet(sc.map(f => resolvePath(f.path)): _*)
+          return toLogical(latestPerKey(raw).where(col("lsn") >= fromLsn), Some(s))
+        }
         val files = s.files.filter(_.maxLsn >= fromLsn)
         val raw =
           if (files.isEmpty) emptyTable(schema)
@@ -513,8 +530,19 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   }
 
   /** file paths the current snapshot would scan for `readChangedSince` —
-    * exposed for tests/audits of the data-skipping behaviour.
+    * exposed for tests/audits of the data-skipping behaviour. Mirrors the
+    * fast-path decision: ("cdf", sidecars) when the feed covers the range,
+    * ("files", lsn-skipped data files) otherwise.
     */
+  def filesForChangedSince(fromLsn: Long): (String, Seq[String]) =
+    currentSnapshot() match {
+      case None => ("files", Seq.empty)
+      case Some(s) if s.cdfSinceLsn >= 0 && fromLsn > s.cdfSinceLsn =>
+        ("cdf", s.cdfFiles.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
+      case Some(s) =>
+        ("files", s.files.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
+    }
+
   def filesForLsnRange(fromLsn: Long): Seq[String] =
     currentSnapshot().fold(Seq.empty[String])(_.files.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
 

@@ -354,6 +354,61 @@ class CdfSidecarSpec extends SparkSpec {
     assert(postOff.hwm == preOff.hwm && postOff.cdfFiles.isEmpty && postOff.cdfSinceLsn == -1L)
   }
 
+  test("batch incremental read rides sidecars when covered (readChangedSince fast path)") {
+    // the batch analogue of the streaming fast path: on CoW, rewrites
+    // carry old rows under new files, so the data-file path re-reads every
+    // rewritten bucket; covered, the changed rows ARE the sidecars
+    val t = build(ApplyMode.CopyOnWrite, "cdfrcs")
+    val t0 = {
+      val off = new LakeTable(spark, tmpDir("cdfrcs0"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      (0 until batches).foreach { i =>
+        off.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "rcs0", i.toLong) }
+      off
+    }
+    val from = 2 * per + 1
+    val (src, paths) = t.filesForChangedSince(from)
+    assert(src == "cdf", "covered range must plan sidecars")
+    val snap = t.currentSnapshot().get
+    assert(paths.nonEmpty &&
+      paths.toSet.subsetOf(snap.cdfFiles.map(f => t.resolvePath(f.path)).toSet))
+    // at this toy scale every key churns every batch, so changes == bucket
+    // contents; at any real scale sidecar rows (changes only) undercut the
+    // rewritten-bucket re-read (full winner sets) — pin the bound
+    assert(snap.cdfFiles.filter(_.maxLsn >= from).map(_.rows).sum <=
+      snap.files.filter(_.maxLsn >= from).map(_.rows).sum,
+      "sidecar rows must never exceed the CoW rewritten-bucket re-read")
+    // delivery identical to the data-file path (computed on a feed-OFF
+    // clone of the same table)
+    val cols = Seq("repo", "path", "lsn", "commit", "deleted", "contentSha")
+    assert(t0.filesForChangedSince(from)._1 == "files")
+    assert(collectSorted(t.readChangedSince(from).selectExpr(cols: _*)) ==
+      collectSorted(t0.readChangedSince(from).selectExpr(cols: _*)))
+    // a replace's implicit deletions ARE expressible on the fast path:
+    // vanished live keys surface as tombstone rows past the old hwm
+    val preHwm = t.currentSnapshot().get.hwm
+    val liveBefore = t.read().select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    val keepDf = {
+      import spark.implicits._
+      liveBefore.filter { case (r, p) => (r + p).hashCode % 2 == 0 }.toSeq.toDF("repo", "path")
+    }
+    t.overwrite(wal.where(col("op") =!= "D").join(keepDf, Seq("repo", "path"), "left_semi"),
+      "rcsRepl", 0L)
+    val delta = t.readChangedSince(preHwm + 1)
+    assert(t.filesForChangedSince(preHwm + 1)._1 == "cdf")
+    val gotDeleted = delta.where(col("deleted"))
+      .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val resupplied = keepDf.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotDeleted == liveBefore -- resupplied,
+      "vanished keys must surface as deletions in the incremental read")
+    // below the coverage floor the planner falls back to data files
+    t.expireChangeFeed(per)
+    assert(t.filesForChangedSince(per)._1 == "files")
+    assert(t.filesForChangedSince(per + 1)._1 == "cdf")
+  }
+
   test("spark.graft.cdf.retentionLsns bounds the feed automatically at commit time") {
     spark.conf.set("spark.graft.cdf.retentionLsns", per.toString)
     try {
