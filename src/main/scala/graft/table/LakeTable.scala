@@ -1509,9 +1509,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val cdfEntries: Seq[CdfEntry] =
           if (!cdfOn || (cur.totalRows == 0 && stats.isEmpty)) Nil
           else {
+            // read the EXPLICIT data-file list, never the directory: a
+            // retry attempt has this attempt's cdf/ under commitDir, and
+            // partition discovery over mixed subdirs aborts the read
             val newLive =
               if (stats.isEmpty) emptyTable(batchSchema)
-              else spark.read.parquet(commitDir).drop("b")
+              else spark.read.schema(batchSchema).parquet(perFile.map(_.file): _*)
             writeReplaceSidecar(curOpt, newLive, dLsn, "!replace-" + token, s"$commitDir/cdf")
           }
         val newHwm = if (cdfEntries.nonEmpty) dLsn else math.max(cur.hwm, batchHwm)

@@ -140,6 +140,74 @@ class ConcurrentCommitSpec extends SparkSpec {
     }
   }
 
+  test("widenColumn racing concurrent merges: the wider type survives every interleave") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    (0 until 3).foreach { round =>
+      val root = tmpDir(s"occwiden$round")
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      val t0 = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+      t0.merge(wal.where(col("lsn") <= per)
+        .withColumn("score", (col("lsn") % 7).cast("int")), "seed", 0L)
+      inParallel(
+        () => { val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+          (1 until nb).foreach { b =>
+            // narrow int batches keep racing the widening — unionSchema
+            // must resolve every conflict to the wider committed type
+            t.merge(wal.where(col("lsn").between(b * per + 1, (b + 1) * per))
+              .withColumn("score", (col("lsn") % 7).cast("int")), "w", b.toLong) } },
+        () => { Thread.sleep(30L * round)
+          new LakeTable(spark, root).widenColumn("score", LongType) })
+      val t = new LakeTable(spark, root)
+      val snap = t.currentSnapshot().get
+      assert(StructType.fromDDL(snap.schemaDdl)("score").dataType == LongType,
+        s"round $round: a later narrow batch must not regress the widened type")
+      assert(snap.hwm == cfg.events)
+      // values exact through the mixed narrow/wide files (winner per key)
+      val exp = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("repo", "path").orderBy(col("lsn").desc, col("commit").desc)
+        wal.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("rn") === 1 && col("op") =!= "D")
+          .agg(sum(col("lsn") % 7)).collect().head.getLong(0)
+      }
+      assert(t.read().agg(sum("score")).collect().head.getLong(0) == exp)
+    }
+  }
+
+  test("overwrite with the feed on racing a merge: feed replay converges to the head") {
+    // the replace diff reads the head's live keys, so a lost commit race
+    // must RECOMPUTE it (stale diff = wrong deletions); conversely a merge
+    // losing to a replace (all buckets touched) must redo, not re-point.
+    // The interleave-independent invariant: replaying the change feed
+    // (sidecar fast path of readChangedSince) converges to the table.
+    (0 until 3).foreach { round =>
+      val root = tmpDir(s"occrepl$round")
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      val t0 = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead, defaultCdf = true)
+      t0.merge(wal.where(col("lsn") <= 4 * per), "seed", 0L)
+      val keep = t0.read().select("repo", "path")
+        .where(pmod(xxhash64(col("repo"), col("path")), lit(2L)) === 0L).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      inParallel(
+        () => { val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead, defaultCdf = true)
+          t.merge(wal.where(col("lsn").between(4 * per + 1, 5 * per)), "m2", 0L) },
+        () => { Thread.sleep(30L * round)
+          import spark.implicits._
+          val keepDf = keep.toSeq.toDF("repo", "path")
+          val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead, defaultCdf = true)
+          t.overwrite(wal.where(col("op") =!= "D" && col("lsn") <= 4 * per)
+            .join(keepDf, Seq("repo", "path"), "left_semi"), "repl", 0L) })
+      val t = new LakeTable(spark, root)
+      val snap = t.currentSnapshot().get
+      assert(snap.cdfSinceLsn == 0L, s"round $round: coverage must survive the race")
+      val replica = t.readChangedSince(1L) // covered → sidecar replay
+      assert(collectSorted(replica.where(!col("deleted"))
+          .select("repo", "path", "contentSha")) ==
+        collectSorted(t.read().select("repo", "path", "contentSha")),
+        s"round $round: feed replay must converge to the final table state")
+    }
+  }
+
   test("two concurrent CoW writers on overlapping buckets: redo path converges") {
     val root = tmpDir("occcow")
     inParallel(
