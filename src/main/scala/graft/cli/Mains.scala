@@ -197,6 +197,22 @@ object CdfProbe {
     val f = java.text.NumberFormat.getInstance(java.util.Locale.ROOT)
     println(f"[cdfprobe] commits=$commits eventsPerCommit=$perC histFiles=$histFiles " +
       f"tailRange=${perC} cdfSec=$cdfSec%.2f fallbackSec=$fbSec%.2f speedup=${fbSec / cdfSec}%.1fx")
+    // the BATCH incremental read on the same cursor: sidecar fast path vs
+    // the data-file scan (feed-off table) — the batch twin of the
+    // streaming numbers above
+    def batchSec(t: LakeTable): Double = {
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        t.readChangedSince(lo + 1).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1)
+    }
+    batchSec(withCdf) // warm-up
+    val bCdf = batchSec(withCdf)
+    val bFiles = batchSec(without)
+    println(f"[cdfprobe] batchChangedSince cdfSec=$bCdf%.2f filesSec=$bFiles%.2f " +
+      f"speedup=${bFiles / bCdf}%.1fx")
     spark.stop()
   }
 }

@@ -609,7 +609,21 @@ object CdcQueries {
           WHERE lang <> 'python' ORDER BY repo, path""") +
     // the CDF sidecar path must hash-match the SAME typed-replay oracle as
     // the history-walk path (q50) — that identity is the equivalence proof
-    ("q51_cdf_types" -> m("q50_change_types")))
+    ("q51_cdf_types" -> m("q50_change_types")) +
+    // batch table_changes over the sidecars — third path, same oracle
+    ("q54_changes" -> m("q50_change_types")))
+
+  /** BATCH typed changes over the same CDF table as q51: `table_changes`
+    * parity served from the sidecars with no streaming machinery — must
+    * hash-match the SAME typed-replay oracle as q50 (history walk) and
+    * q51 (streamed sidecars). Three independent paths, one oracle.
+    */
+  def q54Changes(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_cdf", "smcdf", cdf = true)
+    t.readChangesBetween(0L)
+      .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
+      .orderBy("lsn", "repo", "path")
+  }
 
   /** TYPE WIDENING end-to-end (round-5 VERDICT "Missing" #3): the first
     * two 10k-lsn batches carry an int `score`, `widenColumn` flips the
@@ -666,6 +680,7 @@ object CdcQueries {
     "q50_change_types" -> q50ChangeTypes _,
     "q51_cdf_types" -> q51CdfTypes _,
     "q53_widen" -> q53Widen _,
+    "q54_changes" -> q54Changes _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

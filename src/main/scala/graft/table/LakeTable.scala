@@ -499,14 +499,22 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val schema = StructType.fromDDL(s.schemaDdl)
         // CDF FAST PATH (the batch analogue of the streaming tail's): when
         // the feed covers [fromLsn, hwm], the changed rows ARE the sidecar
-        // rows — O(changes) IO instead of every file whose lsn range
-        // intersects the cursor. On CoW that replaces re-reading every
-        // REWRITTEN bucket (rewrites carry old rows under new files, so
-        // their lsn ranges span everything); on MoR it skips the delta
+        // rows — O(changes since cursor) IO instead of every file whose
+        // lsn range intersects the cursor. On CoW that replaces re-reading
+        // every REWRITTEN bucket (rewrites carry old rows under new files,
+        // so their lsn ranges span everything); on MoR it skips the delta
         // stack. latestPerKey in every mode — a key changed in several
         // covered commits appears in each commit's sidecar — and replace
         // commits are delivered as their synthetic keyed diff, including
         // the vanished-key deletions the data files cannot express.
+        // Chosen DETERMINISTICALLY whenever covered (never by a stats
+        // race: the two paths differ on replace tables, where only
+        // sidecars carry the deletions). The one shape where this reads
+        // MORE than the file path — an ancient cursor over a long
+        // never-expired feed (every historical version vs the resolved
+        // table) — is exactly what CDF retention removes: expiry (manual
+        // or spark.graft.cdf.retentionLsns) raises the floor, ancient
+        // cursors drop below it, and they take the file path again.
         if (s.cdfSinceLsn >= 0 && fromLsn > s.cdfSinceLsn) {
           val sc = s.cdfFiles.filter(_.maxLsn >= fromLsn)
           val raw =
@@ -545,6 +553,32 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
   def filesForLsnRange(fromLsn: Long): Seq[String] =
     currentSnapshot().fold(Seq.empty[String])(_.files.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
+
+  /** BATCH typed changes (Delta's `table_changes` shape): every change row
+    * with lsn in (fromLsn, toLsn] plus `_change_type`, served straight
+    * from the commit-time sidecars — per-commit fidelity at O(changes) IO,
+    * the batch twin of the `changeTypes` streaming tail (same exclusive-lo
+    * / inclusive-hi cursor contract). Requires the feed to cover the
+    * range: below the floor this FAILS LOUDLY (the data files cannot
+    * reconstruct expired per-commit history) — re-position the cursor or
+    * use the streaming tail, whose history walk approximates pre-coverage
+    * ranges at bucket-history cost.
+    */
+  def readChangesBetween(fromLsn: Long, toLsn: Long = Long.MaxValue): DataFrame = {
+    val s = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"readChangesBetween: no table at $root"))
+    require(s.cdfSinceLsn >= 0, s"readChangesBetween: change data feed is not enabled on $root")
+    require(fromLsn >= s.cdfSinceLsn,
+      s"readChangesBetween: the feed covers (${s.cdfSinceLsn}, ${s.hwm}] but fromLsn=$fromLsn " +
+        "is below the floor (expired/pre-enablement range)")
+    val schema = StructType.fromDDL(s.schemaDdl)
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+    val sc = s.cdfFiles.filter(f => f.maxLsn > fromLsn && f.minLsn <= toLsn)
+    val raw =
+      if (sc.isEmpty) emptyTable(schema)
+      else spark.read.schema(schema).parquet(sc.map(f => resolvePath(f.path)): _*)
+    toLogical(raw.where(col("lsn") > fromLsn && col("lsn") <= toLsn), Some(s))
+  }
 
   // ---- the apply path (SURVEY.md §7.3) ------------------------------------
 

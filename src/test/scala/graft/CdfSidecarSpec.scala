@@ -354,6 +354,19 @@ class CdfSidecarSpec extends SparkSpec {
     assert(postOff.hwm == preOff.hwm && postOff.cdfFiles.isEmpty && postOff.cdfSinceLsn == -1L)
   }
 
+  test("batch typed changes (readChangesBetween) match the streaming typed tail") {
+    val t = build(ApplyMode.MergeOnRead, "cdfbatch")
+    assert(typedSet(t.readChangesBetween(0L)) == expectedTyped())
+    // range slicing under the cursor contract (exclusive lo, inclusive hi]
+    assert(typedSet(t.readChangesBetween(per, 2 * per)) ==
+      expectedTyped().filter(x => x._3 > per && x._3 <= 2 * per))
+    // below the coverage floor the batch API fails LOUDLY — the data files
+    // cannot reconstruct expired per-commit history
+    t.expireChangeFeed(per)
+    intercept[IllegalArgumentException](t.readChangesBetween(0L))
+    assert(typedSet(t.readChangesBetween(per)) == expectedTyped().filter(_._3 > per))
+  }
+
   test("batch incremental read rides sidecars when covered (readChangedSince fast path)") {
     // the batch analogue of the streaming fast path: on CoW, rewrites
     // carry old rows under new files, so the data-file path re-reads every
