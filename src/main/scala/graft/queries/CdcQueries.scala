@@ -614,13 +614,15 @@ object CdcQueries {
     ("q54_changes" -> m("q50_change_types")))
 
   /** BATCH typed changes over the same CDF table as q51: `table_changes`
-    * parity served from the sidecars with no streaming machinery — must
-    * hash-match the SAME typed-replay oracle as q50 (history walk) and
-    * q51 (streamed sidecars). Three independent paths, one oracle.
+    * parity served from the sidecars with no streaming machinery, through
+    * the DSv2 scan (`spark.read.format("graft").option("changeTypes")`;
+    * the `readChangesBetween` API is the same plan) — must hash-match the
+    * SAME typed-replay oracle as q50 (history walk) and q51 (streamed
+    * sidecars). Three independent paths, one oracle.
     */
   def q54Changes(s: SparkSession, dir: String): DataFrame = {
     val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_cdf", "smcdf", cdf = true)
-    t.readChangesBetween(0L)
+    s.read.format("graft").option("changeTypes", "true").load(t.root)
       .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
       .orderBy("lsn", "repo", "path")
   }

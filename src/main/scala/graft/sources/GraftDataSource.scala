@@ -313,13 +313,31 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     case _ => () // unusable runtime filter: no pruning, never wrong results
   }
   override def readSchema(): StructType = required
+
+  /** BATCH `changeTypes` (table_changes through SQL/DataFrame reads): the
+    * commit-time CDF sidecars make batch typed-change scans servable —
+    * every change row in the pushed lsn range, with `_change_type`, at
+    * O(changes) IO. Requires the feed to COVER the requested range (the
+    * sidecars are the only holders of per-commit change history; below
+    * the floor we fail loudly rather than serve reconstructed-wrong
+    * types). The range comes from pushdown — `WHERE lsn > x [AND lsn <=
+    * y]` — so `spark.read.format("graft").option("changeTypes", "true")
+    * .load(root).where($"lsn" > cursor)` is the whole consumer story.
+    */
+  private def batchChanges: Boolean = options.get("changetypes").exists(_.toBoolean)
+  /** (lo exclusive, hi inclusive] for the sidecar planning */
+  private def changesLo: Long = if (lsnLo == Long.MinValue) 0L else lsnLo - 1
+
   override def toBatch: Batch = {
-    // `_change_type` derives from per-key history in the STREAMING tail
-    // readers only; a batch scan would silently serve tombstones plus an
-    // all-null change-type column — reject loudly instead
-    require(!options.get("changetypes").exists(_.toBoolean),
-      "graft: changeTypes is a streaming-tail option — use spark.readStream.format(\"graft\")" +
-        ".option(\"changeTypes\", \"true\"), or drop the option for a batch read")
+    if (batchChanges) {
+      require(snap.cdfSinceLsn >= 0,
+        "graft: batch changeTypes needs the change data feed enabled " +
+          "(TBLPROPERTIES('cdf'='true') / enableChangeDataFeed); the streaming tail " +
+          "can approximate pre-CDF history via its bucket walk")
+      require(changesLo >= snap.cdfSinceLsn,
+        s"graft: the feed covers lsn (${snap.cdfSinceLsn}, ${snap.hwm}] but the scan asks " +
+          s"from ${changesLo + 1} — filter `lsn > ${snap.cdfSinceLsn}` or re-enable from earlier")
+    }
     this
   }
 
@@ -423,6 +441,16 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     * (docs/database.md:374-381).
     */
   override def estimateStatistics(): Statistics = {
+    if (batchChanges) {
+      val rows = snap.cdfFiles.filter(f => f.maxLsn > changesLo && f.minLsn <= lsnHi)
+        .map(_.rows).sum
+      val width = required.fields.map(_.dataType.defaultSize + 8).sum.toLong
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows * math.max(width, 1L))
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      }
+    }
     // DV-dead rows are spread across the whole table; against an
     // lsn-PRUNED subset subtract only the proportional share (subtracting
     // the table-wide count could report 0 rows for a subset and trick the
@@ -453,6 +481,13 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     (dvByBucket.getOrElse(Some(bucket), Nil) ++ dvByBucket.getOrElse(None, Nil)).map(resolve)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // batch typed changes: one partition per sidecar intersecting the
+    // pushed lsn range — data files never open (key-equality pruning is
+    // irrelevant here; residual filters re-apply row-wise as everywhere)
+    if (batchChanges)
+      return snap.cdfFiles.filter(f => f.maxLsn > changesLo && f.minLsn <= lsnHi)
+        .map(f => GraftCdfPartition(resolve(f.path), changesLo, lsnHi): InputPartition)
+        .toArray
     // Plan-time work is pure metadata: file lists and sidecar PATHS only.
     // DV positions are loaded inside the partition readers (executor-side),
     // so driver memory is independent of dvRows.
@@ -563,7 +598,10 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     val physRequired =
       if (snap.renames.isEmpty) required
       else StructType(required.fields.map(f => f.copy(name = snap.physicalOf(f.name))))
-    new GraftReaderFactory(physRequired, conf, vectorized)
+    // sidecar partitions use the streaming CDF row reader — same files,
+    // same reader, batch plan
+    if (batchChanges) new GraftStreamReaderFactory(physRequired, conf)
+    else new GraftReaderFactory(physRequired, conf, vectorized)
   }
 
   /** `spark.readStream.format("graft")` — the incremental CDC tail over

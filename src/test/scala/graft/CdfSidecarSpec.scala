@@ -367,6 +367,29 @@ class CdfSidecarSpec extends SparkSpec {
     assert(typedSet(t.readChangesBetween(per)) == expectedTyped().filter(_._3 > per))
   }
 
+  test("DSv2 batch changeTypes scan serves sidecars with lsn pushdown") {
+    val t = build(ApplyMode.MergeOnRead, "cdfdsv2")
+    val df = spark.read.format("graft").option("changeTypes", "true").load(t.root)
+    assert(typedSet(df) == expectedTyped())
+    // the pushed lsn range maps to the sidecar cursor contract
+    assert(typedSet(df.where(col("lsn") > per && col("lsn") <= 2 * per)) ==
+      expectedTyped().filter(x => x._3 > per && x._3 <= 2 * per))
+    // expiry raises the floor: a full-history scan is a loud error, a
+    // cursor-above-floor scan still serves
+    t.expireChangeFeed(per)
+    val fresh = spark.read.format("graft").option("changeTypes", "true").load(t.root)
+    val e = intercept[Exception](fresh.collect())
+    assert(e.getMessage.contains("the feed covers"),
+      s"expected coverage error, got: ${e.getMessage}")
+    assert(typedSet(fresh.where(col("lsn") > per)) == expectedTyped().filter(_._3 > per))
+    // feed-off table: directed to enable CDF or use the streaming tail
+    val off = new LakeTable(spark, tmpDir("cdfdsv2off"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    off.merge(ChangeLogGen.changeLog(spark, cfg).where(col("lsn") <= per), "dsv2off", 0L)
+    val e2 = intercept[Exception](
+      spark.read.format("graft").option("changeTypes", "true").load(off.root).collect())
+    assert(e2.getMessage.contains("change data feed"))
+  }
+
   test("batch incremental read rides sidecars when covered (readChangedSince fast path)") {
     // the batch analogue of the streaming fast path: on CoW, rewrites
     // carry old rows under new files, so the data-file path re-reads every

@@ -423,12 +423,16 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
-  test("changeTypes is rejected on BATCH reads (streaming-tail option only)") {
+  test("changeTypes on BATCH reads needs the feed (loud error on a feed-off table)") {
+    // since round 6 a COVERED batch changeTypes scan is served from the
+    // CDF sidecars (CdfSidecarSpec pins it); on a feed-off table there is
+    // no per-commit change history to serve — fail loudly, pointing at
+    // enablement or the streaming tail's history walk
     val t = buildCow()
     val e = intercept[Exception] {
       spark.read.format("graft").option("changeTypes", "true").load(t.root).collect()
     }
-    assert(e.getMessage.contains("streaming-tail option"), e.getMessage)
+    assert(e.getMessage.contains("change data feed"), e.getMessage)
   }
 
   test("pre-upgrade snapshots without repo stats: no skipping, correct results") {

@@ -97,6 +97,37 @@ class TypeWideningSpec extends SparkSpec {
       .agg(sum("score")).collect().head.getLong(0) == exp)
   }
 
+  test("widening x CDF: sidecars written narrow serve the typed feed under the wide schema") {
+    // sidecar parquet written before the widening carries INT32 score;
+    // the typed tail and the batch table_changes read must both promote
+    val t = new LakeTable(spark, tmpDir("widencdf"), defaultBuckets = 4,
+      ApplyMode.MergeOnRead, defaultCdf = true)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(scored(wal.where(col("lsn") <= 1500), wide = false), "wcdf", 0L)
+    t.widenColumn("score", LongType)
+    t.merge(scored(wal.where(col("lsn") > 1500), wide = true), "wcdf", 1L)
+    val changes = t.readChangesBetween(0L)
+    assert(changes.schema("score").dataType == LongType)
+    // every change row carries the exact score: int grams below 1500,
+    // beyond-int values above — winner-per-(key, batch) granularity
+    val bad = changes.where(
+      (col("lsn") <= 1500 && col("score") =!= (col("lsn") % 97)) ||
+      (col("lsn") > 1500 && col("score") =!= lit(5000000000L) + col("lsn"))).count()
+    assert(bad == 0, "promoted sidecar values must be exact")
+    // streamed typed tail over the same (narrow + wide) sidecars
+    val q = spark.readStream.format("graft").option("changeTypes", "true").load(t.root)
+      .writeStream.format("memory").queryName("widen_cdf_tail")
+      .option("checkpointLocation", tmpDir("cpwidencdf"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("widen_cdf_tail")
+      .select("repo", "path", "lsn", "commit", "score").collect()
+      .map(_.toSeq).toSet
+    val batch = changes.select("repo", "path", "lsn", "commit", "score").collect()
+      .map(_.toSeq).toSet
+    assert(streamed == batch, "streamed and batch typed changes must agree bit-for-bit")
+  }
+
   test("a NARROW batch after widening is accepted and cast up (steady-state ingest)") {
     val t = build("widen2")
     // upstream still sends int — unionSchema resolves to the wider declared
