@@ -35,7 +35,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
-    "describe_history", "widen_column")
+    "describe_history", "widen_column", "compact_change_feed")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -72,6 +72,8 @@ object GraftProcedures {
       case "expire_change_feed" => Array(p("table", StringType), p("below_lsn", LongType))
       case "widen_column"       => Array(p("table", StringType), p("column", StringType),
                                          p("type", StringType))
+      case "compact_change_feed" => Array(p("table", StringType),
+                                          pDef("target_files", IntegerType, "8"))
       case _                    => Array(p("table", StringType))
     }
 
@@ -131,6 +133,11 @@ object GraftProcedures {
             .map(_.dataType.simpleString).orNull
           statusScan("column" -> StringType, "type" -> StringType)(
             UTF8String.fromString(colName), UTF8String.fromString(widened))
+        case "compact_change_feed" =>
+          val before = lake.currentSnapshot().get.cdfFiles.size
+          lake.compactChangeFeed(input.getInt(1))
+          statusScan("sidecars_before" -> IntegerType, "sidecars_after" -> IntegerType)(
+            before, lake.currentSnapshot().get.cdfFiles.size)
         case "describe_history" =>
           describeHistory(lake, dir)
       }

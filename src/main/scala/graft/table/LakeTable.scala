@@ -1310,6 +1310,45 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     }
   }
 
+  /** Fold the registered change sidecars into a few lsn-range-SORTED
+    * files — the feed's compaction. A long-lived covered range
+    * accumulates one sidecar per commit, and tail/batch planning plus
+    * task counts are O(sidecar files); folding bounds them without
+    * touching coverage, delivery, or types (rows keep their (lsn, commit,
+    * _change_type) identity and every reader filters the cursor range
+    * row-level). Rewriting under the CURRENT schema also widens
+    * pre-widening sidecars as a side effect. Old sidecar files stay
+    * referenced by retained historical snapshots and are reclaimed by
+    * `expireSnapshots`, exactly like compacted data files.
+    */
+  def compactChangeFeed(targetFiles: Int = 8): Unit = {
+    require(targetFiles > 0, "compactChangeFeed: targetFiles must be positive")
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(return)
+      if (snap.cdfSinceLsn < 0 || snap.cdfFiles.size <= targetFiles) return
+      val v = snap.version + 1
+      val token = LakeTable.newToken
+      val dir = s"$dataDir/c$v-$token/cdf"
+      val schema = StructType.fromDDL(snap.schemaDdl)
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+      spark.read.schema(schema).parquet(snap.cdfFiles.map(f => resolvePath(f.path)): _*)
+        .repartitionByRange(targetFiles, col("lsn"))
+        .sortWithinPartitions("lsn", "repo", "path")
+        .write.parquet(dir)
+      val entries = cdfStatsOf(dir)
+      try {
+        commitSnapshot(snap.copy(version = v, cdfFiles = entries), snap, token)
+        return
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1 // a commit interleaved (possibly appending sidecars): redo from the new head
+          fs.deleteRecursive(s"$dataDir/c$v-$token")
+      }
+    }
+    throw new CommitConflictException(s"compactChangeFeed($root): lost $attempts commit races")
+  }
+
   /** Turn the change data feed ON from now: commits after this one record
     * change sidecars for rows above the current hwm (a typed tail whose
     * cursor is at or past it serves purely from sidecars). Metadata-only

@@ -44,6 +44,10 @@ class CatalogSpec extends SparkSpec {
     val ex = spark.sql(s"CALL $cat.system.expire_change_feed('m', 4)").collect().head
     assert(ex.getInt(0) == 1 && ex.getLong(1) == 4L)
 
+    // feed compaction folds sidecars through SQL (below-target = no-op here)
+    val fold = spark.sql(s"CALL $cat.system.compact_change_feed('m', 1)").collect().head
+    assert(fold.getInt(1) <= math.max(fold.getInt(0), 1))
+
     // history: newest first, versions dense, commit times stamped
     val hist = spark.sql(s"CALL $cat.system.describe_history('m')")
     val versions = hist.select("version").collect().map(_.getInt(0)).toSeq

@@ -367,6 +367,39 @@ class CdfSidecarSpec extends SparkSpec {
     assert(typedSet(t.readChangesBetween(per)) == expectedTyped().filter(_._3 > per))
   }
 
+  test("compactChangeFeed folds sidecars; delivery, slicing and types unchanged") {
+    spark.conf.set("spark.graft.manifest.compactThreshold", "4")
+    try {
+      val root = tmpDir("cdffold")
+      val t = new LakeTable(spark, root, defaultBuckets = 4, ApplyMode.MergeOnRead, defaultCdf = true)
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      val n = 12
+      val step = cfg.events / n
+      (0 until n).foreach { i =>
+        t.merge(wal.where(col("lsn").between(i * step + 1, (i + 1) * step)), "fold", i.toLong) }
+      val before = t.currentSnapshot().get
+      assert(before.cdfFiles.size == n)
+      val full = typedSet(t.readChangesBetween(0L))
+      t.compactChangeFeed(targetFiles = 2)
+      val after = t.currentSnapshot().get
+      assert(after.cdfFiles.size <= 2, s"fold to <= 2 files, got ${after.cdfFiles.size}")
+      assert(after.cdfSinceLsn == before.cdfSinceLsn, "coverage untouched")
+      // full delivery, a mid-range slice, and the streamed tail all exact
+      assert(typedSet(t.readChangesBetween(0L)) == full)
+      assert(typedSet(t.readChangesBetween(3 * step, 7 * step)) ==
+        full.filter(x => x._3 > 3 * step && x._3 <= 7 * step))
+      assert(typedSet(runTyped(root, "cdf_fold")) == full)
+      // idempotent below the target; old sidecars reclaimed with history
+      val v = t.currentSnapshot().get.version
+      t.compactChangeFeed(targetFiles = 2)
+      assert(t.currentSnapshot().get.version == v)
+      t.expireSnapshots(keep = 1)
+      val gone = before.cdfFiles.map(f => t.resolvePath(f.path)).count(t.fs.exists)
+      assert(gone == 0, "pre-fold sidecar files must be reclaimed once unreferenced")
+      assert(typedSet(t.readChangesBetween(0L)) == full)
+    } finally spark.conf.unset("spark.graft.manifest.compactThreshold")
+  }
+
   test("DSv2 batch changeTypes scan serves sidecars with lsn pushdown") {
     val t = build(ApplyMode.MergeOnRead, "cdfdsv2")
     val df = spark.read.format("graft").option("changeTypes", "true").load(t.root)
