@@ -42,15 +42,17 @@ object CdcQueries {
     * committed count and rebuilt from zero.
     */
   def smLakeMode(spark: SparkSession, mode: ApplyMode.Value, name: String, cp: String,
-                 cdf: Boolean = false): LakeTable = {
+                 cdf: Boolean = false, cdfFull: Boolean = false): LakeTable = {
     ensureSmWal(spark)
     val dir = s"$LakeRoot/$name"
-    val t = new LakeTable(spark, dir, smBuckets, mode, defaultCdf = cdf)
+    val t = new LakeTable(spark, dir, smBuckets, mode, defaultCdf = cdf, defaultCdfFull = cdfFull)
     val ok = t.currentSnapshot().exists(s => s.committedCount == smBatches &&
-      s.hwm == smCfg.events && (!cdf || s.cdfSinceLsn >= 0))
+      s.hwm == smCfg.events && (!cdf || s.cdfSinceLsn >= 0) &&
+      (!cdfFull || s.cdfFullSinceLsn >= 0))
     if (!ok) {
       deleteRec(dir)
-      val fresh = new LakeTable(spark, dir, smBuckets, mode, defaultCdf = cdf)
+      val fresh = new LakeTable(spark, dir, smBuckets, mode, defaultCdf = cdf,
+        defaultCdfFull = cdfFull)
       val wal = spark.read.parquet(smWal)
       val per = smCfg.events / smBatches
       (0 until smBatches).foreach { i =>
@@ -611,7 +613,32 @@ object CdcQueries {
     // the history-walk path (q50) — that identity is the equivalence proof
     ("q51_cdf_types" -> m("q50_change_types")) +
     // batch table_changes over the sidecars — third path, same oracle
-    ("q54_changes" -> m("q50_change_types")))
+    ("q54_changes" -> m("q50_change_types")) +
+    // the FULL feed's oracle: the q50 replay extended with before-images —
+    // each winner's predecessor sha from a lag window; preimage rows join
+    // via UNION ALL under the new change's (lsn, commit), delete rows take
+    // the predecessor's sha (Delta's old-values-on-delete convention)
+    ("q55_cdf_full" -> s"""
+      WITH winners AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path, CAST((lsn - 1) // 10000 AS BIGINT)
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+              FROM $walSrc) WHERE rn = 1),
+      typed AS (
+        SELECT repo, path, lsn, "commit",
+               CASE WHEN op = 'D' THEN 'delete'
+                    WHEN coalesce(lag(op) OVER w, 'D') = 'D' THEN 'insert'
+                    ELSE 'update_postimage' END AS ct,
+               CASE WHEN op = 'D' THEN NULL ELSE sha256(content) END AS sha,
+               lag(CASE WHEN op = 'D' THEN NULL ELSE sha256(content) END) OVER w AS prev_sha
+        FROM winners
+        WINDOW w AS (PARTITION BY repo, path ORDER BY lsn, "commit"))
+      SELECT repo, path, lsn, "commit", ct AS "_change_type",
+             CASE WHEN ct = 'delete' THEN prev_sha ELSE sha END AS content_sha
+      FROM typed
+      UNION ALL
+      SELECT repo, path, lsn, "commit", 'update_preimage', prev_sha
+      FROM typed WHERE ct = 'update_postimage'
+      ORDER BY lsn, repo, path, "_change_type""""))
 
   /** BATCH typed changes over the same CDF table as q51: `table_changes`
     * parity served from the sidecars with no streaming machinery, through
@@ -625,6 +652,26 @@ object CdcQueries {
     s.read.format("graft").option("changeTypes", "true").load(t.root)
       .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
       .orderBy("lsn", "repo", "path")
+  }
+
+  /** The FULL change data feed (Delta `table_changes` parity, round-6):
+    * the same 5-batch MoR apply with `cdf = 'full'`, so every commit's
+    * sidecar also records BEFORE-IMAGES — an `update_preimage` row per
+    * update (the old values under the NEW change's (lsn, commit)) and
+    * `delete` rows carrying the deleted row's old values. The oracle
+    * replays the WAL and derives each change's predecessor sha with a lag
+    * window — a wrong preimage VALUE (not just a wrong type) fails the
+    * hash gate. Content rides as contentSha so the compared surface is
+    * the full payload identity.
+    */
+  def q55CdfFull(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
+    require(t.currentSnapshot().exists(_.cdfFullSinceLsn == 0L),
+      "q55: the full feed must cover from lsn 0")
+    t.readChangesBetween(0)
+      .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"),
+        col("contentSha").as("content_sha"))
+      .orderBy("lsn", "repo", "path", "_change_type")
   }
 
   /** TYPE WIDENING end-to-end (round-5 VERDICT "Missing" #3): the first
@@ -683,6 +730,7 @@ object CdcQueries {
     "q51_cdf_types" -> q51CdfTypes _,
     "q53_widen" -> q53Widen _,
     "q54_changes" -> q54Changes _,
+    "q55_cdf_full" -> q55CdfFull _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

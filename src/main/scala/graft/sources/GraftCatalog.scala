@@ -165,12 +165,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // path must never be clobbered (tableExists above is only a fast-path)
     val stored = if (schema.fieldNames.contains("deleted")) schema
       else StructType(schema.fields :+ StructField("deleted", BooleanType, nullable = false))
-    // TBLPROPERTIES ('cdf' = 'true'): change data feed on from creation —
-    // every commit writes its change sidecar
-    val cdf = Option(properties.get("cdf")).exists(_.toBoolean)
+    // TBLPROPERTIES ('cdf' = 'true' | 'full'): change data feed on from
+    // creation — every commit writes its change sidecar; 'full' also
+    // records before-images (update_preimage rows + old values on deletes)
+    val cdfProp = Option(properties.get("cdf")).map(_.toLowerCase)
+    val cdfFull = cdfProp.contains("full")
+    val cdf = cdfFull || cdfProp.exists(_.toBoolean)
     val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode,
       tsMs = System.currentTimeMillis(),
-      cdfSinceLsn = if (cdf) 0L else -1L)
+      cdfSinceLsn = if (cdf) 0L else -1L,
+      cdfFullSinceLsn = if (cdfFull) 0L else -1L)
     if (!fs.atomicCreate(s"$dir/meta/snap-1.json", SnapshotIO.write(snap)))
       throw new TableAlreadyExistsException(ident)
     // properties file in graft.table.Catalog's format (shared warehouse)

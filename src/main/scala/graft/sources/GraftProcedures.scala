@@ -74,6 +74,8 @@ object GraftProcedures {
                                          p("type", StringType))
       case "compact_change_feed" => Array(p("table", StringType),
                                           pDef("target_files", IntegerType, "8"))
+      case "enable_change_data_feed" => Array(p("table", StringType),
+                                              pDef("mode", StringType, "'post'"))
       case _                    => Array(p("table", StringType))
     }
 
@@ -112,8 +114,15 @@ object GraftProcedures {
           val removed = lake.vacuumOrphans(input.getInt(1).toLong * 3600 * 1000)
           statusScan("orphans_removed" -> IntegerType)(removed)
         case "enable_change_data_feed" =>
-          lake.enableChangeDataFeed()
-          statusScan("cdf_since_lsn" -> LongType)(lake.currentSnapshot().get.cdfSinceLsn)
+          // mode: 'post' (default) = post-images only; 'full' = also write
+          // before-images (update_preimage rows + old values on deletes)
+          val mode = input.getUTF8String(1).toString.toLowerCase
+          require(mode == "post" || mode == "full",
+            s"enable_change_data_feed: mode must be 'post' or 'full', got '$mode'")
+          lake.enableChangeDataFeed(full = mode == "full")
+          val head = lake.currentSnapshot().get
+          statusScan("cdf_since_lsn" -> LongType, "cdf_full_since_lsn" -> LongType)(
+            head.cdfSinceLsn, head.cdfFullSinceLsn)
         case "expire_change_feed" =>
           val dropped = lake.expireChangeFeed(input.getLong(1))
           statusScan("sidecars_dropped" -> IntegerType,

@@ -174,7 +174,12 @@ final class GraftMicroBatchStream(root: String, required: StructType,
           // the upsert-only feed (no `deleted` in the read schema) must
           // drop tombstone rows, exactly like GraftStreamReader; typed
           // consumers always see deletes (that is the point of the feed)
-          keepDeletes = changeTypes || required.fieldNames.contains("deleted")): InputPartition)
+          keepDeletes = changeTypes || required.fieldNames.contains("deleted"),
+          // full-feed sidecars also hold update_preimage rows (before-
+          // images, same (lsn, commit) as their postimage) — only the
+          // TYPED tail may see them; an untyped feed delivering them
+          // would double-deliver each update with stale values
+          keepPreimages = changeTypes): InputPartition)
         .toArray
     } else if (changeTypes) {
       // `_change_type` (insert / update_postimage / delete) needs each
@@ -233,14 +238,15 @@ final case class GraftStreamChangePartition(files: Seq[String], sorted: Boolean,
   * only range-filters, optionally drops tombstones, and projects
   */
 final case class GraftCdfPartition(file: String, lo: Long, hi: Long,
-                                   keepDeletes: Boolean = true) extends InputPartition
+                                   keepDeletes: Boolean = true,
+                                   keepPreimages: Boolean = true) extends InputPartition
 
 final class GraftStreamReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftCdfPartition =>
-        new GraftCdfReader(p.file, required, conf.value, p.lo, p.hi, p.keepDeletes)
+        new GraftCdfReader(p.file, required, conf.value, p.lo, p.hi, p.keepDeletes, p.keepPreimages)
       case p: GraftStreamChangePartition =>
         new GraftChangeTypeReader(p.files, p.sorted, required, conf.value, p.lo, p.hi)
       case p: GraftStreamPartition =>
@@ -398,17 +404,25 @@ final class GraftChangeTypeReader(files: Seq[String], sorted: Boolean, required:
   * the file for rate-limited triggers that split one commit's range.
   */
 final class GraftCdfReader(path: String, required: StructType, conf: Configuration,
-                           lo: Long, hi: Long, keepDeletes: Boolean = true)
+                           lo: Long, hi: Long, keepDeletes: Boolean = true,
+                           keepPreimages: Boolean = true)
     extends PartitionReader[InternalRow] {
 
+  // with keepPreimages=false (untyped consumers of a FULL-feed table) the
+  // reader also loads `_change_type` as a bookkeeping column and drops the
+  // before-image rows — they duplicate each update's (lsn, commit) with
+  // the OLD values and belong only to typed consumers
   private val extraNames =
-    Seq("lsn", "deleted").filterNot(required.fieldNames.contains)
+    (Seq("lsn", "deleted") ++ (if (keepPreimages) Nil else Seq("_change_type")))
+      .filterNot(required.fieldNames.contains)
   private val ext: Array[StructField] = required.fields ++ extraNames.map {
-    case "lsn"     => StructField("lsn", LongType)
-    case "deleted" => StructField("deleted", BooleanType)
+    case "lsn"          => StructField("lsn", LongType)
+    case "deleted"      => StructField("deleted", BooleanType)
+    case "_change_type" => StructField("_change_type", StringType)
   }
   private val lsnIdx = ext.indexWhere(_.name == "lsn")
   private val deletedIdx = ext.indexWhere(_.name == "deleted")
+  private val ctypeIdx = if (keepPreimages) -1 else ext.indexWhere(_.name == "_change_type")
   private val cursor = new GroupRowCursor(path, ext, conf)
   private var current: InternalRow = _
 
@@ -416,7 +430,11 @@ final class GraftCdfReader(path: String, required: StructType, conf: Configurati
     while (cursor.advance()) {
       val lsn = cursor.values(lsnIdx).asInstanceOf[Long]
       val isDel = cursor.values(deletedIdx) == true
-      if (lsn > lo && lsn <= hi && (keepDeletes || !isDel)) {
+      val isPre = ctypeIdx >= 0 && {
+        val ct = cursor.values(ctypeIdx)
+        ct != null && ct.toString == "update_preimage"
+      }
+      if (lsn > lo && lsn <= hi && !isPre && (keepDeletes || !isDel)) {
         current = new GenericInternalRow(java.util.Arrays.copyOfRange(
           cursor.values.asInstanceOf[Array[AnyRef]], 0, required.length).asInstanceOf[Array[Any]])
         return true

@@ -119,6 +119,20 @@ final case class Snapshot(
       * manifest on the next CDF-touching commit).
       */
     cdfManifests: Seq[String] = Nil,
+    /** FULL change data feed (Delta `table_changes` parity): -1 = the feed
+      * (if on) records post-images only; >= 0 = commits above this lsn
+      * also record BEFORE-IMAGES — an `update_preimage` row per update
+      * (old values, stamped with the NEW change's (lsn, commit), Delta's
+      * convention) and `delete` rows carrying the deleted row's old
+      * values instead of the tombstone's nulls. The preimage floor: a
+      * consumer needing before-images must position its cursor at or past
+      * it (below, sidecars are post-only; the feed itself is still
+      * complete down to cdfSinceLsn). Raised past any commit that raced a
+      * full-enablement and wrote a post-only sidecar — "preimages
+      * available" is never claimed for a commit that didn't write them.
+      * Invariant: cdfFullSinceLsn >= 0 implies cdfSinceLsn >= 0.
+      */
+    cdfFullSinceLsn: Long = -1L,
     /** COLUMN MAPPING (rename/drop for evolved payload columns —
       * Delta/Iceberg's column-ID idea, name-keyed because the engine's
       * core columns are contract-fixed and unmappable): `schemaDdl` always
@@ -222,7 +236,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
                         * snapshot — use enableChangeDataFeed() to turn it
                         * on later)
                         */
-                      val defaultCdf: Boolean = false) {
+                      val defaultCdf: Boolean = false,
+                      /** create the table with the FULL feed (before-images)
+                        * ON — implies defaultCdf; see Snapshot.cdfFullSinceLsn
+                        */
+                      val defaultCdfFull: Boolean = false) {
   import LakeTable._
 
   private val metaDir = s"$root/meta"
@@ -517,10 +535,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // cursors drop below it, and they take the file path again.
         if (s.cdfSinceLsn >= 0 && fromLsn > s.cdfSinceLsn) {
           val sc = s.cdfFiles.filter(_.maxLsn >= fromLsn)
+          // full-feed sidecars also hold update_preimage rows (same (lsn,
+          // commit) as their postimage — they must never win the resolve)
+          val cdfSchema = schema.add("_change_type", org.apache.spark.sql.types.StringType)
           val raw =
-            if (sc.isEmpty) emptyTable(schema)
-            else spark.read.schema(schema).parquet(sc.map(f => resolvePath(f.path)): _*)
-          return toLogical(latestPerKey(raw).where(col("lsn") >= fromLsn), Some(s))
+            if (sc.isEmpty) emptyTable(cdfSchema)
+            else spark.read.schema(cdfSchema).parquet(sc.map(f => resolvePath(f.path)): _*)
+          val posts = raw.where(col("_change_type") =!= "update_preimage").drop("_change_type")
+          return toLogical(latestPerKey(posts).where(col("lsn") >= fromLsn), Some(s))
         }
         val files = s.files.filter(_.maxLsn >= fromLsn)
         val raw =
@@ -693,10 +715,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val token = LakeTable.newToken
     // change data feed: ON when the snapshot says so (or at creation via
     // defaultCdf) — the commit then also writes its change sidecar
-    val cdfOn = snap.map(_.cdfSinceLsn >= 0).getOrElse(defaultCdf)
+    val cdfOn = snap.map(_.cdfSinceLsn >= 0).getOrElse(defaultCdf || defaultCdfFull)
+    // FULL feed: the sidecar also carries before-images (update_preimage
+    // rows + old values on deletes) — costs a payload read of the affected
+    // buckets' prior winners (CoW pays it anyway for the rewrite)
+    val cdfFull = snap.map(_.cdfFullSinceLsn >= 0).getOrElse(defaultCdfFull)
     if (mode == ApplyMode.DeletionVector)
       return mergeDv(events, cleaned, cpId, batchId, prev, version, nBuckets, batchRows, staleRows,
-        token, affectedAll, requireVersion, cdfOn)
+        token, affectedAll, requireVersion, cdfOn, cdfFull)
     val incoming = cleaned.withColumn("b", bCol)
     val (all, affected: Option[Set[Int]]) = mode match {
       case ApplyMode.MergeOnRead =>
@@ -751,7 +777,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           case ApplyMode.CopyOnWrite =>
             out.join(priorKeyed.drop("deleted"), Seq("repo", "path", "lsn", "commit"), "left_anti")
         }
-        writeCdfSidecar(newStored, priorKeyed, s"$commitDir/cdf")
+        // FULL feed: prior stored versions WITH payloads feed the
+        // before-images — on CoW the stored set is already resolved (the
+        // rewrite read it anyway); on MoR the full CHAIN rides along (a
+        // stale new row must take its true chain predecessor's payload,
+        // exactly as the typing does) — the full-mode surcharge is this
+        // payload read of the affected buckets instead of the key-pruned
+        // chain-column one
+        val priorFull =
+          if (!cdfFull) None
+          else Some(readRawAt(snap, Some(affectedAll)))
+        writeCdfSidecar(newStored, priorKeyed, priorFull, s"$commitDir/cdf")
       }
 
     // ---- optimistic commit loop (multi-writer safety) ----
@@ -775,7 +811,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           // the snapshot, not from constructor args
           commitSnapshot(cur.copy(version = v,
             committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
-            cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn), cur, token)
+            cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn,
+            cdfFullSinceLsn = if (cdfFull) math.max(cur.cdfFullSinceLsn, 0L) else cur.cdfFullSinceLsn),
+            cur, token)
           return Seq.empty
         }
         val kept = mode match {
@@ -822,6 +860,11 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           mode = modeString(mode),
           cdfSinceLsn = nextCdfSince,
           cdfFiles = nextCdfFiles,
+          // full-enablement race (mirror of the cdfOn rule above): if the
+          // fresh head claims before-images but THIS sidecar is post-only,
+          // raise the preimage floor past the batch — never claim
+          // preimages a commit didn't write
+          cdfFullSinceLsn = LakeTable.nextFullFloor(cdfFull, cur.cdfFullSinceLsn, batchHwm),
           renames = cur.renames,
           retiredPhysicals = cur.retiredPhysicals
         ), cur, token)
@@ -888,7 +931,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
                       prev: Snapshot, version: Int, nBuckets: Int,
                       batchRows: Long, staleRows: Long, token: String,
                       affected: Set[Int], requireVersion: Option[Int] = None,
-                      cdfOn: Boolean = false): Seq[BucketStats] = {
+                      cdfOn: Boolean = false, cdfFull: Boolean = false): Seq[BucketStats] = {
     import org.apache.spark.sql.types.StructType
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val batch = LakeTable.latestPerKey(cleaned).withColumn("b", bCol)
@@ -972,13 +1015,26 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         if (!cdfOn) Nil
         else {
           val dataColNames = batch.columns.filterNot(_ == "b").toSeq
-          keep.select(dataColNames.map(col) :+
-            when(col("deleted"), "delete")
-              .when(col("ex_lsn").isNotNull && !coalesce(col("ex_deleted"), lit(false)),
-                "update_postimage")
-              .otherwise("insert").as("_change_type"): _*)
-            .write.mode("overwrite").parquet(s"$commitDir/cdf")
-          cdfStatsOf(s"$commitDir/cdf")
+          if (cdfFull)
+            // FULL feed: before-images need the prior winners' PAYLOADS —
+            // the one place DV's column-pruned design pays a payload read
+            // (key-semi-joined to the batch inside writeCdfSidecar). The
+            // DV live stored set IS the resolved set (superseded positions
+            // are dead), so the chain window types identically to the
+            // ex_-projection below.
+            writeCdfSidecar(keep.select(dataColNames.map(col): _*),
+              existing.select(col("repo"), col("path"), col("ex_lsn").as("lsn"),
+                col("ex_commit").as("commit"), col("ex_deleted").as("deleted")),
+              Some(readResolvedAt(Some(prev), Some(affected))), s"$commitDir/cdf")
+          else {
+            keep.select(dataColNames.map(col) :+
+              when(col("deleted"), "delete")
+                .when(col("ex_lsn").isNotNull && !coalesce(col("ex_deleted"), lit(false)),
+                  "update_postimage")
+                .otherwise("insert").as("_change_type"): _*)
+              .write.mode("overwrite").parquet(s"$commitDir/cdf")
+            cdfStatsOf(s"$commitDir/cdf")
+          }
         }
 
       // ---- optimistic commit loop (multi-writer safety) ----
@@ -999,7 +1055,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           if (stats.isEmpty && dvCount == 0) {
             commitSnapshot(cur.copy(version = v,
               committed = LakeTable.pruneEphemeralCommits(cur.withCommit(cpId, batchId), cpId),
-              cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn), cur, token)
+              cdfSinceLsn = if (cdfOn) math.max(cur.cdfSinceLsn, 0L) else cur.cdfSinceLsn,
+              cdfFullSinceLsn = if (cdfFull) math.max(cur.cdfFullSinceLsn, 0L) else cur.cdfFullSinceLsn),
+              cur, token)
             return Seq.empty
           }
           val schemaDdl = LakeTable.unionSchema(StructType.fromDDL(cur.schemaDdl), cleaned.schema).toDDL
@@ -1030,7 +1088,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             // the floor past it — a "covered" tail must never silently miss
             // a commit's rows (same rule as the CoW/MoR commit loop)
             cdfSinceLsn = dvCdf._1,
-            cdfFiles = dvCdf._2
+            cdfFiles = dvCdf._2,
+            cdfFullSinceLsn = LakeTable.nextFullFloor(cdfFull, cur.cdfFullSinceLsn, batchHwm)
           ), cur, token)
           return stats
         } catch {
@@ -1161,26 +1220,64 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * time so tails never re-read history. Cost: O(batch) + a column-pruned
     * key-semi-joined read of the affected buckets (no payloads).
     */
-  private def writeCdfSidecar(newStored: DataFrame, prior: DataFrame, dir: String): Seq[CdfEntry] = {
+  private def writeCdfSidecar(newStored: DataFrame, prior: DataFrame,
+      priorFull: Option[DataFrame], dir: String): Seq[CdfEntry] = {
     import org.apache.spark.sql.expressions.Window
     val keys = newStored.select("repo", "path").distinct()
-    val pri = prior.join(keys, Seq("repo", "path"), "left_semi")
-      .withColumn("__new", lit(false))
     val neu = newStored.withColumn("__new", lit(true))
-    // prior rows carry only the chain columns; payloads null-backfill
-    val unioned = neu.unionByName(pri, allowMissingColumns = true)
     // exact (lsn, commit) ties order stored-before-new, matching the
     // resolve's file-order tie-break
     val w = Window.partitionBy("repo", "path")
       .orderBy(col("lsn"), col("commit"), col("__new"))
-    val typed = unioned
-      .withColumn("__prevDel", lag(col("deleted"), 1).over(w))
-      .where(col("__new"))
-      .withColumn("_change_type",
-        when(col("deleted"), "delete")
-          .when(col("__prevDel").isNull || col("__prevDel"), "insert")
-          .otherwise("update_postimage"))
-      .drop("__new", "__prevDel")
+    val typed = priorFull match {
+      case None =>
+        val pri = prior.join(keys, Seq("repo", "path"), "left_semi")
+          .withColumn("__new", lit(false))
+        // prior rows carry only the chain columns; payloads null-backfill
+        val unioned = neu.unionByName(pri, allowMissingColumns = true)
+        unioned
+          .withColumn("__prevDel", lag(col("deleted"), 1).over(w))
+          .where(col("__new"))
+          .withColumn("_change_type",
+            when(col("deleted"), "delete")
+              .when(col("__prevDel").isNull || col("__prevDel"), "insert")
+              .otherwise("update_postimage"))
+          .drop("__new", "__prevDel")
+      case Some(pf) =>
+        // FULL feed: prior rows arrive as the stored versions WITH
+        // payloads (full chains on MoR, the resolved set on CoW/DV), so
+        // the lag consults exactly the predecessor the typing does, and
+        // the same chain window also yields each change's before-image.
+        // Delta table_changes shape:
+        // one update_preimage row per update (old values, stamped with the
+        // NEW change's (lsn, commit) — Delta's commit-version convention),
+        // and delete rows carry the deleted row's old values instead of
+        // the tombstone's nulls.
+        val pri = pf.join(keys, Seq("repo", "path"), "left_semi")
+          .withColumn("__new", lit(false))
+        val unioned = neu.unionByName(pri, allowMissingColumns = true)
+        val payCols = unioned.columns.filterNot(Set("repo", "path", "__new")).toSeq
+        val dataPay = payCols.filterNot(Set("lsn", "commit", "deleted"))
+        val lagged = unioned
+          .withColumn("__prev", lag(struct(payCols.map(col): _*), 1).over(w))
+          .where(col("__new"))
+          .withColumn("_change_type",
+            when(col("deleted"), "delete")
+              .when(col("__prev").isNull || col("__prev.deleted"), "insert")
+              .otherwise("update_postimage"))
+        val prevLive = col("__prev").isNotNull && !col("__prev.deleted")
+        val post = lagged.select(
+          Seq(col("repo"), col("path")) ++
+          dataPay.map(c => when(col("_change_type") === "delete" && prevLive,
+              col(s"__prev.$c")).otherwise(col(c)).as(c)) ++
+          Seq(col("lsn"), col("commit"), col("deleted"), col("_change_type")): _*)
+        val pre = lagged.where(col("_change_type") === "update_postimage").select(
+          Seq(col("repo"), col("path")) ++
+          dataPay.map(c => col(s"__prev.$c").as(c)) ++
+          Seq(col("lsn"), col("commit"), lit(false).as("deleted"),
+            lit("update_preimage").as("_change_type")): _*)
+        post.unionByName(pre)
+    }
     typed.write.mode("overwrite").parquet(dir)
     cdfStatsOf(dir)
   }
@@ -1270,21 +1367,61 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * cursor).
     */
   private def writeReplaceSidecar(prevSnap: Option[Snapshot], newLive: DataFrame,
-      dLsn: Long, commitId: String, dir: String): Seq[CdfEntry] = {
-    val prior = liveKeysAt(prevSnap)
-    val vanished = prior
-      .join(newLive.select("repo", "path").distinct(), Seq("repo", "path"), "left_anti")
-      .withColumn("deleted", lit(true))
-      .withColumn("_change_type", lit("delete"))
-    val typedNew = newLive
-      .join(prior.withColumn("__had", lit(true)), Seq("repo", "path"), "left")
-      .where(col("__had").isNotNull || !col("deleted"))
-      .withColumn("_change_type",
-        when(col("deleted"), "delete")
-          .when(col("__had").isNotNull, "update_postimage")
-          .otherwise("insert"))
-      .drop("__had")
-    typedNew.unionByName(vanished, allowMissingColumns = true)
+      dLsn: Long, commitId: String, dir: String, full: Boolean = false): Seq[CdfEntry] = {
+    val changes =
+      if (!full) {
+        val prior = liveKeysAt(prevSnap)
+        val vanished = prior
+          .join(newLive.select("repo", "path").distinct(), Seq("repo", "path"), "left_anti")
+          .withColumn("deleted", lit(true))
+          .withColumn("_change_type", lit("delete"))
+        newLive
+          .join(prior.withColumn("__had", lit(true)), Seq("repo", "path"), "left")
+          .where(col("__had").isNotNull || !col("deleted"))
+          .withColumn("_change_type",
+            when(col("deleted"), "delete")
+              .when(col("__had").isNotNull, "update_postimage")
+              .otherwise("insert"))
+          .drop("__had")
+          .unionByName(vanished, allowMissingColumns = true)
+      } else {
+        // FULL feed across a replace: the before-set is the prior LIVE ROWS
+        // (payloads — the one replace shape that reads old payloads, O(old
+        // live rows)); vanished keys' delete rows carry their old values,
+        // re-supplied keys additionally emit an update_preimage row
+        val priorRows = readResolvedAt(prevSnap, None).where(!col("deleted")).drop("deleted")
+        val allPay = (newLive.columns ++ priorRows.columns).distinct
+          .filterNot(Set("repo", "path", "lsn", "commit", "deleted")).toSeq
+        def payType(c: String) = newLive.schema.find(_.name == c)
+          .orElse(priorRows.schema.find(_.name == c)).get.dataType
+        def payOf(df: DataFrame, c: String) =
+          if (df.columns.contains(c)) col(c) else lit(null).cast(payType(c))
+        val priAligned = priorRows.select(
+          Seq(col("repo"), col("path")) ++ allPay.map(c => payOf(priorRows, c).as(c)): _*)
+        val vanished = priAligned
+          .join(newLive.select("repo", "path").distinct(), Seq("repo", "path"), "left_anti")
+          .withColumn("deleted", lit(true))
+          .withColumn("_change_type", lit("delete"))
+        val pp = priAligned.select(col("repo"), col("path"),
+          struct(allPay.map(col): _*).as("__prev"))
+        val typedNew = newLive.join(pp, Seq("repo", "path"), "left")
+          .where(col("__prev").isNotNull || !col("deleted"))
+          .withColumn("_change_type",
+            when(col("deleted"), "delete")
+              .when(col("__prev").isNotNull, "update_postimage")
+              .otherwise("insert"))
+        val post = typedNew.select(
+          Seq(col("repo"), col("path")) ++
+          allPay.map(c => when(col("_change_type") === "delete" && col("__prev").isNotNull,
+              col(s"__prev.$c")).otherwise(payOf(newLive, c)).as(c)) ++
+          Seq(col("deleted"), col("_change_type")): _*)
+        val pre = typedNew.where(col("_change_type") === "update_postimage").select(
+          Seq(col("repo"), col("path")) ++
+          allPay.map(c => col(s"__prev.$c").as(c)) ++
+          Seq(lit(false).as("deleted"), lit("update_preimage").as("_change_type")): _*)
+        post.unionByName(pre).unionByName(vanished)
+      }
+    changes
       .withColumn("lsn", lit(dLsn))
       .withColumn("commit", lit(commitId))
       .write.mode("overwrite").parquet(dir)
@@ -1354,14 +1491,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * cursor is at or past it serves purely from sidecars). Metadata-only
     * commit; idempotent.
     */
-  def enableChangeDataFeed(): Unit = {
+  def enableChangeDataFeed(full: Boolean = false): Unit = {
     var attempts = 0
     while (attempts < 20) {
       val snap = currentSnapshot().getOrElse(
         throw new IllegalStateException(s"enableChangeDataFeed: no table at $root"))
-      if (snap.cdfSinceLsn >= 0) return
+      if (snap.cdfSinceLsn >= 0 && (!full || snap.cdfFullSinceLsn >= 0)) return
       try {
-        commitSnapshot(snap.copy(version = snap.version + 1, cdfSinceLsn = snap.hwm), snap)
+        // full=true on an already-on feed upgrades it: commits from here
+        // also write before-images (the preimage floor starts at the
+        // current hwm — earlier sidecars are post-only and stay valid)
+        commitSnapshot(snap.copy(version = snap.version + 1,
+          cdfSinceLsn = if (snap.cdfSinceLsn >= 0) snap.cdfSinceLsn else snap.hwm,
+          cdfFullSinceLsn = if (full) math.max(snap.cdfFullSinceLsn, snap.hwm)
+                            else snap.cdfFullSinceLsn), snap)
         return
       } catch { case _: CommitConflictException => attempts += 1 }
     }
@@ -1577,7 +1720,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // keys). Coverage stays continuous — covered tails ride sidecars
         // straight across the replace instead of losing the implicit
         // deletions to a coverage restart.
-        val cdfOn = cur.cdfSinceLsn >= 0 || (curOpt.isEmpty && defaultCdf)
+        val cdfOn = cur.cdfSinceLsn >= 0 || (curOpt.isEmpty && (defaultCdf || defaultCdfFull))
+        val cdfFull = cur.cdfFullSinceLsn >= 0 || (curOpt.isEmpty && defaultCdfFull)
         val dLsn = math.max(cur.hwm, math.max(batchHwm, 0L)) + 1
         val cdfEntries: Seq[CdfEntry] =
           if (!cdfOn || (cur.totalRows == 0 && stats.isEmpty)) Nil
@@ -1588,7 +1732,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
             val newLive =
               if (stats.isEmpty) emptyTable(batchSchema)
               else spark.read.schema(batchSchema).parquet(perFile.map(_.file): _*)
-            writeReplaceSidecar(curOpt, newLive, dLsn, "!replace-" + token, s"$commitDir/cdf")
+            writeReplaceSidecar(curOpt, newLive, dLsn, "!replace-" + token, s"$commitDir/cdf",
+              full = cdfFull)
           }
         val newHwm = if (cdfEntries.nonEmpty) dLsn else math.max(cur.hwm, batchHwm)
         val (nextCdfSince, nextCdfFiles) = applyCdfRetention(
@@ -1606,6 +1751,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           mode = modeString(theMode),
           cdfSinceLsn = nextCdfSince,
           cdfFiles = nextCdfFiles,
+          cdfFullSinceLsn = if (cdfFull) math.max(cur.cdfFullSinceLsn, 0L) else cur.cdfFullSinceLsn,
           renames = cur.renames,
           retiredPhysicals = cur.retiredPhysicals
         ), cur, token)
@@ -1646,7 +1792,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           if (snap.cdfSinceLsn < 0 || snap.totalRows == 0) Nil
           else writeReplaceSidecar(Some(snap),
             emptyTable(StructType.fromDDL(snap.schemaDdl)),
-            snap.hwm + 1, "!replace-" + token, s"$dataDir/c$v-$token/cdf")
+            snap.hwm + 1, "!replace-" + token, s"$dataDir/c$v-$token/cdf",
+            full = snap.cdfFullSinceLsn >= 0)
         val newHwm = if (cdfEntries.nonEmpty) snap.hwm + 1 else snap.hwm
         val (nextSince, nextFiles) = applyCdfRetention(
           (snap.cdfSinceLsn, snap.cdfFiles ++ cdfEntries), newHwm)
@@ -2019,6 +2166,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 object LakeTable {
   final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
                                minRepo: String = null, maxRepo: String = null)
+
+  /** next preimage floor for a commit: wrote-full keeps (or starts at 0)
+    * the floor; a commit racing a concurrent full-enablement (the fresh
+    * head claims before-images but this sidecar is post-only) raises the
+    * floor past the batch — "preimages available" is never claimed for a
+    * commit that didn't write them (the mirror of the cdfSinceLsn rule)
+    */
+  def nextFullFloor(wroteFull: Boolean, curFloor: Long, batchHwm: Long): Long =
+    if (wroteFull) math.max(curFloor, 0L)
+    else if (curFloor >= 0) math.max(curFloor, batchHwm)
+    else -1L
 
   /** per-file footer stats of a just-written commit (driver-side metadata;
     * `file` is the absolute path before relativisation)
@@ -2396,7 +2554,8 @@ object SnapshotIO {
           if (s.cdfManifests.nonEmpty)
             s""""cdfManifests":${s.cdfManifests.map(q).mkString("[", ",", "]")}"""
           else s""""cdfFiles":${s.cdfFiles.map(cdfEntryJson).mkString("[", ",", "]")}"""
-        s""""cdfSinceLsn":${s.cdfSinceLsn},$body,"""
+        val full = if (s.cdfFullSinceLsn < 0) "" else s""""cdfFullSinceLsn":${s.cdfFullSinceLsn},"""
+        s""""cdfSinceLsn":${s.cdfSinceLsn},$full$body,"""
       }
     s"""{"version":${s.version},"schemaDdl":${q(s.schemaDdl)},"nBuckets":${s.nBuckets},"mode":${q(s.mode)},"hwm":${s.hwm},"totalRows":${s.totalRows},$ts$colMap$cdf"dvRows":${s.dvRows},"dvFiles":$dvf,$body,"committed":$committed}"""
   }
@@ -2454,6 +2613,7 @@ object SnapshotIO {
       dvRows = v.get("dvRows").map(asLong).getOrElse(0L),
       tsMs = v.get("tsMs").map(asLong).getOrElse(0L),
       cdfSinceLsn = v.get("cdfSinceLsn").map(asLong).getOrElse(-1L),
+      cdfFullSinceLsn = v.get("cdfFullSinceLsn").map(asLong).getOrElse(-1L),
       cdfFiles = v.get("cdfFiles").map(_.asInstanceOf[Seq[Any]].map(parseCdfEntry)).getOrElse(Nil),
       cdfManifests = v.get("cdfManifests")
         .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil),
