@@ -154,27 +154,29 @@ object CdfProbe {
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     wal.count()
     val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
-    def build(dir: String, cdf: Boolean): LakeTable = {
-      val t0 = new LakeTable(spark, dir, 16, applyMode, defaultCdf = cdf)
+    def build(dir: String, cdf: Boolean, full: Boolean = false): LakeTable = {
+      val t0 = new LakeTable(spark, dir, 16, applyMode, defaultCdf = cdf, defaultCdfFull = full)
       val done = t0.currentSnapshot().exists(s =>
-        s.hwm == events && (s.cdfSinceLsn >= 0) == cdf)
+        s.hwm == events && (s.cdfSinceLsn >= 0) == cdf && (s.cdfFullSinceLsn >= 0) == full)
       if (done) t0
       else {
         fs.deleteRecursive(dir)
-        val t = new LakeTable(spark, dir, 16, applyMode, defaultCdf = cdf)
+        val t = new LakeTable(spark, dir, 16, applyMode, defaultCdf = cdf, defaultCdfFull = full)
         val b0 = System.nanoTime()
         (0 until commits).foreach { i =>
           t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "probe", i.toLong)
         }
         // the feed's WRITE-side price (sidecar derivation + write per
-        // commit) — the opt-in cost the read-side speedup buys
-        println(f"[cdfprobe] build mode=${LakeTable.modeName(applyMode)} cdf=$cdf " +
+        // commit) — the opt-in cost the read-side speedup buys; cdfFull
+        // adds the before-image payload read on top
+        println(f"[cdfprobe] build mode=${LakeTable.modeName(applyMode)} cdf=$cdf full=$full " +
           f"ingestSec=${(System.nanoTime() - b0) / 1e9}%.1f")
         t
       }
     }
     val withCdf = build(s"$work/cdf_on", cdf = true)
     val without = build(s"$work/cdf_off", cdf = false)
+    build(s"$work/cdf_full", cdf = true, full = true) // full-feed write price line
     val histFiles = without.currentSnapshot().get.files.size
     val lo = events - perC // tail ONLY the last commit's range
     def drainSec(root: String, tag: String): Double = {

@@ -638,7 +638,16 @@ object CdcQueries {
       UNION ALL
       SELECT repo, path, lsn, "commit", 'update_preimage', prev_sha
       FROM typed WHERE ct = 'update_postimage'
-      ORDER BY lsn, repo, path, "_change_type""""))
+      ORDER BY lsn, repo, path, "_change_type"""") +
+    // the incremental MV must land on EXACTLY the full recompute over the
+    // replay's final live winners
+    ("q56_incremental_agg" -> s"""
+      SELECT repo, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(length(content)) AS BIGINT) AS total
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                   ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1"""))
 
   /** BATCH typed changes over the same CDF table as q51: `table_changes`
     * parity served from the sidecars with no streaming machinery, through
@@ -672,6 +681,30 @@ object CdcQueries {
       .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"),
         col("contentSha").as("content_sha"))
       .orderBy("lsn", "repo", "path", "_change_type")
+  }
+
+  /** INCREMENTAL AGGREGATE MV over the full feed (round-6): per-repo
+    * (count, sum(length(content))) of the live rows, maintained as its own
+    * lake table purely from typed change batches — +post, −pre, −old on
+    * delete — across ≥5 rate-limited micro-batches, never recomputing over
+    * the base table. The oracle recomputes the aggregate from the WAL's
+    * final live winners: the telescoped deltas must land on EXACTLY the
+    * recompute (wrong preimage algebra shows up as drift, and the hash
+    * gate catches one row off by one byte).
+    */
+  def q56IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
+    val mvDir = s"$LakeRoot/sm_mv"
+    val agg = graft.stream.IncrementalAgg(s, mvDir, col("repo"), length(col("content")))
+    if (!agg.mv.currentSnapshot().exists(_.hwm == smCfg.events)) {
+      deleteRec(mvDir)
+      val fresh = graft.stream.IncrementalAgg(s, mvDir, col("repo"), length(col("content")))
+      val cp = java.nio.file.Files.createTempDirectory("q56cp").toString
+      val q = fresh.stream(s, t.root, "smmv", cp, maxLsnsPerTrigger = Some(10000L))
+      q.awaitTermination()
+      return fresh.read("repo").orderBy("repo")
+    }
+    agg.read("repo").orderBy("repo")
   }
 
   /** TYPE WIDENING end-to-end (round-5 VERDICT "Missing" #3): the first
@@ -731,6 +764,7 @@ object CdcQueries {
     "q53_widen" -> q53Widen _,
     "q54_changes" -> q54Changes _,
     "q55_cdf_full" -> q55CdfFull _,
+    "q56_incremental_agg" -> q56IncrementalAgg _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -164,6 +164,7 @@ object GraftProcedures {
         StructField("mode", StringType), StructField("hwm", LongType),
         StructField("total_rows", LongType), StructField("files", IntegerType),
         StructField("dv_rows", LongType), StructField("cdf_sidecars", IntegerType),
+        StructField("cdf_full_since_lsn", LongType),
         StructField("committed_batches", LongType)))
       val rows: Array[InternalRow] =
         LakeTable.existingVersions(fsx.exists, s"$dir/meta", head).reverse.map { v =>
@@ -172,7 +173,7 @@ object GraftProcedures {
           new GenericInternalRow(Array[Any](
             s.version, if (s.tsMs > 0) s.tsMs * 1000L else null,
             UTF8String.fromString(s.mode), s.hwm, s.totalRows, s.files.size,
-            s.dvRows, s.cdfFiles.size, s.committedCount)): InternalRow
+            s.dvRows, s.cdfFiles.size, s.cdfFullSinceLsn, s.committedCount)): InternalRow
         }.toArray
       new GraftLocalScan(schema, rows)
     }

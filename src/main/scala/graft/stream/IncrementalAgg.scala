@@ -1,0 +1,154 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.table.LakeTable
+
+/** INCREMENTAL AGGREGATE MATERIALIZED VIEW over a lake table's live rows —
+  * the consumer the FULL change data feed exists for.
+  *
+  * Maintains `SELECT group, count(*) AS cnt, sum(metric) AS total FROM t
+  * WHERE live GROUP BY group` as its own small lake table, updated from
+  * the typed change feed at O(changes) per trigger — never recomputing
+  * over the base table. The algebra needs before-images: an update
+  * contributes (post − pre) to its group (and moves mass between groups
+  * when the change moves the row's group), a delete subtracts the OLD
+  * values — available only when the upstream feed runs with
+  * `cdf = 'full'` (update_preimage rows + old values on deletes).
+  *
+  * Per micro-batch, with w = +1 for insert/update_postimage, −1 for
+  * update_preimage and for deletes whose before-image was live:
+  *
+  *   Δ(g) = (Σ w, Σ w·metric)   — one map-side-combined groupBy, shuffle
+  *                                O(groups in batch), never O(table)
+  *   new(g) = current(g) + Δ(g) — a join against the MV (O(MV) columnar
+  *                                scan) and a bucket-pruned merge back
+  *
+  * Telescoping makes this exact: a key's contributions (+m₁) + (m₂−m₁) +
+  * … collapse to its final live metric, so the MV equals the full
+  * recompute after every batch, not just eventually. Groups reaching
+  * cnt ≤ 0 are tombstoned (and resurrect if rows return).
+  *
+  * Exactly-once rides the lake's own commit protocol: the MV rows' lsn is
+  * the group's max change lsn in the batch (monotone per group across
+  * ordered feed batches), and a replayed (cpId, batchId) is skipped by
+  * the MV table's committed-set — a crash between MV commit and stream
+  * checkpoint replays the batch into a no-op.
+  *
+  * The MV state table is an ordinary keyed lake table (repo = group,
+  * path = ""), so reads, time travel, and its own change feed all work on
+  * the aggregate history for free.
+  */
+final class IncrementalAgg(val mv: LakeTable, groupCol: Column, metricCol: Column,
+                           beforeLive: Column) {
+
+  import LakeTable.BucketStats
+
+  /** Fold one batch of TYPED change rows (must carry before-images for
+    * exactness) into the MV. Idempotent per (cpId, batchId).
+    */
+  def applyChanges(changes: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+    val ct = col("_change_type")
+    val w = when(ct === "update_preimage", lit(-1L))
+      .when(ct === "delete", when(beforeLive, lit(-1L)).otherwise(lit(0L)))
+      .otherwise(lit(1L))
+    val deltas = changes
+      .select(groupCol.cast("string").as("g"), w.as("w"),
+        coalesce(metricCol.cast("long"), lit(0L)).as("m"), col("lsn"))
+      .groupBy("g")
+      .agg(sum(col("w")).as("dCnt"), sum(col("w") * col("m")).as("dTot"),
+        max("lsn").as("mx"))
+    // a virgin MV (or one whose only commit was empty) has no state
+    // columns yet — every group then starts from (0, 0)
+    val hasState = mv.currentSnapshot().exists(s =>
+      org.apache.spark.sql.types.StructType.fromDDL(s.schemaDdl)
+        .fieldNames.contains("cnt"))
+    val cur =
+      if (hasState)
+        mv.read().select(col("repo").as("g"), col("cnt").as("c0"), col("total").as("t0"))
+      else
+        changes.sparkSession.createDataFrame(
+          changes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "g STRING, c0 BIGINT, t0 BIGINT"))
+    val events = deltas.join(cur, Seq("g"), "left").select(
+      col("mx").as("lsn"),
+      when(coalesce(col("c0"), lit(0L)) + col("dCnt") <= 0L, "D").otherwise("U").as("op"),
+      col("g").as("repo"),
+      lit("").as("path"),
+      lit("!mv").as("commit"),
+      lit(null).cast("string").as("content"),
+      (coalesce(col("c0"), lit(0L)) + col("dCnt")).as("cnt"),
+      (coalesce(col("t0"), lit(0L)) + col("dTot")).as("total"))
+    mv.merge(events, cpId, batchId)
+  }
+
+  /** Continuous maintenance: tail the upstream table's typed feed and fold
+    * every micro-batch. The feed must carry before-images from the cursor
+    * on (enable `cdf = 'full'` before the MV's start point).
+    */
+  def stream(spark: SparkSession, fromRoot: String, cpId: String, checkpointDir: String,
+             maxLsnsPerTrigger: Option[Long] = None,
+             availableNow: Boolean = true): StreamingQuery = {
+    val reader = spark.readStream.format("graft").option("changeTypes", "true")
+    maxLsnsPerTrigger.foreach(n => reader.option("maxLsnsPerTrigger", n.toString))
+    val src = reader.load(fromRoot)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => applyChanges(batch, cpId, id); () }
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** One-shot batch catch-up: fold every change past the MV's own applied
+    * high watermark (the cursor IS the MV table's hwm — upstream lsns ride
+    * the MV rows). Re-running at the same head is a no-op (the upstream
+    * hwm doubles as the batchId).
+    */
+  def applyOnce(from: LakeTable, cpId: String): Unit = {
+    val cursor = mv.currentSnapshot().map(_.hwm).getOrElse(0L)
+    val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
+    if (head <= cursor) return
+    val fullSince = from.currentSnapshot().map(_.cdfFullSinceLsn).getOrElse(-1L)
+    require(fullSince >= 0 && cursor >= fullSince,
+      s"IncrementalAgg: upstream must carry before-images over ($cursor, $head] " +
+        s"(cdfFullSinceLsn=$fullSince) — enable cdf='full' or seed() past the floor")
+    applyChanges(from.readChangesBetween(cursor, head), cpId, head)
+  }
+
+  /** Initialize (or re-base) the MV by full recompute at the upstream
+    * head — the start point for incremental maintenance when the full
+    * feed doesn't reach back to lsn 0.
+    */
+  def seed(from: LakeTable, cpId: String): Unit = {
+    val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
+    val events = from.read()
+      .select(groupCol.cast("string").as("g"),
+        coalesce(metricCol.cast("long"), lit(0L)).as("m"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("m").as("total"))
+      .select(lit(head).as("lsn"), lit("U").as("op"), col("g").as("repo"),
+        lit("").as("path"), lit("!mv").as("commit"),
+        lit(null).cast("string").as("content"), col("cnt"), col("total"))
+    mv.merge(events, s"$cpId-seed", head)
+  }
+
+  /** the maintained aggregate, under user-facing names */
+  def read(groupName: String = "group"): DataFrame =
+    mv.read().select(col("repo").as(groupName), col("cnt"), col("total"))
+}
+
+object IncrementalAgg {
+  /** MV over `mvRoot` maintained from changes grouped by `group`, summing
+    * `metric`. `beforeLive` tells a delete row whose before-image was live
+    * (default: non-null content — this engine's tombstones carry null
+    * content, so a delete of an already-dead key contributes nothing).
+    */
+  def apply(spark: SparkSession, mvRoot: String, group: Column, metric: Column,
+            buckets: Int = 8,
+            beforeLive: Column = col("content").isNotNull): IncrementalAgg =
+    new IncrementalAgg(
+      new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite),
+      group, metric, beforeLive)
+}

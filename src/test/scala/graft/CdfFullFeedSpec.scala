@@ -146,6 +146,33 @@ class CdfFullFeedSpec extends SparkSpec {
     assert(changeSet(t) == expected, "folding sidecars must not lose preimage rows")
   }
 
+  test("SQL surface: TBLPROPERTIES cdf='full' and CALL enable_change_data_feed(t,'full')") {
+    val warehouse = tmpDir("cffsql")
+    val cat = "gcff"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    spark.sql(s"""CREATE TABLE $cat.f (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+      TBLPROPERTIES ('mode' = 'cow', 'buckets' = '4', 'cdf' = 'full')""")
+    spark.sql(s"INSERT INTO $cat.f VALUES ('r1','a.py','c1',null,'alpha',null,1)")
+    spark.sql(s"INSERT INTO $cat.f VALUES ('r1','a.py','c2',null,'alpha2',null,2)")
+    val t = new LakeTable(spark, s"$warehouse/f")
+    assert(t.currentSnapshot().get.cdfFullSinceLsn == 0L)
+    val pre = t.readChangesBetween(0)
+      .where(col("_change_type") === "update_preimage").select("content", "lsn").collect()
+    assert(pre.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("alpha", 2L)))
+
+    // post-created table upgraded through the procedure; 1-arg CALL keeps
+    // its default ('post') — the pre-existing shape must not break
+    spark.sql(s"""CREATE TABLE $cat.p (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT)
+      TBLPROPERTIES ('mode' = 'cow', 'buckets' = '4')""")
+    val r0 = spark.sql(s"CALL $cat.system.enable_change_data_feed('p')").collect().head
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == -1L, "default mode stays post-only")
+    val r1 = spark.sql(s"CALL $cat.system.enable_change_data_feed('p', 'full')").collect().head
+    assert(r1.getLong(1) >= 0L, "mode='full' starts the preimage floor")
+  }
+
   test("gen-scale parity: full feed's post rows == post feed; preimages match the chain") {
     val cfg = GenConfig(seed = 91, events = 3000, repos = 6, filesPerRepo = 8)
     val batches = 3; val per = cfg.events / batches

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.gen.{ChangeLogGen, GenConfig}
+import graft.stream.IncrementalAgg
+import graft.table.{ApplyMode, LakeTable}
+
+/** Incremental aggregate MV maintained from the FULL change feed: after
+  * every batch the MV must equal the full recompute over the upstream
+  * live rows — exactly, not eventually. The update algebra (post − pre,
+  * minus old values on delete) is what the before-images exist for.
+  */
+class IncrementalAggSpec extends SparkSpec {
+
+  private def ev(rows: (Long, String, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (l, op, p, c) =>
+      (l, op, "r1", p, f"c$l%03d", if (op == "D") null else c)
+    }.toDF("lsn", "op", "repo", "path", "commit", "content")
+  }
+
+  /** recompute oracle over the upstream live rows */
+  private def recompute(t: LakeTable, group: org.apache.spark.sql.Column) =
+    t.read().select(group.cast("string").as("group"),
+        coalesce(length(col("content")).cast("long"), lit(0L)).as("m"))
+      .groupBy("group").agg(count(lit(1)).as("cnt"), sum("m").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def mvSet(agg: IncrementalAgg) =
+    agg.read().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("exact after every batch: groups move, drain to zero, resurrect") {
+    val tag = "iagg1"
+    // group = first content char — an UPDATE that changes it MOVES the key
+    // across groups, the case that is unfixable without before-images
+    val group = substring(col("content"), 1, 1)
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), group, length(col("content")))
+    val batches = Seq(
+      ev((1, "I", "a", "Apple"), (2, "I", "b", "Berry"), (3, "I", "c", "Basil")),
+      ev((4, "U", "a", "Banana")), // moves a: group A -> B (A drains to zero)
+      ev((5, "D", "b", null), (6, "U", "c", "Cress")), // B loses old Berry; B->C move
+      ev((7, "I", "d", "Avocado")), // group A resurrects
+      ev((8, "D", "x", null)) // delete of a never-live key: must contribute nothing
+    )
+    batches.zipWithIndex.foreach { case (b, i) =>
+      t.merge(b, tag, i.toLong)
+      agg.applyOnce(t, s"$tag-mv")
+      assert(mvSet(agg) == recompute(t, group), s"MV must match recompute after batch $i")
+    }
+    // zero-count groups are tombstoned, not lingering at cnt=0
+    assert(!mvSet(agg).exists(_._2 == 0L))
+    // idempotence: re-applying at the same head is a no-op commit-wise
+    val v = agg.mv.currentSnapshot().get.version
+    agg.applyOnce(t, s"$tag-mv")
+    assert(agg.mv.currentSnapshot().get.version == v)
+  }
+
+  test("post-only upstream is refused (before-images are load-bearing)") {
+    val tag = "iagg2"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.CopyOnWrite, defaultCdf = true)
+    t.merge(ev((1, "I", "a", "A1"), (2, "U", "a", "A2")), tag, 0)
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), col("lang"), length(col("content")))
+    val e = intercept[IllegalArgumentException] { agg.applyOnce(t, s"$tag-mv") }
+    assert(e.getMessage.contains("before-images"))
+  }
+
+  test("seed + incremental from mid-history (full feed enabled later)") {
+    val tag = "iagg3"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.CopyOnWrite, defaultCdf = true)
+    t.merge(ev((1, "I", "a", "Apple"), (2, "I", "b", "Berry")), tag, 0)
+    t.enableChangeDataFeed(full = true) // preimage floor = hwm = 2
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), col("lang"), length(col("content")))
+    agg.seed(t, s"$tag-mv") // full recompute at the floor
+    assert(mvSet(agg) == recompute(t, col("lang")))
+    t.merge(ev((3, "U", "a", "Apricots"), (4, "D", "b", null)), tag, 1)
+    agg.applyOnce(t, s"$tag-mv") // incremental past the seed
+    assert(mvSet(agg) == recompute(t, col("lang")))
+  }
+
+  test("streaming maintenance at gen scale: multi-trigger, restart-safe") {
+    val cfg = GenConfig(seed = 55, events = 3000, repos = 6, filesPerRepo = 8)
+    val tag = "iagg4"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until 3).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * 1000 + 1, (i + 1) * 1000)), tag, i.toLong)
+    }
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), col("repo"), length(col("content")))
+    val cp = tmpDir(s"$tag-cp")
+    // 500-lsn admission => ≥6 micro-batches over the 3000-lsn history
+    val q = agg.stream(spark, t.root, s"$tag-mv", cp, maxLsnsPerTrigger = Some(500L))
+    q.awaitTermination()
+    assert(mvSet(agg) == recompute(t, col("repo")))
+    // restart the stream on the same checkpoint after MORE upstream commits:
+    // only the delta is applied, no double counting of the drained range
+    t.merge(wal.where(col("lsn").between(3001, 3000 + 500)), tag, 3L)
+    val q2 = agg.stream(spark, t.root, s"$tag-mv", cp, maxLsnsPerTrigger = Some(500L))
+    q2.awaitTermination()
+    assert(mvSet(agg) == recompute(t, col("repo")))
+  }
+}
