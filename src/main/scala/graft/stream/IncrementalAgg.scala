@@ -49,7 +49,14 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column, metricCol: Colum
   /** Fold one batch of TYPED change rows (must carry before-images for
     * exactness) into the MV. Idempotent per (cpId, batchId).
     */
-  def applyChanges(changes: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+  def applyChanges(changes: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] =
+    mv.merge(eventsFor(changes), cpId, batchId)
+
+  /** the MV-update events for one change batch — separated so the plan
+    * shape is auditable (PlanAuditSpec pins the partial aggregation and
+    * the join shape)
+    */
+  private[graft] def eventsFor(changes: DataFrame): DataFrame = {
     val ct = col("_change_type")
     val w = when(ct === "update_preimage", lit(-1L))
       .when(ct === "delete", when(beforeLive, lit(-1L)).otherwise(lit(0L)))
@@ -82,7 +89,7 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column, metricCol: Colum
       lit(null).cast("string").as("content"),
       (coalesce(col("c0"), lit(0L)) + col("dCnt")).as("cnt"),
       (coalesce(col("t0"), lit(0L)) + col("dTot")).as("total"))
-    mv.merge(events, cpId, batchId)
+    events
   }
 
   /** Continuous maintenance: tail the upstream table's typed feed and fold

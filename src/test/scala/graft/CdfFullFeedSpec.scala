@@ -139,6 +139,16 @@ class CdfFullFeedSpec extends SparkSpec {
     assert(got2 == Set(("a", "delete", "A1"), ("b", "delete", "B1")))
   }
 
+  test("DML route: deleteWhere on a full-feed table emits old-value deletes") {
+    val t = build(ApplyMode.CopyOnWrite, "cffdml")
+    val hwm = t.currentSnapshot().get.hwm
+    t.deleteWhere(col("path") === "b") // statement-derived tombstone at hwm+1
+    val got = t.readChangesBetween(hwm).select("path", "_change_type", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("b", "delete", "B2")),
+      "a statement delete's change row must carry the victim's old values")
+  }
+
   test("feed compaction preserves before-images") {
     val t = build(ApplyMode.MergeOnRead, "cffc")
     t.compactChangeFeed(targetFiles = 1)

@@ -140,6 +140,41 @@ class ConcurrentCommitSpec extends SparkSpec {
     }
   }
 
+  test("enableChangeDataFeed(full) racing a merge: preimage coverage never over-claims") {
+    // the full-feed twin of the enable race above: a merge that derived a
+    // POST-only sidecar while the head upgraded to full must raise the
+    // preimage floor past its batch — above the final floor, every
+    // update_postimage sidecar row has exactly one update_preimage partner
+    // at the same (lsn, commit)
+    (0 until 3).foreach { round =>
+      val root = tmpDir(s"occfull$round")
+      val wal = ChangeLogGen.changeLog(spark, cfg)
+      val t0 = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead, defaultCdf = true)
+      t0.merge(wal.where(col("lsn") <= per), "seed", 0L)
+      inParallel(
+        () => { val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+          (1 until nb).foreach { b =>
+            t.merge(wal.where(col("lsn").between(b * per + 1, (b + 1) * per)), "w", b.toLong) } },
+        () => { Thread.sleep(50L * round)
+          new LakeTable(spark, root).enableChangeDataFeed(full = true) })
+      val t = new LakeTable(spark, root)
+      val snap = t.currentSnapshot().get
+      assert(snap.cdfFullSinceLsn >= 0, s"round $round: the upgrade must land")
+      assert(state(root) == replayOracle())
+      val sc = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+          .add("_change_type", org.apache.spark.sql.types.StringType))
+        .parquet(snap.cdfFiles.map(f => t.resolvePath(f.path)): _*)
+        .where(col("lsn") > snap.cdfFullSinceLsn)
+      val posts = sc.where(col("_change_type") === "update_postimage")
+        .select("repo", "path", "lsn", "commit")
+      val pres = sc.where(col("_change_type") === "update_preimage")
+        .select("repo", "path", "lsn", "commit")
+      assert(collectSorted(pres) == collectSorted(posts),
+        s"round $round: above the preimage floor, each update needs exactly one before-image")
+    }
+  }
+
   test("widenColumn racing concurrent merges: the wider type survives every interleave") {
     import org.apache.spark.sql.types.{LongType, StructType}
     (0 until 3).foreach { round =>

@@ -80,6 +80,26 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mvSet(agg) == recompute(t, col("lang")))
   }
 
+  test("plan shape: partial (map-side) delta aggregation, no nested-loop join") {
+    val tag = "iaggp"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    t.merge(ev((1, "I", "a", "Apple"), (2, "I", "b", "Berry")), tag, 0)
+    t.merge(ev((3, "U", "a", "Banana")), tag, 1)
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), col("lang"), length(col("content")))
+    agg.applyOnce(t, s"$tag-mv")
+    val events = agg.eventsFor(t.readChangesBetween(0))
+    events.collect() // finalize the adaptive plan
+    val p = events.queryExecution.executedPlan.toString
+    // the delta reduction must combine map-side: two HashAggregate levels
+    // (partial + final), so the shuffle moves one row per (partition,
+    // group), never one per change row
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the MV-state join must stay an equi-join (broadcast or shuffled —
+    // AQE picks by runtime size), never a nested loop / cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("streaming maintenance at gen scale: multi-trigger, restart-safe") {
     val cfg = GenConfig(seed = 55, events = 3000, repos = 6, filesPerRepo = 8)
     val tag = "iagg4"
