@@ -41,10 +41,18 @@ import graft.table.LakeTable
   * path = ""), so reads, time travel, and its own change feed all work on
   * the aggregate history for free.
   */
-final class IncrementalAgg(val mv: LakeTable, groupCol: Column, metricCol: Column,
-                           beforeLive: Column) {
+final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
+                           metrics: Seq[(String, Column)], beforeLive: Column) {
 
   import LakeTable.BucketStats
+
+  require(metrics.nonEmpty, "IncrementalAgg: at least one metric")
+  require(metrics.map(_._1).distinct.size == metrics.size,
+    "IncrementalAgg: metric names must be distinct")
+  metrics.map(_._1).foreach { n =>
+    require(n != "cnt" && !Set("repo", "path", "commit", "content", "lsn", "op", "g")(n),
+      s"IncrementalAgg: metric name '$n' collides with a state/event column")
+  }
 
   /** Fold one batch of TYPED change rows (must carry before-images for
     * exactness) into the MV. Idempotent per (cpId, batchId).
@@ -62,34 +70,38 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column, metricCol: Colum
       .when(ct === "delete", when(beforeLive, lit(-1L)).otherwise(lit(0L)))
       .otherwise(lit(1L))
     val deltas = changes
-      .select(groupCol.cast("string").as("g"), w.as("w"),
-        coalesce(metricCol.cast("long"), lit(0L)).as("m"), col("lsn"))
+      .select(Seq(groupCol.cast("string").as("g"), w.as("w"), col("lsn")) ++
+        metrics.map { case (n, m) => coalesce(m.cast("long"), lit(0L)).as(s"__m_$n") }: _*)
       .groupBy("g")
-      .agg(sum(col("w")).as("dCnt"), sum(col("w") * col("m")).as("dTot"),
-        max("lsn").as("mx"))
+      .agg(sum(col("w")).as("dCnt"),
+        (max("lsn").as("mx") +:
+          metrics.map { case (n, _) => sum(col("w") * col(s"__m_$n")).as(s"__d_$n") }): _*)
     // a virgin MV (or one whose only commit was empty) has no state
-    // columns yet — every group then starts from (0, 0)
+    // columns yet — every group then starts from all-zero
     val hasState = mv.currentSnapshot().exists(s =>
       org.apache.spark.sql.types.StructType.fromDDL(s.schemaDdl)
         .fieldNames.contains("cnt"))
     val cur =
       if (hasState)
-        mv.read().select(col("repo").as("g"), col("cnt").as("c0"), col("total").as("t0"))
+        mv.read().select(Seq(col("repo").as("g"), col("cnt").as("c0")) ++
+          metrics.map { case (n, _) => col(n).as(s"__c_$n") }: _*)
       else
         changes.sparkSession.createDataFrame(
           changes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
-            "g STRING, c0 BIGINT, t0 BIGINT"))
-    val events = deltas.join(cur, Seq("g"), "left").select(
-      col("mx").as("lsn"),
-      when(coalesce(col("c0"), lit(0L)) + col("dCnt") <= 0L, "D").otherwise("U").as("op"),
-      col("g").as("repo"),
-      lit("").as("path"),
-      lit("!mv").as("commit"),
-      lit(null).cast("string").as("content"),
-      (coalesce(col("c0"), lit(0L)) + col("dCnt")).as("cnt"),
-      (coalesce(col("t0"), lit(0L)) + col("dTot")).as("total"))
-    events
+            ("g STRING" +: "c0 BIGINT" +: metrics.map { case (n, _) => s"__c_$n BIGINT" })
+              .mkString(", ")))
+    deltas.join(cur, Seq("g"), "left").select(
+      Seq(
+        col("mx").as("lsn"),
+        when(coalesce(col("c0"), lit(0L)) + col("dCnt") <= 0L, "D").otherwise("U").as("op"),
+        col("g").as("repo"),
+        lit("").as("path"),
+        lit("!mv").as("commit"),
+        lit(null).cast("string").as("content"),
+        (coalesce(col("c0"), lit(0L)) + col("dCnt")).as("cnt")) ++
+      metrics.map { case (n, _) =>
+        (coalesce(col(s"__c_$n"), lit(0L)) + col(s"__d_$n")).as(n) }: _*)
   }
 
   /** Continuous maintenance: tail the upstream table's typed feed and fold
@@ -131,31 +143,45 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column, metricCol: Colum
   def seed(from: LakeTable, cpId: String): Unit = {
     val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
     val events = from.read()
-      .select(groupCol.cast("string").as("g"),
-        coalesce(metricCol.cast("long"), lit(0L)).as("m"))
+      .select(groupCol.cast("string").as("g") +:
+        metrics.map { case (n, m) => coalesce(m.cast("long"), lit(0L)).as(s"__m_$n") }: _*)
       .groupBy("g")
-      .agg(count(lit(1)).as("cnt"), sum("m").as("total"))
-      .select(lit(head).as("lsn"), lit("U").as("op"), col("g").as("repo"),
+      .agg(count(lit(1)).as("cnt"),
+        metrics.map { case (n, _) => sum(col(s"__m_$n")).as(n) }: _*)
+      .select(Seq(lit(head).as("lsn"), lit("U").as("op"), col("g").as("repo"),
         lit("").as("path"), lit("!mv").as("commit"),
-        lit(null).cast("string").as("content"), col("cnt"), col("total"))
+        lit(null).cast("string").as("content"), col("cnt")) ++
+        metrics.map { case (n, _) => col(n) }: _*)
     mv.merge(events, s"$cpId-seed", head)
   }
 
   /** the maintained aggregate, under user-facing names */
   def read(groupName: String = "group"): DataFrame =
-    mv.read().select(col("repo").as(groupName), col("cnt"), col("total"))
+    mv.read().select(col("repo").as(groupName) +: col("cnt") +:
+      metrics.map { case (n, _) => col(n) }: _*)
 }
 
 object IncrementalAgg {
   /** MV over `mvRoot` maintained from changes grouped by `group`, summing
-    * `metric`. `beforeLive` tells a delete row whose before-image was live
-    * (default: non-null content — this engine's tombstones carry null
-    * content, so a delete of an already-dead key contributes nothing).
+    * `metric` as `total`. `beforeLive` tells a delete row whose
+    * before-image was live (default: non-null content — this engine's
+    * tombstones carry null content, so a delete of an already-dead key
+    * contributes nothing).
     */
   def apply(spark: SparkSession, mvRoot: String, group: Column, metric: Column,
             buckets: Int = 8,
             beforeLive: Column = col("content").isNotNull): IncrementalAgg =
+    multi(spark, mvRoot, group, Seq("total" -> metric), buckets, beforeLive)
+
+  /** the general form: any number of SUM-decomposable metrics — count,
+    * sums, sums of squares (mean/variance), dot products — each a named
+    * column of the MV. Anything expressible as Σ f(row) per group folds
+    * incrementally; order statistics (min/max/quantiles) do not.
+    */
+  def multi(spark: SparkSession, mvRoot: String, group: Column,
+            metrics: Seq[(String, Column)], buckets: Int = 8,
+            beforeLive: Column = col("content").isNotNull): IncrementalAgg =
     new IncrementalAgg(
       new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite),
-      group, metric, beforeLive)
+      group, metrics, beforeLive)
 }

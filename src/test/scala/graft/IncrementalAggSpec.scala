@@ -80,6 +80,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mvSet(agg) == recompute(t, col("lang")))
   }
 
+  test("multi-metric MV: count + sum + sum-of-squares stay exact (variance-ready)") {
+    val tag = "iaggm"
+    val len = length(col("content")).cast("long")
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.CopyOnWrite, defaultCdfFull = true)
+    val agg = IncrementalAgg.multi(spark, tmpDir(s"$tag-mv"), col("lang"),
+      Seq("total" -> len, "sq" -> (len * len)))
+    val batches = Seq(
+      ev((1, "I", "a.py", "Apple"), (2, "I", "b.py", "Berry"), (3, "I", "c.md", "Basil")),
+      ev((4, "U", "a.py", "Banana"), (5, "D", "b.py", null)),
+      ev((6, "I", "d.md", "Avocado"), (7, "D", "c.md", null)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      t.merge(b, tag, i.toLong)
+      agg.applyOnce(t, s"$tag-mv")
+      val expect = t.read().groupBy(col("lang").as("group"))
+        .agg(count(lit(1)).as("cnt"), sum(len).as("total"), sum(len * len).as("sq"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = agg.read().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"batch $i: multi-metric MV must equal recompute")
+    }
+  }
+
   test("plan shape: partial (map-side) delta aggregation, no nested-loop join") {
     val tag = "iaggp"
     val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
