@@ -647,7 +647,20 @@ object CdcQueries {
       FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
                    ORDER BY lsn DESC, "commit" DESC) AS rn
             FROM $walSrc)
-      WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1"""))
+      WHERE rn = 1 AND op <> 'D' GROUP BY 1 ORDER BY 1""") +
+    // the CHAINED MV (MV over the first MV's own full feed) must land on
+    // the two-level recompute from the same final live winners
+    ("q57_mv_chain" -> s"""
+      WITH lvl1 AS (
+        SELECT repo, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(length(content)) AS BIGINT) AS t
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                     ORDER BY lsn DESC, "commit" DESC) AS rn
+              FROM $walSrc)
+        WHERE rn = 1 AND op <> 'D' GROUP BY 1)
+      SELECT substring(repo, 1, 7) AS shard, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(c) AS BIGINT) AS live_rows, CAST(sum(t) AS BIGINT) AS bytes
+      FROM lvl1 GROUP BY 1 ORDER BY 1"""))
 
   /** BATCH typed changes over the same CDF table as q51: `table_changes`
     * parity served from the sidecars with no streaming machinery, through
@@ -692,19 +705,57 @@ object CdcQueries {
     * recompute (wrong preimage algebra shows up as drift, and the hash
     * gate catches one row off by one byte).
     */
-  def q56IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+  /** the per-repo MV over sm_fullcdf, streamed across ≥5 rate-limited
+    * micro-batches — built once and shared by q56 (reads it) and q57
+    * (chains a second MV from its full feed, hence `mvCdfFull`)
+    */
+  private def smMv1(s: SparkSession): graft.stream.IncrementalAgg = {
     val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
     val mvDir = s"$LakeRoot/sm_mv"
-    val agg = graft.stream.IncrementalAgg(s, mvDir, col("repo"), length(col("content")))
-    if (!agg.mv.currentSnapshot().exists(_.hwm == smCfg.events)) {
-      deleteRec(mvDir)
-      val fresh = graft.stream.IncrementalAgg(s, mvDir, col("repo"), length(col("content")))
-      val cp = java.nio.file.Files.createTempDirectory("q56cp").toString
-      val q = fresh.stream(s, t.root, "smmv", cp, maxLsnsPerTrigger = Some(10000L))
-      q.awaitTermination()
-      return fresh.read("repo").orderBy("repo")
+    def mk() = graft.stream.IncrementalAgg(s, mvDir, col("repo"),
+      length(col("content")), mvCdfFull = true)
+    val agg = mk()
+    if (agg.mv.currentSnapshot().exists(sn =>
+        sn.hwm == smCfg.events && sn.cdfFullSinceLsn == 0L)) return agg
+    deleteRec(mvDir)
+    val fresh = mk()
+    val cp = java.nio.file.Files.createTempDirectory("q56cp").toString
+    fresh.stream(s, t.root, "smmv", cp, maxLsnsPerTrigger = Some(10000L))
+      .awaitTermination()
+    fresh
+  }
+
+  def q56IncrementalAgg(s: SparkSession, dir: String): DataFrame =
+    smMv1(s).read("repo").orderBy("repo")
+
+  /** CDC CHAINING (round-6): a SECOND-level incremental MV maintained from
+    * the FIRST MV's own full change feed — a rollup of the rollup that
+    * never touches the base table. MV1 (per-repo cnt/total, `mvCdfFull`)
+    * publishes before-images of its aggregate rows; MV2 folds MV1's typed
+    * changes into a per-org-prefix shard rollup (live group count, row
+    * count, byte total). MV rows carry null content, so MV2's
+    * liveness-of-before-image is the old cnt — the documented chaining
+    * contract. The oracle recomputes BOTH levels from the WAL's final live
+    * winners: drift anywhere in the chained preimage algebra fails the
+    * hash gate.
+    */
+  def q57MvChain(s: SparkSession, dir: String): DataFrame = {
+    val mv1 = smMv1(s)
+    val head1 = mv1.mv.currentSnapshot().map(_.hwm).getOrElse(0L)
+    val mv2Dir = s"$LakeRoot/sm_mv2c"
+    def mk2() = graft.stream.IncrementalAgg.multi(s, mv2Dir,
+      substring(col("repo"), 1, 7),
+      Seq("live_rows" -> col("cnt"), "bytes" -> col("total")),
+      beforeLive = coalesce(col("cnt") > lit(0L), lit(false)))
+    var mv2 = mk2()
+    if (!mv2.mv.currentSnapshot().exists(_.hwm == head1)) {
+      deleteRec(mv2Dir)
+      mv2 = mk2()
+      val cp = java.nio.file.Files.createTempDirectory("q57cp").toString
+      mv2.stream(s, mv1.mv.root, "smmv2c", cp, maxLsnsPerTrigger = Some(10000L))
+        .awaitTermination()
     }
-    agg.read("repo").orderBy("repo")
+    mv2.read("shard").orderBy("shard")
   }
 
   /** TYPE WIDENING end-to-end (round-5 VERDICT "Missing" #3): the first
@@ -765,6 +816,7 @@ object CdcQueries {
     "q54_changes" -> q54Changes _,
     "q55_cdf_full" -> q55CdfFull _,
     "q56_incremental_agg" -> q56IncrementalAgg _,
+    "q57_mv_chain" -> q57MvChain _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

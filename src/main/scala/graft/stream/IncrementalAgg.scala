@@ -40,6 +40,14 @@ import graft.table.LakeTable
   * The MV state table is an ordinary keyed lake table (repo = group,
   * path = ""), so reads, time travel, and its own change feed all work on
   * the aggregate history for free.
+  *
+  * CHAINING: built with `mvCdfFull = true`, the MV table publishes its own
+  * full feed, so a second-level MV (a rollup of the rollup) maintains
+  * itself from the FIRST MV's changes — O(changed groups) per trigger,
+  * never touching the base table. MV rows carry null `content` (they are
+  * synthetic aggregates), so a downstream consumer must pass
+  * `beforeLive = coalesce(col("cnt") > 0, lit(false))` — liveness of an MV
+  * before-image is its old count, not the content tombstone convention.
   */
 final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
                            metrics: Seq[(String, Column)], beforeLive: Column) {
@@ -111,6 +119,15 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
   def stream(spark: SparkSession, fromRoot: String, cpId: String, checkpointDir: String,
              maxLsnsPerTrigger: Option[Long] = None,
              availableNow: Boolean = true): StreamingQuery = {
+    // preimages are load-bearing for the MV algebra — catch the post-only
+    // footgun at start instead of silently drifting (applyOnce also checks
+    // its cursor against the preimage floor; a stream's cursor lives in the
+    // checkpoint, so only enablement is checkable here)
+    val up = new LakeTable(spark, fromRoot, 8, graft.table.ApplyMode.CopyOnWrite)
+      .currentSnapshot()
+    require(up.forall(_.cdfFullSinceLsn >= 0),
+      s"IncrementalAgg.stream: upstream $fromRoot does not carry before-images — " +
+        "enable cdf='full' (the post-only feed cannot maintain the MV exactly)")
     val reader = spark.readStream.format("graft").option("changeTypes", "true")
     maxLsnsPerTrigger.foreach(n => reader.option("maxLsnsPerTrigger", n.toString))
     val src = reader.load(fromRoot)
@@ -170,18 +187,22 @@ object IncrementalAgg {
     */
   def apply(spark: SparkSession, mvRoot: String, group: Column, metric: Column,
             buckets: Int = 8,
-            beforeLive: Column = col("content").isNotNull): IncrementalAgg =
-    multi(spark, mvRoot, group, Seq("total" -> metric), buckets, beforeLive)
+            beforeLive: Column = col("content").isNotNull,
+            mvCdfFull: Boolean = false): IncrementalAgg =
+    multi(spark, mvRoot, group, Seq("total" -> metric), buckets, beforeLive, mvCdfFull)
 
   /** the general form: any number of SUM-decomposable metrics — count,
     * sums, sums of squares (mean/variance), dot products — each a named
     * column of the MV. Anything expressible as Σ f(row) per group folds
     * incrementally; order statistics (min/max/quantiles) do not.
+    * `mvCdfFull` makes the MV table publish its own full feed (chaining).
     */
   def multi(spark: SparkSession, mvRoot: String, group: Column,
             metrics: Seq[(String, Column)], buckets: Int = 8,
-            beforeLive: Column = col("content").isNotNull): IncrementalAgg =
+            beforeLive: Column = col("content").isNotNull,
+            mvCdfFull: Boolean = false): IncrementalAgg =
     new IncrementalAgg(
-      new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite),
+      new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite,
+        defaultCdfFull = mvCdfFull),
       group, metrics, beforeLive)
 }

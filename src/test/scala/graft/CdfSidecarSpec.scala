@@ -88,6 +88,24 @@ class CdfSidecarSpec extends SparkSpec {
       "types must survive compaction (sidecars, not history, serve the feed)")
   }
 
+  test("rebucket keeps the feed: coverage continuous, no synthetic changes, types exact") {
+    val t = build(ApplyMode.MergeOnRead, "cdfrb")
+    val before = t.currentSnapshot().get
+    t.rebucket(8) // content-neutral layout rewrite — NOT a logical change
+    val after = t.currentSnapshot().get
+    assert(after.cdfSinceLsn == before.cdfSinceLsn, "rebucket must not move the coverage floor")
+    assert(after.hwm == before.hwm, "rebucket is content-neutral — no synthetic change event")
+    assert(after.cdfFiles == before.cdfFiles, "rebucket must carry every sidecar forward")
+    assert(typedSet(runTyped(t.root, "cdf_rb")) == expectedTyped(),
+      "typed tail across a rebucket serves the same changes from sidecars")
+    // and the feed keeps working on the NEW layout
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= per).withColumn("lsn", col("lsn") + cfg.events),
+      "cdfrb", batches.toLong)
+    val s2 = t.currentSnapshot().get
+    assert(s2.cdfFiles.size > after.cdfFiles.size, "post-rebucket commits still write sidecars")
+  }
+
   test("typed tail is exact in dv mode (prior liveness from the DV join)") {
     val t = build(ApplyMode.DeletionVector, "cdfdv")
     assert(typedSet(runTyped(t.root, "cdf_dv")) == expectedTyped())

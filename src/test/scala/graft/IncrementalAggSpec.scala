@@ -102,6 +102,46 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("CDC chaining: second-level MV maintained from the first MV's own full feed") {
+    val tag = "iaggc"
+    val len = length(col("content")).cast("long")
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    // level 1: per-extension (cnt, total bytes), publishing its own full feed
+    val g1 = substring_index(col("path"), ".", -1)
+    val mv1 = IncrementalAgg(spark, tmpDir(s"$tag-mv1"), g1, len, mvCdfFull = true)
+    // level 2: per extension-initial shard, maintained ONLY from mv1's feed —
+    // counts live groups, sums their row counts and byte totals. MV rows have
+    // null content, so liveness of a before-image is its old cnt.
+    val mv2 = IncrementalAgg.multi(spark, tmpDir(s"$tag-mv2"),
+      substring(col("repo"), 1, 1), Seq("rows" -> col("cnt"), "bytes" -> col("total")),
+      beforeLive = coalesce(col("cnt") > lit(0L), lit(false)))
+    def expect = {
+      val lvl1 = t.read().select(g1.cast("string").as("g"), coalesce(len, lit(0L)).as("m"))
+        .groupBy("g").agg(count(lit(1)).as("c"), sum("m").as("t"))
+      lvl1.groupBy(substring(col("g"), 1, 1).as("shard"))
+        .agg(count(lit(1)).as("cnt"), sum("c").as("rows"), sum("t").as("bytes"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    val batches = Seq(
+      ev((1, "I", "a.py", "Apple"), (2, "I", "b.py", "Berry"),
+         (3, "I", "c.md", "Basil"), (4, "I", "e.pxt", "Cedar")),
+      ev((5, "U", "a.py", "Banana"), (6, "D", "b.py", null)), // py shrinks (pre+post images)
+      ev((7, "D", "a.py", null)),                             // py drains -> mv1 DELETE row
+      ev((8, "I", "d.py", "Avocado"), (9, "U", "c.md", "Citrus"))) // py resurrects
+    batches.zipWithIndex.foreach { case (b, i) =>
+      t.merge(b, tag, i.toLong)
+      mv1.applyOnce(t, s"$tag-mv1")
+      mv2.applyOnce(mv1.mv, s"$tag-mv2")
+      val got = mv2.read("shard").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"batch $i: chained MV must equal two-level recompute")
+    }
+    // the chain is incremental end-to-end: re-applying at the same head is a no-op
+    val v = mv2.mv.currentSnapshot().get.version
+    mv2.applyOnce(mv1.mv, s"$tag-mv2")
+    assert(mv2.mv.currentSnapshot().get.version == v)
+  }
+
   test("plan shape: partial (map-side) delta aggregation, no nested-loop join") {
     val tag = "iaggp"
     val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
