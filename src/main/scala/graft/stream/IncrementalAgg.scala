@@ -23,8 +23,10 @@ import graft.table.LakeTable
   *
   *   Δ(g) = (Σ w, Σ w·metric)   — one map-side-combined groupBy, shuffle
   *                                O(groups in batch), never O(table)
-  *   new(g) = current(g) + Δ(g) — a join against the MV (O(MV) columnar
-  *                                scan) and a bucket-pruned merge back
+  *   new(g) = current(g) + Δ(g) — a join against the MV state read
+  *                                BUCKET-PRUNED to the delta groups'
+  *                                buckets (O(MV ∩ touched buckets), not
+  *                                O(MV)), and a bucket-pruned merge back
   *
   * Telescoping makes this exact: a key's contributions (+m₁) + (m₂−m₁) +
   * … collapse to its final live metric, so the MV equals the full
@@ -86,12 +88,23 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
           metrics.map { case (n, _) => sum(col("w") * col(s"__m_$n")).as(s"__d_$n") }): _*)
     // a virgin MV (or one whose only commit was empty) has no state
     // columns yet — every group then starts from all-zero
-    val hasState = mv.currentSnapshot().exists(s =>
+    val snapOpt = mv.currentSnapshot()
+    val hasState = snapOpt.exists(s =>
       org.apache.spark.sql.types.StructType.fromDDL(s.schemaDdl)
         .fieldNames.contains("cnt"))
     val cur =
       if (hasState)
-        mv.read().select(Seq(col("repo").as("g"), col("cnt").as("c0")) ++
+        // BUCKET-PRUNED state lookup: the join only needs MV rows whose
+        // group appears in this batch's deltas, and the MV is key-bucketed
+        // by xxhash64(group, "") — so read only the touched buckets.
+        // Per-trigger state IO is O(MV ∩ delta buckets), not O(MV): a
+        // small batch against a billion-group MV opens a handful of
+        // buckets. The snapshot is loaded ONCE so the hash layout and the
+        // file list come from the same version (rebucket-race-safe); the
+        // driver-side set is bounded by nBuckets.
+        mv.readResolvedAt(snapOpt, Some(deltaBuckets(changes, snapOpt.get.nBuckets)))
+          .where(!col("deleted"))
+          .select(Seq(col("repo").as("g"), col("cnt").as("c0")) ++
           metrics.map { case (n, _) => col(n).as(s"__c_$n") }: _*)
       else
         changes.sparkSession.createDataFrame(
@@ -111,6 +124,16 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
       metrics.map { case (n, _) =>
         (coalesce(col(s"__c_$n"), lit(0L)) + col(s"__d_$n")).as(n) }: _*)
   }
+
+  /** the MV buckets this change batch can touch — bucket ids of the delta
+    * groups under the MV's key layout (key = (group, "")). Computed from
+    * the raw change rows (one distinct over O(batch) ints, no extra
+    * groupBy shuffle); result size ≤ nBuckets.
+    */
+  private[graft] def deltaBuckets(changes: DataFrame, nBuckets: Int): Set[Int] =
+    changes.select(pmod(xxhash64(groupCol.cast("string"), lit("")),
+        lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
 
   /** Continuous maintenance: tail the upstream table's typed feed and fold
     * every micro-batch. The feed must carry before-images from the cursor

@@ -485,7 +485,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     snap.filter(_.renames.nonEmpty).fold(df)(s =>
       df.select(df.columns.map(c => col(c).as(s.logicalOf(c))).toSeq: _*))
 
-  private def readResolvedAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame = {
+  private[graft] def readResolvedAt(snap: Option[Snapshot], buckets: Option[Set[Int]]): DataFrame = {
     val raw = readRawAt(snap, buckets)
     snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode) match {
       case ApplyMode.CopyOnWrite    => raw

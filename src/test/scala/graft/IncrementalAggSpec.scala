@@ -102,6 +102,22 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("MV state lookup is bucket-pruned to the delta groups' buckets") {
+    val tag = "iaggb"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.CopyOnWrite, defaultCdfFull = true)
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), col("lang"), length(col("content")))
+    t.merge(ev((1, "I", "a.py", "Apple"), (2, "I", "b.md", "Berry"),
+      (3, "I", "c.rs", "Basil")), tag, 0)
+    agg.applyOnce(t, s"$tag-mv")
+    t.merge(ev((4, "U", "a.py", "Banana")), tag, 1) // touches ONE group (python)
+    val changes = t.readChangesBetween(3, 4)
+    val bs = agg.deltaBuckets(changes, agg.mv.currentSnapshot().get.nBuckets)
+    assert(bs.size == 1, s"a one-group batch must touch exactly one MV bucket, got $bs")
+    // and the pruned state read keeps untouched groups (in unread buckets) exact
+    agg.applyOnce(t, s"$tag-mv")
+    assert(mvSet(agg) == recompute(t, col("lang")), "pruned state read must stay exact")
+  }
+
   test("CDC chaining: second-level MV maintained from the first MV's own full feed") {
     val tag = "iaggc"
     val len = length(col("content")).cast("long")
