@@ -218,3 +218,55 @@ object CdfProbe {
     spark.stop()
   }
 }
+
+/** Incremental-MV maintenance cost probe: per-commit fold time must stay
+  * FLAT as table history grows (O(changes in the batch) + the pruned MV
+  * bucket subset), while a full recompute over the table grows with the
+  * accumulated history (MoR latest-per-key reads every delta below the
+  * head). The MV (per-repo count + byte total) folds from the full change
+  * feed after EVERY commit; recompute is timed at half and full history.
+  * Args: <workDir> [commits] [eventsPerCommit] [mode].
+  */
+object MvProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MvProbe <workDir> [commits] [eventsPerCommit] [mode]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 50
+    val perC = if (args.length > 2) args(2).toLong else 10000L
+    val applyMode = Cli.mode(if (args.length > 3) args(3) else "mor")
+    val spark = Cli.session("graft-mv-probe")
+    import org.apache.spark.sql.functions._
+    val events = commits * perC
+    val cfg = GenConfig(seed = 99, events = events, repos = 50, filesPerRepo = 40)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.deleteRecursive(work)
+    val t = new LakeTable(spark, s"$work/up", 16, applyMode, defaultCdfFull = true)
+    val agg = graft.stream.IncrementalAgg(spark, s"$work/mv", col("repo"),
+      length(col("content")))
+    def recomputeSec(): Double = {
+      val t0 = System.nanoTime()
+      t.read().groupBy("repo")
+        .agg(count(lit(1)).as("cnt"), sum(length(col("content"))).as("total"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val folds = (0 until commits).map { i =>
+      t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "mvprobe", i.toLong)
+      val t0 = System.nanoTime()
+      agg.applyOnce(t, "mvprobe-mv")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rFull = recomputeSec()
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    // drop the first few folds (JVM/codegen warm-up) before the flatness split
+    val steady = folds.drop(math.min(5, commits / 4))
+    val (firstHalf, secondHalf) = steady.splitAt(steady.size / 2)
+    println(f"[mvprobe] mode=${LakeTable.modeName(applyMode)} commits=$commits " +
+      f"eventsPerCommit=$perC histFiles=${t.currentSnapshot().get.files.size} " +
+      f"foldEarlyMedian=${median(firstHalf)}%.2f foldLateMedian=${median(secondHalf)}%.2f " +
+      f"recomputeFullSec=$rFull%.2f recomputeVsFold=${rFull / median(secondHalf)}%.1fx")
+    spark.stop()
+  }
+}
