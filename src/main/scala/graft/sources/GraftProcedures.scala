@@ -23,7 +23,8 @@ import graft.table.{LakeTable, SnapshotIO}
   *     CALL g.system.vacuum_orphans('events', 24)
   *     CALL g.system.enable_change_data_feed('events')
   *     CALL g.system.expire_change_feed('events', 50000)
-  *     CALL g.system.describe_history('events')   -- the version chain }}}
+  *     CALL g.system.describe_history('events')   -- the version chain
+  *     CALL g.system.describe_detail('events')    -- one-row table health }}}
   *
   * Each procedure routes into the SAME LakeTable path the API uses (one
   * implementation, two spellings) and returns its outcome as rows, so a
@@ -35,7 +36,7 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
-    "describe_history", "widen_column", "compact_change_feed")
+    "describe_history", "describe_detail", "widen_column", "compact_change_feed")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -149,6 +150,30 @@ object GraftProcedures {
             before, lake.currentSnapshot().get.cdfFiles.size)
         case "describe_history" =>
           describeHistory(lake, dir)
+        case "describe_detail" =>
+          // one-row table health (the data Delta's DESCRIBE DETAIL shows):
+          // everything comes from the head snapshot's metadata — no data
+          // files are opened, so it is O(metadata) on a table of any size
+          val s = lake.currentSnapshot().get
+          val perBucket = s.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
+          val retained = LakeTable.existingVersions(lake.fs.exists, s"$dir/meta", s.version).size
+          val cdfMode =
+            if (s.cdfFullSinceLsn >= 0) "full" else if (s.cdfSinceLsn >= 0) "post" else "off"
+          statusScan(
+            "version" -> IntegerType, "mode" -> StringType, "buckets" -> IntegerType,
+            "hwm" -> LongType, "stored_rows" -> LongType, "files" -> IntegerType,
+            "max_files_per_bucket" -> IntegerType, "dv_files" -> IntegerType,
+            "dv_rows" -> LongType, "cdf" -> StringType, "cdf_since_lsn" -> LongType,
+            "cdf_full_since_lsn" -> LongType, "cdf_sidecars" -> IntegerType,
+            "cdf_rows" -> LongType, "cdf_manifests" -> IntegerType,
+            "retained_snapshots" -> IntegerType, "columns" -> IntegerType,
+            "renamed_columns" -> IntegerType)(
+            s.version, UTF8String.fromString(s.mode), s.nBuckets,
+            s.hwm, s.totalRows, s.files.size,
+            perBucket, s.dvFiles.size, s.dvRows,
+            UTF8String.fromString(cdfMode), s.cdfSinceLsn, s.cdfFullSinceLsn,
+            s.cdfFiles.size, s.cdfFiles.map(_.rows).sum, s.cdfManifests.size,
+            retained, StructType.fromDDL(s.schemaDdl).size, s.renames.size)
       }
       Collections.singletonList(out).iterator()
     }

@@ -55,6 +55,20 @@ class CatalogSpec extends SparkSpec {
     assert(hist.where(col("commit_time").isNull).count() == 0, "all commits stamped")
     assert(hist.select("mode").head().getString(0) == "mor")
 
+    // one-row table health: metadata-only, consistent with the snapshot
+    val det = spark.sql(s"CALL $cat.system.describe_detail('m')").collect().head
+    val snapD = t.currentSnapshot().get
+    assert(det.getAs[Int]("version") == snapD.version)
+    assert(det.getAs[String]("mode") == "mor" && det.getAs[Int]("buckets") == 8)
+    assert(det.getAs[Long]("hwm") == snapD.hwm &&
+      det.getAs[Long]("stored_rows") == snapD.totalRows)
+    assert(det.getAs[Int]("files") == snapD.files.size &&
+      det.getAs[Int]("max_files_per_bucket") >= 1)
+    assert(det.getAs[String]("cdf") == "post" &&
+      det.getAs[Int]("cdf_sidecars") == snapD.cdfFiles.size)
+    assert(det.getAs[Int]("columns") ==
+      org.apache.spark.sql.types.StructType.fromDDL(snapD.schemaDdl).size)
+
     // retention: keep 2 snapshots, orphan sweep runs clean
     spark.sql(s"CALL $cat.system.expire_snapshots('m', 2)")
     val kept = spark.sql(s"CALL $cat.system.describe_history('m')").count()
