@@ -36,7 +36,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
-    "describe_history", "describe_detail", "widen_column", "compact_change_feed")
+    "describe_history", "describe_detail", "widen_column", "compact_change_feed",
+    "refresh_mv")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -77,6 +78,8 @@ object GraftProcedures {
                                           pDef("target_files", IntegerType, "8"))
       case "enable_change_data_feed" => Array(p("table", StringType),
                                               pDef("mode", StringType, "'post'"))
+      case "refresh_mv"         => Array(p("mv_table", StringType), p("from_table", StringType),
+                                         p("group_col", StringType), p("metric_col", StringType))
       case _                    => Array(p("table", StringType))
     }
 
@@ -90,7 +93,10 @@ object GraftProcedures {
       val spark = SparkSession.active
       val dir = resolve(input.getUTF8String(0).toString)
       val lake = new LakeTable(spark, dir)
-      require(lake.currentSnapshot().isDefined, s"graft: no table at $dir")
+      // refresh_mv CREATES its MV table on first call — every other
+      // procedure operates on an existing table
+      if (proc != "refresh_mv")
+        require(lake.currentSnapshot().isDefined, s"graft: no table at $dir")
       val out: Scan = proc match {
         case "compact" =>
           val before = lake.currentSnapshot().get
@@ -148,6 +154,26 @@ object GraftProcedures {
           lake.compactChangeFeed(input.getInt(1))
           statusScan("sidecars_before" -> IntegerType, "sidecars_after" -> IntegerType)(
             before, lake.currentSnapshot().get.cdfFiles.size)
+        case "refresh_mv" =>
+          // the pure-SQL incremental-MV surface: one-shot catch-up of
+          // `SELECT group_col, count(*), sum(metric_col) FROM from_table
+          // WHERE live GROUP BY 1` maintained from the full change feed
+          // (O(changes since the MV's cursor), never a recompute). The MV
+          // is an ordinary lake table under the catalog, so SELECTing it
+          // by name works; its definition is persisted at first call and
+          // a mismatched re-call errors instead of corrupting the state.
+          // Column NAMES only here — expression-valued groups/metrics are
+          // the Scala API's surface (IncrementalAgg.multi).
+          val fromDir = resolve(input.getUTF8String(1).toString)
+          val from = new LakeTable(spark, fromDir)
+          require(from.currentSnapshot().isDefined, s"graft: no table at $fromDir")
+          val agg = graft.stream.IncrementalAgg(spark, dir,
+            org.apache.spark.sql.functions.col(input.getUTF8String(2).toString),
+            org.apache.spark.sql.functions.col(input.getUTF8String(3).toString))
+          agg.applyOnce(from, "sql-refresh-mv")
+          val head = agg.mv.currentSnapshot()
+          statusScan("mv_hwm" -> LongType, "stored_groups" -> LongType)(
+            head.map(_.hwm).getOrElse(0L), head.map(_.totalRows).getOrElse(0L))
         case "describe_history" =>
           describeHistory(lake, dir)
         case "describe_detail" =>

@@ -18,6 +18,11 @@ import graft.table.LakeTable
   * values — available only when the upstream feed runs with
   * `cdf = 'full'` (update_preimage rows + old values on deletes).
   *
+  * Metrics must be functions of DATA columns: before-images preserve the
+  * row's old data values but ride under the NEW change's (lsn, commit)
+  * stamp (Delta's convention), so a metric over the CDC bookkeeping
+  * columns would not telescope.
+  *
   * Per micro-batch, with w = +1 for insert/update_postimage, −1 for
   * update_preimage and for deletes whose before-image was live:
   *
@@ -223,9 +228,26 @@ object IncrementalAgg {
   def multi(spark: SparkSession, mvRoot: String, group: Column,
             metrics: Seq[(String, Column)], buckets: Int = 8,
             beforeLive: Column = col("content").isNotNull,
-            mvCdfFull: Boolean = false): IncrementalAgg =
-    new IncrementalAgg(
-      new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite,
-        defaultCdfFull = mvCdfFull),
-      group, metrics, beforeLive)
+            mvCdfFull: Boolean = false): IncrementalAgg = {
+    val table = new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite,
+      defaultCdfFull = mvCdfFull)
+    // PERSISTED DEFINITION: folding the same MV state under a DIFFERENT
+    // group/metric set would silently corrupt it (the deltas no longer
+    // telescope against the stored totals). The first builder records the
+    // definition next to the MV's metadata; every later builder must
+    // match. Pre-marker MVs adopt the current definition (create-once is
+    // the arbiter, so concurrent first-builders can't split-brain).
+    val defn = (s"group=$group" +:
+      metrics.map { case (n, c) => s"metric:$n=$c" } :+
+      s"beforeLive=$beforeLive").mkString("\n")
+    val marker = s"$mvRoot/meta/mv-def.txt"
+    if (!table.fs.atomicCreate(marker, defn)) {
+      val prior = table.fs.readString(marker)
+      require(prior == defn,
+        s"IncrementalAgg: the MV at $mvRoot is maintained under a different " +
+          s"definition — refusing to fold (that would corrupt it).\nstored:\n" +
+          s"$prior\nrequested:\n$defn")
+    }
+    new IncrementalAgg(table, group, metrics, beforeLive)
+  }
 }

@@ -78,6 +78,40 @@ class CatalogSpec extends SparkSpec {
     assert(t.read().count() == 2)
   }
 
+  test("pure-SQL incremental MV: CALL refresh_mv creates, folds, and guards its definition") {
+    import org.apache.spark.sql.functions.col
+    val warehouse = tmpDir("catmv")
+    val cat = "gmv"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    // `score` is a DATA column: before-images preserve it, so it is a
+    // valid MV metric (lsn/commit are re-stamped on preimages — CDC
+    // bookkeeping, not foldable data)
+    spark.sql(s"""CREATE TABLE $cat.src (repo STRING, path STRING, commit STRING,
+      lang STRING, content STRING, contentSha STRING, lsn BIGINT, score BIGINT)
+      TBLPROPERTIES ('mode' = 'cow', 'buckets' = '4', 'cdf' = 'full')""")
+    spark.sql(s"INSERT INTO $cat.src VALUES ('r1','a.py','c1',null,'alpha',null,1,10)")
+    spark.sql(s"INSERT INTO $cat.src VALUES ('r2','b.py','c2',null,'beta',null,2,20)")
+    // first call creates the MV and folds everything so far
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mv('mv1', 'src', 'lang', 'score')")
+      .collect().head
+    assert(r1.getAs[Long]("mv_hwm") == 2L)
+    // the MV is an ordinary catalog table — SELECT it by name
+    def mvState() = spark.sql(s"SELECT repo, cnt, total FROM $cat.mv1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mvState() == Set(("python", 2L, 30L)))
+    // incremental: a later change folds, an unchanged head is a no-op
+    spark.sql(s"INSERT INTO $cat.src VALUES ('r1','a.py','c3',null,null,null,3,null)") // delete
+    spark.sql(s"CALL $cat.system.refresh_mv('mv1', 'src', 'lang', 'score')")
+    assert(mvState() == Set(("python", 1L, 20L)))
+    // definition guard: a different group/metric set errors, never corrupts
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv('mv1', 'src', 'repo', 'score')").collect()
+    }
+    assert(e.getMessage.contains("different"), s"got: ${e.getMessage}")
+    assert(mvState() == Set(("python", 1L, 20L)), "failed refresh must not change the MV")
+  }
+
   test("tenant tables are isolated, properties persist, views register") {
     val cat = new Catalog(spark, tmpDir("catalog"))
     val a = cat.table("tenant_a", nBuckets = 4, mode = ApplyMode.CopyOnWrite)
