@@ -79,7 +79,7 @@ object GraftProcedures {
       case "enable_change_data_feed" => Array(p("table", StringType),
                                               pDef("mode", StringType, "'post'"))
       case "refresh_mv"         => Array(p("mv_table", StringType), p("from_table", StringType),
-                                         p("group_col", StringType), p("metric_col", StringType))
+                                         p("group_expr", StringType), p("metric_expr", StringType))
       case _                    => Array(p("table", StringType))
     }
 
@@ -162,14 +162,15 @@ object GraftProcedures {
           // is an ordinary lake table under the catalog, so SELECTing it
           // by name works; its definition is persisted at first call and
           // a mismatched re-call errors instead of corrupting the state.
-          // Column NAMES only here — expression-valued groups/metrics are
-          // the Scala API's surface (IncrementalAgg.multi).
+          // group/metric are SQL EXPRESSIONS over the source's data
+          // columns ('lang', 'length(content)', 'score * weight', ...) —
+          // a bare column name is the simplest case.
           val fromDir = resolve(input.getUTF8String(1).toString)
           val from = new LakeTable(spark, fromDir)
           require(from.currentSnapshot().isDefined, s"graft: no table at $fromDir")
           val agg = graft.stream.IncrementalAgg(spark, dir,
-            org.apache.spark.sql.functions.col(input.getUTF8String(2).toString),
-            org.apache.spark.sql.functions.col(input.getUTF8String(3).toString))
+            org.apache.spark.sql.functions.expr(input.getUTF8String(2).toString),
+            org.apache.spark.sql.functions.expr(input.getUTF8String(3).toString))
           agg.applyOnce(from, "sql-refresh-mv")
           val head = agg.mv.currentSnapshot()
           statusScan("mv_hwm" -> LongType, "stored_groups" -> LongType)(

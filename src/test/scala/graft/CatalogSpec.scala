@@ -110,6 +110,11 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different"), s"got: ${e.getMessage}")
     assert(mvState() == Set(("python", 1L, 20L)), "failed refresh must not change the MV")
+    // expression-valued group/metric: a second MV over SQL expressions
+    spark.sql(s"CALL $cat.system.refresh_mv('mv2', 'src', 'substring(repo, 1, 1)', 'score * 2')")
+    val mv2 = spark.sql(s"SELECT repo, cnt, total FROM $cat.mv2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mv2 == Set(("r", 1L, 40L)), s"got: $mv2")
   }
 
   test("tenant tables are isolated, properties persist, views register") {
