@@ -169,6 +169,11 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     * high watermark (the cursor IS the MV table's hwm — upstream lsns ride
     * the MV rows). Re-running at the same head is a no-op (the upstream
     * hwm doubles as the batchId).
+    *
+    * Use ONE cpId per MV: replay-idempotency is (cpId, batchId)-scoped, so
+    * concurrent catch-ups under the SAME cpId collapse to one fold, while
+    * two maintainers racing under different cpIds could each commit the
+    * same delta. (`refresh_mv` pins its own cpId for exactly this reason.)
     */
   def applyOnce(from: LakeTable, cpId: String): Unit = {
     val cursor = mv.currentSnapshot().map(_.hwm).getOrElse(0L)
