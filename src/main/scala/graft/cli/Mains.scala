@@ -224,7 +224,8 @@ object CdfProbe {
   * bucket subset), while a full recompute over the table grows with the
   * accumulated history (MoR latest-per-key reads every delta below the
   * head). The MV (per-repo count + byte total) folds from the full change
-  * feed after EVERY commit; recompute is timed at half and full history.
+  * feed after EVERY commit; recompute is timed once at the full history
+  * (the growth curve comes from running the probe at two commit counts).
   * Args: <workDir> [commits] [eventsPerCommit] [mode].
   */
 object MvProbe {
@@ -232,6 +233,7 @@ object MvProbe {
     require(args.nonEmpty, "usage: MvProbe <workDir> [commits] [eventsPerCommit] [mode]")
     val work = args(0)
     val commits = if (args.length > 1) args(1).toInt else 50
+    require(commits >= 4, s"MvProbe: need >= 4 commits for the early/late fold split, got $commits")
     val perC = if (args.length > 2) args(2).toLong else 10000L
     val applyMode = Cli.mode(if (args.length > 3) args(3) else "mor")
     val spark = Cli.session("graft-mv-probe")

@@ -79,7 +79,11 @@ object GraftProcedures {
       case "enable_change_data_feed" => Array(p("table", StringType),
                                               pDef("mode", StringType, "'post'"))
       case "refresh_mv"         => Array(p("mv_table", StringType), p("from_table", StringType),
-                                         p("group_expr", StringType), p("metric_expr", StringType))
+                                         p("group_expr", StringType), p("metric_expr", StringType),
+                                         // chaining from an MV source needs the MV liveness
+                                         // convention: 'coalesce(cnt > 0, false)'
+                                         pDef("before_live_expr", StringType,
+                                              "'content IS NOT NULL'"))
       case _                    => Array(p("table", StringType))
     }
 
@@ -168,9 +172,14 @@ object GraftProcedures {
           val fromDir = resolve(input.getUTF8String(1).toString)
           val from = new LakeTable(spark, fromDir)
           require(from.currentSnapshot().isDefined, s"graft: no table at $fromDir")
+          // mvCdfFull: SQL MVs publish their own full feed, so a second
+          // refresh_mv can chain off them (before_live_expr =
+          // 'coalesce(cnt > 0, false)' — MV rows carry null content)
           val agg = graft.stream.IncrementalAgg(spark, dir,
             org.apache.spark.sql.functions.expr(input.getUTF8String(2).toString),
-            org.apache.spark.sql.functions.expr(input.getUTF8String(3).toString))
+            org.apache.spark.sql.functions.expr(input.getUTF8String(3).toString),
+            beforeLive = org.apache.spark.sql.functions.expr(input.getUTF8String(4).toString),
+            mvCdfFull = true)
           agg.applyOnce(from, "sql-refresh-mv")
           val head = agg.mv.currentSnapshot()
           statusScan("mv_hwm" -> LongType, "stored_groups" -> LongType)(

@@ -65,15 +65,39 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
   require(metrics.map(_._1).distinct.size == metrics.size,
     "IncrementalAgg: metric names must be distinct")
   metrics.map(_._1).foreach { n =>
-    require(n != "cnt" && !Set("repo", "path", "commit", "content", "lsn", "op", "g")(n),
+    // the full engine-column set: clean() DROPS lsn/ts/op and COMPUTES
+    // deleted/lang/contentSha/b — a metric under any of those names would
+    // be silently discarded or collide downstream, not stored
+    require(n != "cnt" && !Set("repo", "path", "commit", "content", "lsn", "op", "g",
+        "ts", "deleted", "lang", "contentSha", "b")(n),
       s"IncrementalAgg: metric name '$n' collides with a state/event column")
+  }
+
+  /** the upstream this MV folds from, pinned at first fold: the definition
+    * marker guards group/metrics, this guards the SOURCE — folding another
+    * table's changes into the same telescoped state would corrupt it with
+    * no error otherwise.
+    */
+  private def pinSource(fromRoot: String): Unit = {
+    val marker = s"${mv.root}/meta/mv-src.txt"
+    if (!mv.fs.atomicCreate(marker, fromRoot)) {
+      val prior = mv.fs.readString(marker)
+      require(prior == fromRoot,
+        s"IncrementalAgg: the MV at ${mv.root} is maintained from '$prior' — " +
+          s"refusing to fold changes from '$fromRoot' (that would corrupt it)")
+    }
   }
 
   /** Fold one batch of TYPED change rows (must carry before-images for
     * exactness) into the MV. Idempotent per (cpId, batchId).
     */
-  def applyChanges(changes: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] =
-    mv.merge(eventsFor(changes), cpId, batchId)
+  def applyChanges(changes: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+    // the batch feeds deltaBuckets, the delta aggregate AND merge's write
+    // passes — persist it so the sidecar files are read once per trigger
+    val c = changes.persist()
+    try mv.merge(eventsFor(c), cpId, batchId)
+    finally { c.unpersist(); () }
+  }
 
   /** the MV-update events for one change batch — separated so the plan
     * shape is auditable (PlanAuditSpec pins the partial aggregation and
@@ -117,11 +141,14 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
           org.apache.spark.sql.types.StructType.fromDDL(
             ("g STRING" +: "c0 BIGINT" +: metrics.map { case (n, _) => s"__c_$n BIGINT" })
               .mkString(", ")))
-    deltas.join(cur, Seq("g"), "left").select(
+    // NULL-SAFE state join: a nullable group expression puts its rows
+    // under g = null, a legal MV key — plain equality would never match
+    // the stored null-group row and silently reset its totals every fold
+    deltas.join(cur, deltas("g") <=> cur("g"), "left").select(
       Seq(
         col("mx").as("lsn"),
         when(coalesce(col("c0"), lit(0L)) + col("dCnt") <= 0L, "D").otherwise("U").as("op"),
-        col("g").as("repo"),
+        deltas("g").as("repo"),
         lit("").as("path"),
         lit("!mv").as("commit"),
         lit(null).cast("string").as("content"),
@@ -148,14 +175,26 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
              maxLsnsPerTrigger: Option[Long] = None,
              availableNow: Boolean = true): StreamingQuery = {
     // preimages are load-bearing for the MV algebra — catch the post-only
-    // footgun at start instead of silently drifting (applyOnce also checks
-    // its cursor against the preimage floor; a stream's cursor lives in the
-    // checkpoint, so only enablement is checkable here)
+    // footgun at start instead of silently drifting
+    pinSource(fromRoot)
     val up = new LakeTable(spark, fromRoot, 8, graft.table.ApplyMode.CopyOnWrite)
       .currentSnapshot()
     require(up.forall(_.cdfFullSinceLsn >= 0),
       s"IncrementalAgg.stream: upstream $fromRoot does not carry before-images — " +
         "enable cdf='full' (the post-only feed cannot maintain the MV exactly)")
+    // a FRESH checkpoint starts the tail at lsn 0 — that is only sound
+    // when before-images cover from the origin AND the MV holds no state
+    // yet (a fresh checkpoint over existing state would re-fold history;
+    // an existing checkpoint carries its own cursor and is exempt)
+    if (!mv.fs.exists(s"$checkpointDir/offsets")) {
+      require(up.forall(_.cdfFullSinceLsn == 0L),
+        s"IncrementalAgg.stream: a fresh checkpoint tails from lsn 0 but before-images " +
+          s"only cover (${up.map(_.cdfFullSinceLsn).getOrElse(-1L)}, head] — " +
+          "seed() the MV and use applyOnce for mid-history preimage floors")
+      require(mv.currentSnapshot().forall(_.hwm == 0L),
+        s"IncrementalAgg.stream: a fresh checkpoint would re-fold from lsn 0 into the " +
+          s"existing MV state at ${mv.root} — reuse the original checkpoint or rebuild the MV")
+    }
     val reader = spark.readStream.format("graft").option("changeTypes", "true")
     maxLsnsPerTrigger.foreach(n => reader.option("maxLsnsPerTrigger", n.toString))
     val src = reader.load(fromRoot)
@@ -176,6 +215,7 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     * same delta. (`refresh_mv` pins its own cpId for exactly this reason.)
     */
   def applyOnce(from: LakeTable, cpId: String): Unit = {
+    pinSource(from.root)
     val cursor = mv.currentSnapshot().map(_.hwm).getOrElse(0L)
     val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
     if (head <= cursor) return
@@ -191,6 +231,7 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     * feed doesn't reach back to lsn 0.
     */
   def seed(from: LakeTable, cpId: String): Unit = {
+    pinSource(from.root)
     val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
     val events = from.read()
       .select(groupCol.cast("string").as("g") +:

@@ -115,6 +115,13 @@ class CatalogSpec extends SparkSpec {
     val mv2 = spark.sql(s"SELECT repo, cnt, total FROM $cat.mv2")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(mv2 == Set(("r", 1L, 40L)), s"got: $mv2")
+    // SQL-level CHAINING: SQL MVs publish their own full feed, so an MV
+    // over an MV folds with the MV liveness convention in before_live_expr
+    spark.sql(s"""CALL $cat.system.refresh_mv('mv3', 'mv1', 'repo', 'total',
+      'coalesce(cnt > 0, false)')""")
+    val mv3 = spark.sql(s"SELECT repo, cnt, total FROM $cat.mv3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mv3 == Set(("python", 1L, 20L)), s"got: $mv3")
   }
 
   test("tenant tables are isolated, properties persist, views register") {

@@ -102,6 +102,38 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("null group keys keep their state across folds (null-safe state join)") {
+    val tag = "iaggz"
+    val c1 = substring(col("content"), 1, 1)
+    val group = when(c1 === "Z", lit(null).cast("string")).otherwise(c1)
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.CopyOnWrite, defaultCdfFull = true)
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), group, length(col("content")))
+    val batches = Seq(
+      ev((1, "I", "a", "Zeta"), (2, "I", "b", "Apple")),   // null group appears
+      ev((3, "I", "c", "Zulu")),                           // null group must ACCUMULATE
+      ev((4, "D", "a", null)))                             // and decrement exactly
+    batches.zipWithIndex.foreach { case (b, i) =>
+      t.merge(b, tag, i.toLong)
+      agg.applyOnce(t, s"$tag-mv")
+      assert(mvSet(agg) == recompute(t, group),
+        s"batch $i: null-group state must survive the fold")
+    }
+  }
+
+  test("source pin: folding a different upstream into the same MV is refused") {
+    val tag = "iaggs"
+    val t1 = new LakeTable(spark, tmpDir(s"$tag-1"), 4, ApplyMode.CopyOnWrite, defaultCdfFull = true)
+    val t2 = new LakeTable(spark, tmpDir(s"$tag-2"), 4, ApplyMode.CopyOnWrite, defaultCdfFull = true)
+    t1.merge(ev((1, "I", "a", "Apple")), tag, 0)
+    t2.merge(ev((1, "I", "a", "Berry")), tag, 0)
+    val agg = IncrementalAgg(spark, tmpDir(s"$tag-mv"), col("lang"), length(col("content")))
+    agg.applyOnce(t1, s"$tag-mv")
+    val before = mvSet(agg)
+    val e = intercept[IllegalArgumentException] { agg.applyOnce(t2, s"$tag-mv") }
+    assert(e.getMessage.contains("maintained from"))
+    assert(mvSet(agg) == before, "the refused fold must not touch the MV")
+  }
+
   test("MV state lookup is bucket-pruned to the delta groups' buckets") {
     val tag = "iaggb"
     val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.CopyOnWrite, defaultCdfFull = true)
