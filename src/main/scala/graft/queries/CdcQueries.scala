@@ -404,6 +404,11 @@ object CdcQueries {
     ensureSmWal(s)
     val (wal, cfg, segments) = benchFixture(dir)
     ChangeLogGen.writeWal(s, cfg, wal, segments)
+    // reset the MV fold probes to their base cursor so the first timed run
+    // of cdc_mv_fold / cdc_mv_apply measures the PURE fold, not a rebuild
+    smMvProbeBase(s, "sm_mvf", 512, "smmvf")
+    smMvProbeBase(s, "sm_mvap", 64, "smmvap")
+    ()
   }
 
   /** throughput entry — the lake is rebuilt from zero every call so Bench
@@ -660,7 +665,28 @@ object CdcQueries {
         WHERE rn = 1 AND op <> 'D' GROUP BY 1)
       SELECT substring(repo, 1, 7) AS shard, CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(c) AS BIGINT) AS live_rows, CAST(sum(t) AS BIGINT) AS bytes
-      FROM lvl1 GROUP BY 1 ORDER BY 1"""))
+      FROM lvl1 GROUP BY 1 ORDER BY 1""") +
+    // the pruned fold probe: the touched keys' post-fold state must equal
+    // the recompute of exactly those keys at the head (winner within
+    // commit 5 = final state; delta keys = winner lsn past the cursor)
+    ("cdc_mv_fold" -> s"""
+      SELECT repo || '/' || path AS g, CAST(1 AS BIGINT) AS cnt,
+             CAST(length(content) AS BIGINT) AS total
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                   ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc WHERE lsn > 40000)
+      WHERE rn = 1 AND lsn > 49980 AND op <> 'D'
+      ORDER BY g""") +
+    // the full-trigger fold probe: after folding commit 5's whole feed
+    // batch the per-key MV must equal the live winners at the head
+    ("cdc_mv_apply" -> s"""
+      SELECT repo || '/' || path AS g, CAST(1 AS BIGINT) AS cnt,
+             CAST(length(content) AS BIGINT) AS total
+      FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                   ORDER BY lsn DESC, "commit" DESC) AS rn
+            FROM $walSrc)
+      WHERE rn = 1 AND op <> 'D'
+      ORDER BY g"""))
 
   /** BATCH typed changes over the same CDF table as q51: `table_changes`
     * parity served from the sidecars with no streaming machinery, through
@@ -727,6 +753,81 @@ object CdcQueries {
 
   def q56IncrementalAgg(s: SparkSession, dir: String): DataFrame =
     smMv1(s).read("repo").orderBy("repo")
+
+  /** the MV the FOLD PROBES fold on top of: a PER-KEY incremental MV
+    * (group = repo/path, metric = content length) over sm_fullcdf, built
+    * to cursor 40000 (the first four commits telescoped in one batch).
+    * Idempotent and self-healing: absent or ALREADY-ADVANCED state (a
+    * prior probe run folded past the base) is rebuilt from zero, so every
+    * timed run folds from the same base — a re-run is the same work, never
+    * a committed-set no-op that would record an empty fold time.
+    */
+  private def mvProbeDefn(s: SparkSession, dir: String, buckets: Int) =
+    graft.stream.IncrementalAgg.multi(s, dir,
+      concat_ws("/", col("repo"), col("path")),
+      Seq("total" -> length(col("content"))), buckets = buckets)
+
+  private[graft] def smMvProbeBase(s: SparkSession, name: String, buckets: Int,
+                                   cp: String): graft.stream.IncrementalAgg = {
+    val up = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
+    val mvDir = s"$LakeRoot/$name"
+    val agg = mvProbeDefn(s, mvDir, buckets)
+    if (agg.mv.currentSnapshot().exists(sn => sn.hwm == 40000L && sn.committedCount == 1))
+      return agg
+    deleteRec(mvDir)
+    val fresh = mvProbeDefn(s, mvDir, buckets)
+    fresh.applyChanges(up.readChangesBetween(0L, 40000L), cp, 40000L)
+    fresh
+  }
+
+  /** THE MV FOLD, TIMED WITH PRUNING VISIBLE (round-6 VERDICT #1): a fresh
+    * ~20-event delta (the feed rows with winner lsn in (49980, 50000]) is
+    * folded — `applyChanges`, i.e. the delta aggregate + the BUCKET-PRUNED
+    * state join + the bucket-pruned merge — into a 512-bucket per-key MV
+    * holding ~1000 groups at cursor 40000. The handful of touched groups
+    * hash into a handful of buckets, so the `inputs` forensics show tasks
+    * and rows far below the full-MV file/row count — losing the pruning
+    * (the fold path's one scale property a battery can't otherwise see)
+    * jumps this entry's time AND its task count. Folding a sub-commit lsn
+    * range on top of commit-4 state is exact per key: a key's before-image
+    * in commit 5 is its commit-4 value, and pre/post pairs ride under the
+    * winner's lsn so a row-level lsn filter never splits them. The result
+    * (the touched groups' post-fold state) is oracle-checked against the
+    * DuckDB recompute of exactly those keys at lsn 50000.
+    */
+  def cdcMvFold(s: SparkSession, dir: String): DataFrame = {
+    val up = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
+    val fold = smMvProbeBase(s, "sm_mvf", 512, "smmvf")
+    val delta = up.readChangesBetween(49980L, 50000L).persist()
+    try {
+      val touched = delta.select(concat_ws("/", col("repo"), col("path")).as("g"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val buckets = fold.deltaBuckets(delta, fold.mv.nBuckets)
+      fold.applyChanges(delta, "smmvf", 50000L)
+      // read back ONLY the touched groups' state, bucket-pruned like the
+      // fold's own state join (a full-MV read here would drown the
+      // pruning evidence in an O(MV) scan)
+      fold.mv.readResolvedAt(fold.mv.currentSnapshot(), Some(buckets))
+        .where(!col("deleted") && col("repo").isin(touched: _*))
+        .select(col("repo").as("g"), col("cnt"), col("total"))
+        .orderBy("g")
+    } finally { delta.unpersist(); () }
+  }
+
+  /** THE REPRESENTATIVE PER-TRIGGER FOLD COST: one full 10000-lsn commit's
+    * feed batch (the battery's steady-state trigger size) folded into a
+    * per-key MV at cursor 40000 — the `eventsFor` + merge pair end to end,
+    * state join and merge touching most buckets (a full trigger reaches
+    * most groups at this toy scale). The post-fold MV must equal the
+    * per-key recompute at the head — the full-state proof that the
+    * telescoped fold, not a recompute, produced the table.
+    */
+  def cdcMvApply(s: SparkSession, dir: String): DataFrame = {
+    val up = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
+    val fold = smMvProbeBase(s, "sm_mvap", 64, "smmvap")
+    fold.applyChanges(up.readChangesBetween(40000L, 50000L), "smmvap", 50000L)
+    fold.read("g").orderBy("g")
+  }
 
   /** CDC CHAINING (round-6): a SECOND-level incremental MV maintained from
     * the FIRST MV's own full change feed — a rollup of the rollup that
@@ -817,6 +918,8 @@ object CdcQueries {
     "q55_cdf_full" -> q55CdfFull _,
     "q56_incremental_agg" -> q56IncrementalAgg _,
     "q57_mv_chain" -> q57MvChain _,
+    "cdc_mv_fold" -> cdcMvFold _,
+    "cdc_mv_apply" -> cdcMvApply _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -80,10 +80,13 @@ object GraftProcedures {
                                               pDef("mode", StringType, "'post'"))
       case "refresh_mv"         => Array(p("mv_table", StringType), p("from_table", StringType),
                                          p("group_expr", StringType), p("metric_expr", StringType),
-                                         // chaining from an MV source needs the MV liveness
-                                         // convention: 'coalesce(cnt > 0, false)'
-                                         pDef("before_live_expr", StringType,
-                                              "'content IS NOT NULL'"))
+                                         // 'auto' (default) picks the liveness convention by
+                                         // source kind: an MV source (mv-def marker present)
+                                         // gets 'coalesce(cnt > 0, false)' — MV rows carry
+                                         // null content — everything else the tombstone
+                                         // convention 'content IS NOT NULL'. Pass an explicit
+                                         // expression to override.
+                                         pDef("before_live_expr", StringType, "'auto'"))
       case _                    => Array(p("table", StringType))
     }
 
@@ -173,12 +176,21 @@ object GraftProcedures {
           val from = new LakeTable(spark, fromDir)
           require(from.currentSnapshot().isDefined, s"graft: no table at $fromDir")
           // mvCdfFull: SQL MVs publish their own full feed, so a second
-          // refresh_mv can chain off them (before_live_expr =
-          // 'coalesce(cnt > 0, false)' — MV rows carry null content)
+          // refresh_mv can chain off them without any Scala. The 'auto'
+          // default detects an MV source by its persisted definition
+          // marker and swaps in the MV liveness convention (before-image
+          // live = old cnt > 0; MV rows carry null content) — a two-level
+          // SQL chain needs no explicit before_live_expr.
+          val beforeLiveSql = input.getUTF8String(4).toString match {
+            case "auto" if from.fs.exists(s"$fromDir/meta/mv-def.txt") =>
+              "coalesce(cnt > 0, false)"
+            case "auto" => "content IS NOT NULL"
+            case explicit => explicit
+          }
           val agg = graft.stream.IncrementalAgg(spark, dir,
             org.apache.spark.sql.functions.expr(input.getUTF8String(2).toString),
             org.apache.spark.sql.functions.expr(input.getUTF8String(3).toString),
-            beforeLive = org.apache.spark.sql.functions.expr(input.getUTF8String(4).toString),
+            beforeLive = org.apache.spark.sql.functions.expr(beforeLiveSql),
             mvCdfFull = true)
           agg.applyOnce(from, "sql-refresh-mv")
           val head = agg.mv.currentSnapshot()
@@ -195,6 +207,12 @@ object GraftProcedures {
           val retained = LakeTable.existingVersions(lake.fs.exists, s"$dir/meta", s.version).size
           val cdfMode =
             if (s.cdfFullSinceLsn >= 0) "full" else if (s.cdfSinceLsn >= 0) "post" else "off"
+          // the session's ACTIVE retention policies (applied at every
+          // commit when set): null = manual-expiry-only
+          val snapRetain = spark.conf.getOption("spark.graft.snapshots.retain")
+            .map(_.toInt).map(Int.box).orNull
+          val cdfRetain = spark.conf.getOption("spark.graft.cdf.retentionLsns")
+            .map(_.toLong).map(Long.box).orNull
           statusScan(
             "version" -> IntegerType, "mode" -> StringType, "buckets" -> IntegerType,
             "hwm" -> LongType, "stored_rows" -> LongType, "files" -> IntegerType,
@@ -202,14 +220,15 @@ object GraftProcedures {
             "dv_rows" -> LongType, "cdf" -> StringType, "cdf_since_lsn" -> LongType,
             "cdf_full_since_lsn" -> LongType, "cdf_sidecars" -> IntegerType,
             "cdf_rows" -> LongType, "cdf_manifests" -> IntegerType,
-            "retained_snapshots" -> IntegerType, "columns" -> IntegerType,
+            "retained_snapshots" -> IntegerType, "snapshots_retain" -> IntegerType,
+            "cdf_retention_lsns" -> LongType, "columns" -> IntegerType,
             "renamed_columns" -> IntegerType)(
             s.version, UTF8String.fromString(s.mode), s.nBuckets,
             s.hwm, s.totalRows, s.files.size,
             perBucket, s.dvFiles.size, s.dvRows,
             UTF8String.fromString(cdfMode), s.cdfSinceLsn, s.cdfFullSinceLsn,
             s.cdfFiles.size, s.cdfFiles.map(_.rows).sum, s.cdfManifests.size,
-            retained, StructType.fromDDL(s.schemaDdl).size, s.renames.size)
+            retained, snapRetain, cdfRetain, StructType.fromDDL(s.schemaDdl).size, s.renames.size)
       }
       Collections.singletonList(out).iterator()
     }

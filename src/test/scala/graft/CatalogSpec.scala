@@ -68,6 +68,14 @@ class CatalogSpec extends SparkSpec {
       det.getAs[Int]("cdf_sidecars") == snapD.cdfFiles.size)
     assert(det.getAs[Int]("columns") ==
       org.apache.spark.sql.types.StructType.fromDDL(snapD.schemaDdl).size)
+    // retention policies surface in DESCRIBE DETAIL: null when unset,
+    // the active session values when set
+    assert(det.isNullAt(det.fieldIndex("snapshots_retain")))
+    spark.conf.set("spark.graft.snapshots.retain", "5")
+    try {
+      val det2 = spark.sql(s"CALL $cat.system.describe_detail('m')").collect().head
+      assert(det2.getAs[Int]("snapshots_retain") == 5)
+    } finally spark.conf.unset("spark.graft.snapshots.retain")
 
     // retention: keep 2 snapshots, orphan sweep runs clean
     spark.sql(s"CALL $cat.system.expire_snapshots('m', 2)")
@@ -115,13 +123,29 @@ class CatalogSpec extends SparkSpec {
     val mv2 = spark.sql(s"SELECT repo, cnt, total FROM $cat.mv2")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(mv2 == Set(("r", 1L, 40L)), s"got: $mv2")
-    // SQL-level CHAINING: SQL MVs publish their own full feed, so an MV
-    // over an MV folds with the MV liveness convention in before_live_expr
-    spark.sql(s"""CALL $cat.system.refresh_mv('mv3', 'mv1', 'repo', 'total',
-      'coalesce(cnt > 0, false)')""")
+    // SQL-level CHAINING with NO explicit liveness argument: SQL MVs
+    // publish their own full feed, and 'auto' (the before_live_expr
+    // default) detects the MV source by its definition marker and applies
+    // the MV liveness convention (old cnt > 0) by itself
+    spark.sql(s"CALL $cat.system.refresh_mv('mv3', 'mv1', 'repo', 'total')")
     val mv3 = spark.sql(s"SELECT repo, cnt, total FROM $cat.mv3")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(mv3 == Set(("python", 1L, 20L)), s"got: $mv3")
+    // ...and the resolved convention is pinned in the MV's definition, so a
+    // later explicit call with the SAME expression folds compatibly
+    spark.sql(s"""CALL $cat.system.refresh_mv('mv3', 'mv1', 'repo', 'total',
+      'coalesce(cnt > 0, false)')""")
+    // the auto liveness must be DISCRIMINATING: deleting the last python
+    // row tombstones mv1's group, whose delete change carries old cnt=1 —
+    // under the MV convention (cnt > 0) it decrements mv3 to empty; under
+    // the content convention (MV rows have null content) it would be a
+    // no-op and mv3 would still show python
+    spark.sql(s"INSERT INTO $cat.src VALUES ('r2','b.py','c4',null,null,null,4,null)")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv1', 'src', 'lang', 'score')")
+    assert(mvState() == Set.empty, "mv1 must tombstone the emptied group")
+    spark.sql(s"CALL $cat.system.refresh_mv('mv3', 'mv1', 'repo', 'total')")
+    val mv3b = spark.sql(s"SELECT repo, cnt FROM $cat.mv3").collect()
+    assert(mv3b.isEmpty, s"auto liveness must propagate the delete, got: ${mv3b.mkString(",")}")
   }
 
   test("tenant tables are isolated, properties persist, views register") {

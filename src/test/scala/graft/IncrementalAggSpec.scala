@@ -210,6 +210,34 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("single-maintainer pin: a second cpId errors, takeOver transfers") {
+    val tag = "iaggcp"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    t.merge(ev((1, "I", "a", "Apple"), (2, "I", "b", "Berry")), tag, 0)
+    val mvDir = tmpDir(s"$tag-mv")
+    def mk() = IncrementalAgg(spark, mvDir, col("lang"), length(col("content")))
+    val a = mk()
+    a.applyOnce(t, "maintainer-a")
+    assert(mvSet(a) == recompute(t, col("lang")))
+    // the race the pin closes: replay-idempotency is (cpId, batchId)-scoped,
+    // so maintainer B folding the same delta under its own cpId would
+    // double-count — it must ERROR at the fold boundary instead
+    t.merge(ev((3, "U", "a", "Banana")), tag, 1)
+    val b = mk()
+    val e = intercept[IllegalArgumentException] { b.applyOnce(t, "maintainer-b") }
+    assert(e.getMessage.contains("maintained under cpId 'maintainer-a'"), e.getMessage)
+    // the failed maintainer changed nothing; the pinned one still folds
+    a.applyOnce(t, "maintainer-a")
+    assert(mvSet(a) == recompute(t, col("lang")), "MV equals the recompute after the race")
+    // planned migration: takeOver re-pins, then the NEW cpId folds (cursor
+    // is MV-state-derived, so no replay under the fresh committed-set)
+    b.takeOver("maintainer-b")
+    t.merge(ev((4, "D", "b", null)), tag, 2)
+    b.applyOnce(t, "maintainer-b")
+    assert(mvSet(b) == recompute(t, col("lang")))
+    intercept[IllegalArgumentException] { a.applyOnce(t, "maintainer-a") }
+  }
+
   test("streaming maintenance at gen scale: multi-trigger, restart-safe") {
     val cfg = GenConfig(seed = 55, events = 3000, repos = 6, filesPerRepo = 8)
     val tag = "iagg4"

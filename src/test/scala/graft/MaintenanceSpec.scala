@@ -113,6 +113,42 @@ class MaintenanceSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("auto snapshot retention bounds the meta dir across commits (spark.graft.snapshots.retain)") {
+    spark.conf.set("spark.graft.snapshots.retain", "3")
+    try {
+      val t = new LakeTable(spark, tmpDir("autoret"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+      val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+      try {
+        (0 until 8).foreach(i =>
+          t.merge(wal.where(col("lsn").between(i * 500 + 1, (i + 1) * 500)), "ar", i.toLong))
+        val head = t.currentSnapshot().get.version
+        // the version chain is BOUNDED at the retention count, not O(commits)
+        val versions = LakeTable.existingVersions(t.fs.exists, s"${t.root}/meta", head)
+        assert(versions == Seq(head - 2, head - 1, head),
+          s"meta must hold exactly the 3 retained versions, got $versions")
+        // time travel works across the retained window and errors below it
+        assert(t.readAt(head - 2).count() > 0)
+        intercept[IllegalArgumentException](t.readAt(head - 3))
+        // storage is bounded too: every parquet on disk is referenced by a
+        // retained snapshot (expired commits' files AND emptied dirs gone)
+        val referenced = versions.flatMap { v =>
+          val s = graft.table.SnapshotIO.read(
+            t.fs.readString(s"${t.root}/meta/snap-$v.json"),
+            mp => t.fs.readString(s"${t.root}/$mp"))
+          (s.files.map(_.path) ++ s.dvFiles ++ s.cdfFiles.map(_.path)).map(t.resolvePath)
+        }.toSet
+        val onDisk = Files.walk(Paths.get(t.root, "data")).iterator()
+        val stray = new scala.collection.mutable.ArrayBuffer[String]
+        onDisk.forEachRemaining { p =>
+          if (p.toString.endsWith(".parquet") && !referenced(p.toString)) stray += p.toString
+        }
+        assert(stray.isEmpty, s"unreferenced files survived auto-retention: $stray")
+        // exactly-once memory lives in the CURRENT snapshot — replay still no-op
+        assert(t.merge(wal.where(col("lsn") <= 500), "ar", 0L).isEmpty)
+      } finally wal.unpersist()
+    } finally spark.conf.unset("spark.graft.snapshots.retain")
+  }
+
   test("time travel: readAt(v) reproduces each retained snapshot's state") {
     val t = new LakeTable(spark, tmpDir("tt"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()

@@ -80,6 +80,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("MV fold state join scans ONLY the delta buckets' files") {
+    import graft.stream.IncrementalAgg
+    // per-key MV over many buckets; the delta touches few keys, so the
+    // fold's state join must open only those keys' buckets — the scale
+    // property that keeps per-trigger IO O(MV ∩ touched), never O(MV)
+    val t = new LakeTable(spark, tmpDir("mvprune"), defaultBuckets = 4,
+      ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val wal = ChangeLogGen.changeLog(spark,
+      GenConfig(seed = 21, events = 2000, repos = 8, filesPerRepo = 10))
+    t.merge(wal.where(col("lsn") <= 1900), "pa", 0L)
+    t.merge(wal.where(col("lsn") > 1900), "pa", 1L)
+    val agg = IncrementalAgg.multi(spark, tmpDir("mvprune-mv"),
+      concat_ws("/", col("repo"), col("path")),
+      Seq("total" -> length(col("content"))), buckets = 64)
+    agg.applyChanges(t.readChangesBetween(0L, 1900L), "pa-mv", 1900L)
+    val delta = t.readChangesBetween(1900L)
+    val bs = agg.deltaBuckets(delta, agg.mv.nBuckets)
+    assert(bs.size < 64, s"fixture defect: delta must touch a strict subset, got ${bs.size}")
+    val events = agg.eventsFor(delta)
+    events.collect()
+    // every MV file the plan reads belongs to a touched bucket
+    val snap = agg.mv.currentSnapshot().get
+    def rel(p: String) = p.substring(p.lastIndexOf("/data/") + 1)
+    val allowed = snap.files.filter(f => bs(f.bucket)).map(_.path).toSet
+    val scanned = events.inputFiles.filter(_.contains(agg.mv.root)).map(rel).toSet
+    assert(scanned.nonEmpty, "the state join must read SOME MV state")
+    assert(scanned.subsetOf(allowed),
+      s"state join read outside the delta buckets: ${scanned.diff(allowed)}")
+    // and far fewer files than the full MV holds
+    assert(scanned.size < snap.files.size,
+      s"no pruning: read ${scanned.size} of ${snap.files.size} MV files")
+  }
+
   test("clean-stage categorisation stays in whole-stage codegen (no UDF)") {
     val wal = ChangeLogGen.changeLog(spark, GenConfig(seed = 9, events = 100, repos = 3, filesPerRepo = 5))
     val df = wal.select(graft.model.LangRules.langFor(col("path")).as("lang"))
