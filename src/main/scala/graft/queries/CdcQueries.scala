@@ -408,6 +408,9 @@ object CdcQueries {
     // of cdc_mv_fold / cdc_mv_apply measures the PURE fold, not a rebuild
     smMvProbeBase(s, "sm_mvf", 512, "smmvf")
     smMvProbeBase(s, "sm_mvap", 64, "smmvap")
+    // the extrema MV builds its own upstream + five folds — outside the
+    // timed loop (q58's battery number is the maintained-MV read)
+    smMvExtrema(s)
     ()
   }
 
@@ -677,6 +680,14 @@ object CdcQueries {
             FROM $walSrc WHERE lsn > 40000)
       WHERE rn = 1 AND lsn > 49980 AND op <> 'D'
       ORDER BY g""") +
+    // extrema MV: count/total/min/max per repo after five commit-aligned
+    // incremental folds must equal the one-shot recompute
+    ("q58_mv_extrema" -> s"""
+      SELECT repo, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(length(content)) AS BIGINT) AS total,
+             CAST(min(length(content)) AS BIGINT) AS min_len,
+             CAST(max(length(content)) AS BIGINT) AS max_len
+      FROM ($liveSql) GROUP BY 1 ORDER BY 1""") +
     // the full-trigger fold probe: after folding commit 5's whole feed
     // batch the per-key MV must equal the live winners at the head
     ("cdc_mv_apply" -> s"""
@@ -814,6 +825,45 @@ object CdcQueries {
     } finally { delta.unpersist(); () }
   }
 
+  /** MIN/MAX EXTREMA MV (round-7 stretch): per-repo count + byte total +
+    * min/max content length maintained INCREMENTALLY across five
+    * commit-aligned folds (`applyOnce` after every upstream merge — the
+    * real maintenance cadence). Min/max cannot telescope; inserts fold
+    * monotonically and the folds whose removals tie a stored extremum
+    * recompute ONLY those groups from a version-pinned upstream read (the
+    * bounded rescan). The oracle recomputes all four aggregates from the
+    * WAL's final live winners — a wrong rescan (stale extremum after the
+    * extremum row was updated/deleted) fails the hash gate.
+    */
+  private def smMvExtrema(s: SparkSession): graft.stream.IncrementalAgg = {
+    ensureSmWal(s)
+    val upDir = s"$LakeRoot/sm_xup"
+    val mvDir = s"$LakeRoot/sm_mvx"
+    def mkMv() = graft.stream.IncrementalAgg.multi(s, mvDir, col("repo"),
+      Seq("total" -> length(col("content"))),
+      extrema = Seq(("min_len", length(col("content")), "min"),
+                    ("max_len", length(col("content")), "max")))
+    val up = new LakeTable(s, upDir, smBuckets, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val mv = mkMv()
+    val ok = up.currentSnapshot().exists(sn =>
+        sn.committedCount == smBatches && sn.hwm == smCfg.events) &&
+      mv.mv.currentSnapshot().exists(_.hwm == smCfg.events)
+    if (ok) return mv
+    deleteRec(upDir); deleteRec(mvDir)
+    val freshUp = new LakeTable(s, upDir, smBuckets, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val freshMv = mkMv()
+    val wal = s.read.parquet(smWal)
+    val per = smCfg.events / smBatches
+    (0 until smBatches).foreach { i =>
+      freshUp.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smxup", i.toLong)
+      freshMv.applyOnce(freshUp, "smmvx")
+    }
+    freshMv
+  }
+
+  def q58MvExtrema(s: SparkSession, dir: String): DataFrame =
+    smMvExtrema(s).read("repo").orderBy("repo")
+
   /** THE REPRESENTATIVE PER-TRIGGER FOLD COST: one full 10000-lsn commit's
     * feed batch (the battery's steady-state trigger size) folded into a
     * per-key MV at cursor 40000 — the `eventsFor` + merge pair end to end,
@@ -920,6 +970,7 @@ object CdcQueries {
     "q57_mv_chain" -> q57MvChain _,
     "cdc_mv_fold" -> cdcMvFold _,
     "cdc_mv_apply" -> cdcMvApply _,
+    "q58_mv_extrema" -> q58MvExtrema _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -48,6 +48,13 @@ import graft.table.LakeTable
   * path = ""), so reads, time travel, and its own change feed all work on
   * the aggregate history for free.
   *
+  * MIN/MAX (`extrema`) extend coverage past the SUM-decomposable algebra:
+  * inserts fold monotonically, and a fold whose removals tie a stored
+  * extremum recomputes ONLY the affected groups from a VERSION-PINNED
+  * upstream read (`applyOnce` reads `readAt` of the snapshot whose hwm is
+  * the batch head) — a bounded rescan, never an O(table) recompute.
+  * Extrema MVs therefore maintain via `applyOnce` only.
+  *
   * CHAINING: built with `mvCdfFull = true`, the MV table publishes its own
   * full feed, so a second-level MV (a rollup of the rollup) maintains
   * itself from the FIRST MV's changes — O(changed groups) per trigger,
@@ -57,14 +64,19 @@ import graft.table.LakeTable
   * before-image is its old count, not the content tombstone convention.
   */
 final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
-                           metrics: Seq[(String, Column)], beforeLive: Column) {
+                           metrics: Seq[(String, Column)], beforeLive: Column,
+                           extrema: Seq[(String, Column, String)] = Nil) {
 
   import LakeTable.BucketStats
 
   require(metrics.nonEmpty, "IncrementalAgg: at least one metric")
-  require(metrics.map(_._1).distinct.size == metrics.size,
-    "IncrementalAgg: metric names must be distinct")
-  metrics.map(_._1).foreach { n =>
+  val allNames: Seq[String] = metrics.map(_._1) ++ extrema.map(_._1)
+  require(allNames.distinct.size == allNames.size,
+    "IncrementalAgg: metric/extremum names must be distinct")
+  extrema.foreach { case (n, _, kind) =>
+    require(kind == "min" || kind == "max",
+      s"IncrementalAgg: extremum '$n' kind must be 'min' or 'max', got '$kind'") }
+  allNames.foreach { n =>
     // the full engine-column set: clean() DROPS lsn/ts/op and COMPUTES
     // deleted/lang/contentSha/b — a metric under any of those names would
     // be silently discarded or collide downstream, not stored
@@ -123,11 +135,19 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     * the MV's pinned maintainer (see `pinMaintainer`).
     */
   def applyChanges(changes: DataFrame, cpId: String, batchId: Long): Seq[BucketStats] = {
+    require(extrema.isEmpty,
+      "IncrementalAgg: extrema (min/max) cannot fold from a bare change batch — " +
+        "they need a version-pinned rescan basis; maintain this MV via applyOnce")
+    applyChangesX(changes, cpId, batchId, None)
+  }
+
+  private[graft] def applyChangesX(changes: DataFrame, cpId: String, batchId: Long,
+                                   rescanBasis: Option[DataFrame]): Seq[BucketStats] = {
     pinMaintainer(cpId)
     // the batch feeds deltaBuckets, the delta aggregate AND merge's write
     // passes — persist it so the sidecar files are read once per trigger
     val c = changes.persist()
-    try mv.merge(eventsFor(c), cpId, batchId)
+    try mv.merge(eventsForX(c, rescanBasis), cpId, batchId)
     finally { c.unpersist(); () }
   }
 
@@ -135,18 +155,38 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     * shape is auditable (PlanAuditSpec pins the partial aggregation and
     * the join shape)
     */
-  private[graft] def eventsFor(changes: DataFrame): DataFrame = {
+  private[graft] def eventsFor(changes: DataFrame): DataFrame = eventsForX(changes, None)
+
+  /** `rescanBasis`: the upstream LIVE rows AT THE FOLD'S TARGET VERSION
+    * (version-pinned — `applyOnce` passes `readAt` of the snapshot whose
+    * hwm is the batch head). Min/max cannot telescope: removing the
+    * stored extremum leaves no way to derive the next one from deltas
+    * alone, so flagged groups (a removed value ties the stored extremum)
+    * are recomputed from the basis, filtered to EXACTLY those groups —
+    * O(affected groups' rows) scanned thanks to the (repo,path)-sorted
+    * files' stats pruning, never O(table) work per fold. Unflagged groups
+    * stay pure-delta: inserts only ever extend an extremum monotonically
+    * (`least`/`greatest` with the stored value).
+    */
+  private[graft] def eventsForX(changes: DataFrame, rescanBasis: Option[DataFrame]): DataFrame = {
     val ct = col("_change_type")
     val w = when(ct === "update_preimage", lit(-1L))
       .when(ct === "delete", when(beforeLive, lit(-1L)).otherwise(lit(0L)))
       .otherwise(lit(1L))
     val deltas = changes
       .select(Seq(groupCol.cast("string").as("g"), w.as("w"), col("lsn")) ++
-        metrics.map { case (n, m) => coalesce(m.cast("long"), lit(0L)).as(s"__m_$n") }: _*)
+        metrics.map { case (n, m) => coalesce(m.cast("long"), lit(0L)).as(s"__m_$n") } ++
+        extrema.map { case (n, v, _) => v.cast("long").as(s"__v_$n") }: _*)
       .groupBy("g")
       .agg(sum(col("w")).as("dCnt"),
         (max("lsn").as("mx") +:
-          metrics.map { case (n, _) => sum(col("w") * col(s"__m_$n")).as(s"__d_$n") }): _*)
+          (metrics.map { case (n, _) => sum(col("w") * col(s"__m_$n")).as(s"__d_$n") } ++
+           extrema.flatMap { case (n, _, kind) =>
+             val f: Column => Column = if (kind == "min") min else max
+             // extremum candidates ADDED by (insert/post) rows and the
+             // values REMOVED by (preimage/live-delete) rows, separately
+             Seq(f(when(col("w") === 1L, col(s"__v_$n"))).as(s"__i_$n"),
+                 f(when(col("w") === -1L, col(s"__v_$n"))).as(s"__r_$n")) })): _*)
     // a virgin MV (or one whose only commit was empty) has no state
     // columns yet — every group then starts from all-zero
     val snapOpt = mv.currentSnapshot()
@@ -166,27 +206,69 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
         mv.readResolvedAt(snapOpt, Some(deltaBuckets(changes, snapOpt.get.nBuckets)))
           .where(!col("deleted"))
           .select(Seq(col("repo").as("g"), col("cnt").as("c0")) ++
-          metrics.map { case (n, _) => col(n).as(s"__c_$n") }: _*)
+          metrics.map { case (n, _) => col(n).as(s"__c_$n") } ++
+          extrema.map { case (n, _, _) => col(n).as(s"__cx_$n") }: _*)
       else
         changes.sparkSession.createDataFrame(
           changes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
-            ("g STRING" +: "c0 BIGINT" +: metrics.map { case (n, _) => s"__c_$n BIGINT" })
+            ("g STRING" +: "c0 BIGINT" +:
+              (metrics.map { case (n, _) => s"__c_$n BIGINT" } ++
+               extrema.map { case (n, _, _) => s"__cx_$n BIGINT" }))
               .mkString(", ")))
     // NULL-SAFE state join: a nullable group expression puts its rows
     // under g = null, a legal MV key — plain equality would never match
     // the stored null-group row and silently reset its totals every fold
-    deltas.join(cur, deltas("g") <=> cur("g"), "left").select(
-      Seq(
-        col("mx").as("lsn"),
-        when(coalesce(col("c0"), lit(0L)) + col("dCnt") <= 0L, "D").otherwise("U").as("op"),
-        deltas("g").as("repo"),
-        lit("").as("path"),
-        lit("!mv").as("commit"),
-        lit(null).cast("string").as("content"),
-        (coalesce(col("c0"), lit(0L)) + col("dCnt")).as("cnt")) ++
+    val baseCols: Seq[Column] = Seq(
+      col("mx").as("lsn"),
+      when(coalesce(col("c0"), lit(0L)) + col("dCnt") <= 0L, "D").otherwise("U").as("op"),
+      deltas("g").as("repo"),
+      lit("").as("path"),
+      lit("!mv").as("commit"),
+      lit(null).cast("string").as("content"),
+      (coalesce(col("c0"), lit(0L)) + col("dCnt")).as("cnt")) ++
       metrics.map { case (n, _) =>
-        (coalesce(col(s"__c_$n"), lit(0L)) + col(s"__d_$n")).as(n) }: _*)
+        (coalesce(col(s"__c_$n"), lit(0L)) + col(s"__d_$n")).as(n) }
+    val joined = deltas.join(cur, deltas("g") <=> cur("g"), "left")
+    if (extrema.isEmpty) return joined.select(baseCols: _*)
+    // extrema: provisional value = stored ⊔ inserted (exact while nothing
+    // at the stored extremum was removed); the rescan flag fires when a
+    // removed value TIES OR PASSES the stored extremum (removed values
+    // always came from the group, so only a tie can dethrone it)
+    val xCols = extrema.map { case (n, _, kind) =>
+      (if (kind == "min") least(col(s"__cx_$n"), col(s"__i_$n"))
+       else greatest(col(s"__cx_$n"), col(s"__i_$n"))).as(n)
+    }
+    val fCols = extrema.map { case (n, _, kind) =>
+      (col(s"__r_$n").isNotNull && col(s"__cx_$n").isNotNull &&
+        (if (kind == "min") col(s"__r_$n") <= col(s"__cx_$n")
+         else col(s"__r_$n") >= col(s"__cx_$n"))).as(s"__f_$n")
+    }
+    val ev0 = joined.select(baseCols ++ xCols ++ fCols: _*)
+    val anyFlag = extrema.map(e => col(s"__f_${e._1}")).reduce(_ || _)
+    // the groups needing a rescan — bounded by the batch's group count
+    // (tombstoned groups need none: their extrema die with the row)
+    val flagged = ev0.where(col("op") === "U" && anyFlag)
+      .select("repo").collect().map(r => Option(r.getString(0))).toSeq
+    val flagNames = extrema.map(e => s"__f_${e._1}")
+    if (flagged.isEmpty) return ev0.drop(flagNames: _*)
+    val basis = rescanBasis.getOrElse(throw new IllegalStateException(
+      "IncrementalAgg: extrema rescan needs the version-pinned upstream basis — fold via applyOnce"))
+    val gs = groupCol.cast("string")
+    val nonNull = flagged.flatten
+    val pred0 = if (nonNull.nonEmpty) gs.isin(nonNull: _*) else lit(false)
+    val pred = if (flagged.contains(None)) pred0 || gs.isNull else pred0
+    val re = basis.where(pred).groupBy(gs.as("__rg"))
+      .agg(extrema.head match { case (n, v, kind) =>
+        (if (kind == "min") min(v.cast("long")) else max(v.cast("long"))).as(s"__re_$n") },
+        extrema.tail.map { case (n, v, kind) =>
+          (if (kind == "min") min(v.cast("long")) else max(v.cast("long"))).as(s"__re_$n") }: _*)
+    ev0.join(re, ev0("repo") <=> re("__rg"), "left")
+      .select(
+        (Seq("lsn", "op", "repo", "path", "commit", "content", "cnt").map(ev0(_)) ++
+          metrics.map { case (n, _) => ev0(n) } ++
+          extrema.map { case (n, _, _) =>
+            when(col(s"__f_$n"), col(s"__re_$n")).otherwise(ev0(n)).as(n) }): _*)
   }
 
   /** the MV buckets this change batch can touch — bucket ids of the delta
@@ -208,6 +290,12 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
              availableNow: Boolean = true): StreamingQuery = {
     // preimages are load-bearing for the MV algebra — catch the post-only
     // footgun at start instead of silently drifting
+    // extrema need a basis version-pinned at each batch's END lsn; a
+    // rate-limited stream batch can end MID-commit where no such snapshot
+    // exists — extrema MVs maintain via applyOnce (commit-aligned folds)
+    require(extrema.isEmpty,
+      "IncrementalAgg: extrema (min/max) MVs maintain via applyOnce, not stream() — " +
+        "a micro-batch can end mid-commit, where no version-pinned rescan basis exists")
     pinSource(fromRoot)
     pinMaintainer(cpId)
     // metadata-only peek at the upstream head: layout/mode come from the
@@ -252,13 +340,18 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     pinSource(from.root)
     pinMaintainer(cpId)
     val cursor = mv.currentSnapshot().map(_.hwm).getOrElse(0L)
-    val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
+    // ONE coherent upstream snapshot: head, feed floor, and (for extrema)
+    // the rescan basis all come from the same version — a concurrent
+    // upstream commit between these reads cannot skew the fold
+    val upSnap = from.currentSnapshot()
+    val head = upSnap.map(_.hwm).getOrElse(0L)
     if (head <= cursor) return
-    val fullSince = from.currentSnapshot().map(_.cdfFullSinceLsn).getOrElse(-1L)
+    val fullSince = upSnap.map(_.cdfFullSinceLsn).getOrElse(-1L)
     require(fullSince >= 0 && cursor >= fullSince,
       s"IncrementalAgg: upstream must carry before-images over ($cursor, $head] " +
         s"(cdfFullSinceLsn=$fullSince) — enable cdf='full' or seed() past the floor")
-    applyChanges(from.readChangesBetween(cursor, head), cpId, head)
+    val basis = if (extrema.isEmpty) None else Some(from.readAt(upSnap.get.version))
+    applyChangesX(from.readChangesBetween(cursor, head), cpId, head, basis)
   }
 
   /** Initialize (or re-base) the MV by full recompute at the upstream
@@ -271,21 +364,24 @@ final class IncrementalAgg(val mv: LakeTable, groupCol: Column,
     val head = from.currentSnapshot().map(_.hwm).getOrElse(0L)
     val events = from.read()
       .select(groupCol.cast("string").as("g") +:
-        metrics.map { case (n, m) => coalesce(m.cast("long"), lit(0L)).as(s"__m_$n") }: _*)
+        (metrics.map { case (n, m) => coalesce(m.cast("long"), lit(0L)).as(s"__m_$n") } ++
+         extrema.map { case (n, v, _) => v.cast("long").as(s"__v_$n") }): _*)
       .groupBy("g")
       .agg(count(lit(1)).as("cnt"),
-        metrics.map { case (n, _) => sum(col(s"__m_$n")).as(n) }: _*)
+        (metrics.map { case (n, _) => sum(col(s"__m_$n")).as(n) } ++
+         extrema.map { case (n, _, kind) =>
+           (if (kind == "min") min(col(s"__v_$n")) else max(col(s"__v_$n"))).as(n) }): _*)
       .select(Seq(lit(head).as("lsn"), lit("U").as("op"), col("g").as("repo"),
         lit("").as("path"), lit("!mv").as("commit"),
         lit(null).cast("string").as("content"), col("cnt")) ++
-        metrics.map { case (n, _) => col(n) }: _*)
+        allNames.map(col): _*)
     mv.merge(events, s"$cpId-seed", head)
   }
 
   /** the maintained aggregate, under user-facing names */
   def read(groupName: String = "group"): DataFrame =
     mv.read().select(col("repo").as(groupName) +: col("cnt") +:
-      metrics.map { case (n, _) => col(n) }: _*)
+      allNames.map(col): _*)
 }
 
 object IncrementalAgg {
@@ -304,13 +400,22 @@ object IncrementalAgg {
   /** the general form: any number of SUM-decomposable metrics — count,
     * sums, sums of squares (mean/variance), dot products — each a named
     * column of the MV. Anything expressible as Σ f(row) per group folds
-    * incrementally; order statistics (min/max/quantiles) do not.
-    * `mvCdfFull` makes the MV table publish its own full feed (chaining).
+    * incrementally. `extrema` extends coverage to min/max, which CANNOT
+    * telescope (removing the stored extremum leaves no delta-only way to
+    * the next one): inserts fold monotonically, and the rare fold whose
+    * removals tie a stored extremum recomputes ONLY the affected groups
+    * from a version-pinned upstream read — O(affected groups' rows), the
+    * bounded-rescan fallback; extrema MVs therefore maintain via
+    * `applyOnce` (commit-aligned folds), not `stream()`. Quantiles stay
+    * out of scope (no bounded rescan exists for them — a quantile needs
+    * the whole group). `mvCdfFull` makes the MV table publish its own
+    * full feed (chaining).
     */
   def multi(spark: SparkSession, mvRoot: String, group: Column,
             metrics: Seq[(String, Column)], buckets: Int = 8,
             beforeLive: Column = col("content").isNotNull,
-            mvCdfFull: Boolean = false): IncrementalAgg = {
+            mvCdfFull: Boolean = false,
+            extrema: Seq[(String, Column, String)] = Nil): IncrementalAgg = {
     val table = new LakeTable(spark, mvRoot, buckets, graft.table.ApplyMode.CopyOnWrite,
       defaultCdfFull = mvCdfFull)
     // PERSISTED DEFINITION: folding the same MV state under a DIFFERENT
@@ -319,8 +424,9 @@ object IncrementalAgg {
     // definition next to the MV's metadata; every later builder must
     // match. Pre-marker MVs adopt the current definition (create-once is
     // the arbiter, so concurrent first-builders can't split-brain).
-    val defn = (s"group=$group" +:
-      metrics.map { case (n, c) => s"metric:$n=$c" } :+
+    val defn = ((s"group=$group" +:
+      metrics.map { case (n, c) => s"metric:$n=$c" }) ++
+      extrema.map { case (n, c, kind) => s"extremum:$n=$kind($c)" } :+
       s"beforeLive=$beforeLive").mkString("\n")
     val marker = s"$mvRoot/meta/mv-def.txt"
     if (!table.fs.atomicCreate(marker, defn)) {
@@ -330,6 +436,6 @@ object IncrementalAgg {
           s"definition — refusing to fold (that would corrupt it).\nstored:\n" +
           s"$prior\nrequested:\n$defn")
     }
-    new IncrementalAgg(table, group, metrics, beforeLive)
+    new IncrementalAgg(table, group, metrics, beforeLive, extrema)
   }
 }

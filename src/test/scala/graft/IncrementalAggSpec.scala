@@ -210,6 +210,58 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("extrema MV: min/max exact across folds; bounded rescan only when an extremum is removed") {
+    val tag = "iaggx"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val agg = IncrementalAgg.multi(spark, tmpDir(s"$tag-mv"), col("lang"),
+      Seq("total" -> length(col("content"))),
+      extrema = Seq(("min_len", length(col("content")), "min"),
+                    ("max_len", length(col("content")), "max")))
+    def oracle() = t.read().groupBy(col("lang").cast("string").as("g"))
+      .agg(count(lit(1)).as("c"), sum(length(col("content")).cast("long")).as("s"),
+        min(length(col("content")).cast("long")).as("mn"),
+        max(length(col("content")).cast("long")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    def mvX() = agg.read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batches = Seq(
+      ev((1, "I", "a", "aaaa"), (2, "I", "b", "bb"), (3, "I", "c", "cccccc")), // min 2, max 6
+      ev((4, "I", "d", "x")),        // insert-only: min extends monotonically, NO rescan needed
+      ev((5, "D", "b", null)),       // removes 2 > current min 1 — still no rescan needed
+      ev((6, "D", "d", null)),       // removes the min itself -> bounded rescan -> min 4
+      ev((7, "U", "a", "aaaaaaaaaa")), // preimage removes min 4 -> rescan min; max extends to 10
+      ev((8, "U", "c", "ccc")),      // removes 6 (not max); min rescan -> 3
+      ev((9, "I", "f", "fff")),      // tie: two rows at len 3
+      ev((10, "D", "c", null))       // removes ONE of the tied minima -> rescan keeps min 3
+    )
+    batches.zipWithIndex.foreach { case (b, i) =>
+      t.merge(b, tag, i.toLong)
+      if (i == 1) {
+        // an insert-only batch folds WITHOUT any rescan basis — proof the
+        // rescan is gated on removed-extremum folds, not paid every time
+        assert(agg.eventsFor(t.readChangesBetween(3L, 4L)).count() == 1)
+      }
+      agg.applyOnce(t, s"$tag-mv")
+      assert(mvX() == oracle(), s"extrema MV must match recompute after batch $i")
+    }
+    // a removed-extremum batch REQUIRES the version-pinned basis: the raw
+    // eventsFor path refuses loudly instead of writing a stale extremum
+    t.merge(ev((11, "D", "a", null)), tag, 98L) // removes the max=10 row
+    val e = intercept[IllegalStateException] {
+      agg.eventsFor(t.readChangesBetween(10L, 11L))
+    }
+    assert(e.getMessage.contains("rescan"), e.getMessage)
+    agg.applyOnce(t, s"$tag-mv")
+    assert(mvX() == oracle())
+    // extrema MVs fold via applyOnce only — the other fold surfaces refuse
+    intercept[IllegalArgumentException] {
+      agg.applyChanges(t.readChangesBetween(0L), s"$tag-mv", 99L)
+    }
+    intercept[IllegalArgumentException] {
+      agg.stream(spark, t.root, s"$tag-mv", tmpDir(s"$tag-cp"))
+    }
+  }
+
   test("single-maintainer pin: a second cpId errors, takeOver transfers") {
     val tag = "iaggcp"
     val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
