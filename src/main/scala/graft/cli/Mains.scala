@@ -272,3 +272,61 @@ object MvProbe {
     spark.stop()
   }
 }
+
+/** Backfill cost/benefit probe (round-7): a feed-OFF table's typed tail
+  * pays the bucket-history walk EVERY trigger; `backfillChangeFeed()`
+  * converts that into sidecar coverage once. The probe reports the
+  * recurring walk price, the one-time backfill price, and the recurring
+  * sidecar price on the SAME last-commit cursor — plus the payback point
+  * (triggers until the one-time cost is amortized).
+  * Args: <workDir> [commits] [eventsPerCommit] [mode].
+  */
+object BackfillProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BackfillProbe <workDir> [commits] [eventsPerCommit] [mode]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 50
+    val perC = if (args.length > 2) args(2).toLong else 10000L
+    val applyMode = Cli.mode(if (args.length > 3) args(3) else "mor")
+    val spark = Cli.session("graft-backfill-probe")
+    import org.apache.spark.sql.functions._
+    val events = commits * perC
+    val cfg = GenConfig(seed = 99, events = events, repos = 50, filesPerRepo = 40)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.deleteRecursive(work) // backfill mutates the table: fresh fixture per run
+    val t = new LakeTable(spark, s"$work/bf", 16, applyMode)
+    (0 until commits).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "bfprobe", i.toLong)
+    }
+    val lo = events - perC // tail ONLY the last commit's range
+    def drainSec(tag: String): Double = {
+      val times = (0 until 3).map { i =>
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft")
+          .option("changeTypes", "true").option("startLsn", lo.toString)
+          .load(t.root)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$work/cp_${tag}_$i")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1) // median of 3 fresh-checkpoint runs
+    }
+    drainSec("warm") // JVM/codegen warm-up, untimed
+    val walkSec = drainSec("walk") // recurring, grows with history
+    val b0 = System.nanoTime()
+    val sidecars = t.backfillChangeFeed()
+    val backfillSec = (System.nanoTime() - b0) / 1e9 // one-time
+    val cdfSec = drainSec("cdf") // recurring, O(batch)
+    val payback = backfillSec / math.max(walkSec - cdfSec, 1e-9)
+    println(f"[backfill] mode=${LakeTable.modeName(applyMode)} commits=$commits " +
+      f"eventsPerCommit=$perC histFiles=${t.currentSnapshot().get.files.size} " +
+      f"sidecars=$sidecars walkSecPerTrigger=$walkSec%.2f backfillOnceSec=$backfillSec%.2f " +
+      f"cdfSecPerTrigger=$cdfSec%.2f recurringSpeedup=${walkSec / cdfSec}%.1fx " +
+      f"paybackTriggers=$payback%.1f")
+    spark.stop()
+  }
+}

@@ -622,6 +622,9 @@ object CdcQueries {
     ("q51_cdf_types" -> m("q50_change_types")) +
     // batch table_changes over the sidecars — third path, same oracle
     ("q54_changes" -> m("q50_change_types")) +
+    // BACKFILLED sidecars (feed enabled after the fact, history
+    // materialized once) — fourth path, same oracle
+    ("q59_backfill" -> m("q50_change_types")) +
     // the FULL feed's oracle: the q50 replay extended with before-images —
     // each winner's predecessor sha from a lag window; preimage rows join
     // via UNION ALL under the new change's (lsn, commit), delete rows take
@@ -713,6 +716,29 @@ object CdcQueries {
       .orderBy("lsn", "repo", "path")
   }
 
+  /** BACKFILLED change feed (round-7, the carried scale-weak item closed):
+    * the same 5-batch MoR apply built with NO feed — the shape whose typed
+    * tail previously paid the bucket-history walk EVERY trigger —
+    * upgraded by one `backfillChangeFeed()` call that replays the stored
+    * chains once into lsn-range-partitioned sidecars and drops the
+    * coverage floor to 0. The read is the same batch table_changes scan
+    * as q54, now planning sidecar partitions over the full range, and it
+    * must hash-match the SAME typed-replay oracle as q50 (walk) / q51
+    * (commit-time sidecars, streamed) / q54 (commit-time sidecars,
+    * batch): four independent paths, one oracle — the proof that backfill
+    * materializes exactly what the walk delivered. Own fixture dir:
+    * backfilling sm_mor would silently flip q50 onto the sidecar path.
+    */
+  def q59Backfill(s: SparkSession, dir: String): DataFrame = {
+    val t = smLakeMode(s, ApplyMode.MergeOnRead, "sm_bfill", "smbf")
+    t.backfillChangeFeed()
+    require(t.currentSnapshot().exists(sn => sn.cdfSinceLsn == 0L && sn.cdfFiles.nonEmpty),
+      "q59: backfill must cover the feed from lsn 0")
+    s.read.format("graft").option("changeTypes", "true").load(t.root)
+      .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
+      .orderBy("lsn", "repo", "path")
+  }
+
   /** The FULL change data feed (Delta `table_changes` parity, round-6):
     * the same 5-batch MoR apply with `cdf = 'full'`, so every commit's
     * sidecar also records BEFORE-IMAGES — an `update_preimage` row per
@@ -783,7 +809,11 @@ object CdcQueries {
     val up = smLakeMode(s, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
     val mvDir = s"$LakeRoot/$name"
     val agg = mvProbeDefn(s, mvDir, buckets)
-    if (agg.mv.currentSnapshot().exists(sn => sn.hwm == 40000L && sn.committedCount == 1))
+    // "at base" = folded exactly (0, 40000] and NOT the tail batch yet —
+    // the committed set is a batchId WATERMARK (hwm+pending), so check the
+    // tail batchId's membership, not a count
+    if (agg.mv.currentSnapshot().exists(sn =>
+        sn.hwm == 40000L && !sn.isCommitted(cp, 50000L)))
       return agg
     deleteRec(mvDir)
     val fresh = mvProbeDefn(s, mvDir, buckets)
@@ -971,6 +1001,7 @@ object CdcQueries {
     "cdc_mv_fold" -> cdcMvFold _,
     "cdc_mv_apply" -> cdcMvApply _,
     "q58_mv_extrema" -> q58MvExtrema _,
+    "q59_backfill" -> q59Backfill _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

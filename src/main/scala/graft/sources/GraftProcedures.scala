@@ -37,7 +37,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
     "describe_history", "describe_detail", "widen_column", "compact_change_feed",
-    "refresh_mv")
+    "backfill_change_feed", "refresh_mv")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -76,6 +76,12 @@ object GraftProcedures {
                                          p("type", StringType))
       case "compact_change_feed" => Array(p("table", StringType),
                                           pDef("target_files", IntegerType, "8"))
+      case "backfill_change_feed" => Array(p("table", StringType),
+                                           // 'post' = post-images; 'full' = also
+                                           // before-images (only meaningful when the
+                                           // full floor can reach 0 — see LakeTable)
+                                           pDef("mode", StringType, "'post'"),
+                                           pDef("target_files", IntegerType, "16"))
       case "enable_change_data_feed" => Array(p("table", StringType),
                                               pDef("mode", StringType, "'post'"))
       case "refresh_mv"         => Array(p("mv_table", StringType), p("from_table", StringType),
@@ -161,6 +167,18 @@ object GraftProcedures {
           lake.compactChangeFeed(input.getInt(1))
           statusScan("sidecars_before" -> IntegerType, "sidecars_after" -> IntegerType)(
             before, lake.currentSnapshot().get.cdfFiles.size)
+        case "backfill_change_feed" =>
+          // one-time conversion of the history-walk fallback into sidecar
+          // coverage: materialize typed changes for the uncovered range,
+          // floor drops to 0, every tail rides sidecars from then on
+          val mode = input.getUTF8String(1).toString.toLowerCase
+          require(mode == "post" || mode == "full",
+            s"backfill_change_feed: mode must be 'post' or 'full', got '$mode'")
+          val written = lake.backfillChangeFeed(full = mode == "full", input.getInt(2))
+          val head = lake.currentSnapshot().get
+          statusScan("sidecars_written" -> IntegerType, "cdf_since_lsn" -> LongType,
+            "cdf_full_since_lsn" -> LongType)(
+            written, head.cdfSinceLsn, head.cdfFullSinceLsn)
         case "refresh_mv" =>
           // the pure-SQL incremental-MV surface: one-shot catch-up of
           // `SELECT group_col, count(*), sum(metric_col) FROM from_table

@@ -557,7 +557,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // table) — is exactly what CDF retention removes: expiry (manual
         // or spark.graft.cdf.retentionLsns) raises the floor, ancient
         // cursors drop below it, and they take the file path again.
-        if (s.cdfSinceLsn >= 0 && fromLsn > s.cdfSinceLsn) {
+        if (LakeTable.cdfCovers(s, fromLsn)) {
           val sc = s.cdfFiles.filter(_.maxLsn >= fromLsn)
           // full-feed sidecars also hold update_preimage rows (same (lsn,
           // commit) as their postimage — they must never win the resolve)
@@ -591,7 +591,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   def filesForChangedSince(fromLsn: Long): (String, Seq[String]) =
     currentSnapshot() match {
       case None => ("files", Seq.empty)
-      case Some(s) if s.cdfSinceLsn >= 0 && fromLsn > s.cdfSinceLsn =>
+      case Some(s) if LakeTable.cdfCovers(s, fromLsn) =>
         ("cdf", s.cdfFiles.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
       case Some(s) =>
         ("files", s.files.filter(_.maxLsn >= fromLsn).map(f => resolvePath(f.path)))
@@ -1510,6 +1510,117 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     throw new CommitConflictException(s"compactChangeFeed($root): lost $attempts commit races")
   }
 
+  /** Materialize change sidecars for the feed's UNCOVERED history — the
+    * one-time conversion of the history-walk fallback into sidecar
+    * coverage. Typing replays each key's stored-version chain at or below
+    * the coverage floor with the same rule the walk reader applies
+    * (delete / insert / update_postimage from the chain predecessor), so
+    * the backfilled feed is row-identical to what the walk would deliver —
+    * including the walk's fidelity limits: versions collapsed by CoW
+    * rewrites or compaction, and pre-feed replaces, stay collapsed (that
+    * history no longer exists anywhere). After the commit the floor is 0
+    * and every tail — streaming, batch table_changes, readChangedSince —
+    * plans O(batch) sidecar partitions; the per-trigger walk cost is paid
+    * exactly once, here.
+    *
+    * If the feed is OFF this enables it and backfills in the same commit
+    * (`full = true` for before-images). Before-images are materialized
+    * only when the FULL floor can also drop to 0 — a feed upgraded to
+    * full mid-life has a post-only gap between the two floors that a
+    * single-floor coverage model cannot bridge, so such tables backfill
+    * post-only below the plain floor and keep their full floor.
+    * Idempotent; OCC-retried like every maintenance commit. Returns the
+    * number of sidecar files written (0 = already covered).
+    *
+    * Cost: one windowed pass over the stored rows at or below the floor
+    * (the same IO ONE walk trigger from lsn 0 pays), written as
+    * `targetFiles` lsn-range-partitioned sidecars so rate-limited
+    * replaying consumers don't re-read one giant file per trigger.
+    */
+  def backfillChangeFeed(full: Boolean = false, targetFiles: Int = 16): Int = {
+    require(targetFiles > 0, "backfillChangeFeed: targetFiles must be positive")
+    import org.apache.spark.sql.expressions.Window
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(return 0)
+      require(!full || snap.cdfSinceLsn < 0 || snap.cdfFullSinceLsn >= 0,
+        s"backfillChangeFeed($root): full=true cannot retrofit before-images onto a " +
+          "post-only feed — the existing sidecars above the floor have no preimages; " +
+          "backfill post-only (full=false) or rebuild the feed")
+      if (snap.cdfSinceLsn == 0L) return 0 // feed already covers everything
+      val floor = if (snap.cdfSinceLsn < 0) snap.hwm else snap.cdfSinceLsn
+      // preimages only when the full floor can actually reach 0: feed off
+      // and full requested, or a feed that has been full since ITS start
+      val wantFull = (snap.cdfSinceLsn < 0 && full) ||
+        (snap.cdfSinceLsn >= 0 && snap.cdfFullSinceLsn == snap.cdfSinceLsn)
+      val v = snap.version + 1
+      val token = LakeTable.newToken
+      val dir = s"$dataDir/c$v-$token/cdf"
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      val hist = snap.files.filter(_.minLsn <= floor)
+      val entries: Seq[CdfEntry] =
+        if (hist.isEmpty) Nil
+        else {
+          val stored = spark.read.schema(schema)
+            .parquet(hist.map(f => resolvePath(f.path)): _*)
+            .where(col("lsn") <= floor)
+          // full per-key chain order — the walk reader's versionOrder
+          val w = Window.partitionBy("repo", "path").orderBy(col("lsn"), col("commit"))
+          val typed =
+            if (!wantFull)
+              stored.withColumn("__prevDel", lag(col("deleted"), 1).over(w))
+                .withColumn("_change_type",
+                  when(col("deleted"), "delete")
+                    .when(col("__prevDel").isNull || col("__prevDel"), "insert")
+                    .otherwise("update_postimage"))
+                .drop("__prevDel")
+            else {
+              // FULL feed shape (mirrors writeCdfSidecar's priorFull
+              // branch): update_preimage rows under the NEW change's
+              // (lsn, commit), deletes carrying the dead row's old values
+              val payCols = stored.columns.filterNot(Set("repo", "path")).toSeq
+              val dataPay = payCols.filterNot(Set("lsn", "commit", "deleted"))
+              val lagged = stored
+                .withColumn("__prev", lag(struct(payCols.map(col): _*), 1).over(w))
+                .withColumn("_change_type",
+                  when(col("deleted"), "delete")
+                    .when(col("__prev").isNull || col("__prev.deleted"), "insert")
+                    .otherwise("update_postimage"))
+              val prevLive = col("__prev").isNotNull && !col("__prev.deleted")
+              val post = lagged.select(
+                Seq(col("repo"), col("path")) ++
+                dataPay.map(c => when(col("_change_type") === "delete" && prevLive,
+                    col(s"__prev.$c")).otherwise(col(c)).as(c)) ++
+                Seq(col("lsn"), col("commit"), col("deleted"), col("_change_type")): _*)
+              val pre = lagged.where(col("_change_type") === "update_postimage").select(
+                Seq(col("repo"), col("path")) ++
+                dataPay.map(c => col(s"__prev.$c").as(c)) ++
+                Seq(col("lsn"), col("commit"), lit(false).as("deleted"),
+                  lit("update_preimage").as("_change_type")): _*)
+              post.unionByName(pre)
+            }
+          typed.repartitionByRange(targetFiles, col("lsn"))
+            .sortWithinPartitions("lsn", "repo", "path")
+            .write.parquet(dir)
+          cdfStatsOf(dir)
+        }
+      try {
+        // prepend: the list stays roughly lsn-ordered (backfill covers the
+        // lowest range); this commit rewrites the manifest once, commits
+        // after it append as usual
+        commitSnapshot(snap.copy(version = v, cdfFiles = entries ++ snap.cdfFiles,
+          cdfSinceLsn = 0L,
+          cdfFullSinceLsn = if (wantFull) 0L else snap.cdfFullSinceLsn), snap, token)
+        return entries.size
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          fs.deleteRecursive(s"$dataDir/c$v-$token")
+      }
+    }
+    throw new CommitConflictException(s"backfillChangeFeed($root): lost $attempts commit races")
+  }
+
   /** Turn the change data feed ON from now: commits after this one record
     * change sidecars for rows above the current hwm (a typed tail whose
     * cursor is at or past it serves purely from sidecars). Metadata-only
@@ -2334,6 +2445,16 @@ object LakeTable {
 
   /** writer-unique suffix for attempt-scoped commit artifacts */
   def newToken: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Does the feed's sidecar set hold EVERY stored row with lsn >=
+    * fromLsn? Coverage is (cdfSinceLsn, hwm], so the usual test is
+    * fromLsn > floor — but a floor of 0 means every commit since table
+    * creation wrote its sidecar, so any inclusive cursor (0, or negative)
+    * is covered too. One predicate shared by readChangedSince and its
+    * filesForChangedSince audit so the two can never disagree.
+    */
+  def cdfCovers(s: Snapshot, fromLsn: Long): Boolean =
+    s.cdfSinceLsn >= 0 && (fromLsn > s.cdfSinceLsn || s.cdfSinceLsn == 0L)
 
   /** the commit directory (`.../data/c<v>-<token>`) a resolved data/DV/CDF
     * file path lives under — None for paths outside the data layout

@@ -48,6 +48,19 @@ class CatalogSpec extends SparkSpec {
     val fold = spark.sql(s"CALL $cat.system.compact_change_feed('m', 1)").collect().head
     assert(fold.getInt(1) <= math.max(fold.getInt(0), 1))
 
+    // backfill re-covers the pre-enablement (and just-expired) range from
+    // the surviving data: floor drops to 0 and batch table_changes serves
+    // the full history — walk fidelity (compaction collapsed r1's first
+    // version, so its survivor types as one insert)
+    val bf = spark.sql(s"CALL $cat.system.backfill_change_feed('m')").collect().head
+    assert(bf.getInt(0) > 0 && bf.getLong(1) == 0L)
+    val typedRows = spark.read.format("graft").option("changeTypes", "true")
+      .load(s"$warehouse/m")
+      .select("repo", "path", "lsn", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(typedRows == Set(("r1", "a.py", 2L, "insert"), ("r2", "b.rs", 3L, "insert"),
+      ("r2", "b.rs", 4L, "update_postimage")))
+
     // history: newest first, versions dense, commit times stamped
     val hist = spark.sql(s"CALL $cat.system.describe_history('m')")
     val versions = hist.select("version").collect().map(_.getInt(0)).toSeq
