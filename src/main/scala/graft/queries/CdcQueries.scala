@@ -625,6 +625,14 @@ object CdcQueries {
     // BACKFILLED sidecars (feed enabled after the fact, history
     // materialized once) — fourth path, same oracle
     ("q59_backfill" -> m("q50_change_types")) +
+    // storage-partitioned join: replay snapshot ⋈ its python-free
+    // projection on the full key (the Spark side joins sm_mor to sm_del
+    // with zero shuffles — the plan is require-audited in the query)
+    ("q60_spj" ->
+      s"""WITH snap AS (${m("cdc_snapshot").replace("ORDER BY repo, path", "")})
+          SELECT a.repo, a.path, a.lang, b.content_sha AS sha_b
+          FROM snap a JOIN snap b ON a.repo = b.repo AND a.path = b.path
+          WHERE b.lang <> 'python' ORDER BY a.repo, a.path""") +
     // the FULL feed's oracle: the q50 replay extended with before-images —
     // each winner's predecessor sha from a lag window; preimage rows join
     // via UNION ALL under the new change's (lsn, commit), delete rows take
@@ -737,6 +745,59 @@ object CdcQueries {
     s.read.format("graft").option("changeTypes", "true").load(t.root)
       .select(col("repo"), col("path"), col("lsn"), col("commit"), col("_change_type"))
       .orderBy("lsn", "repo", "path")
+  }
+
+  /** STORAGE-PARTITIONED JOIN (round-7): two co-bucketed lake tables —
+    * the un-compacted MoR apply and the CoW table q45's SQL DELETE
+    * carved python out of — joined on the full key through the catalog.
+    * Spark 4.1's SPJ only accepts single-column partition transforms, so
+    * `GraftScan` exposes the layout hash as the `_bucket` METADATA column
+    * (constant per scan task, never stored) and reports
+    * `KeyGroupedPartitioning(identity(_bucket))`; the join's ON clause
+    * adds `a._bucket = b._bucket` — a semantic no-op between tables with
+    * the same bucket count — and Spark elides BOTH Exchanges: each task
+    * zips one bucket's files from the two sides (MoR k-way resolve vs CoW
+    * vectorized scan; SPJ is layout-agnostic as long as the bucket ids
+    * agree). The plan is self-audited: a regression to a shuffled join
+    * fails the query, not just a test. At 100 TB this is THE join shape
+    * for snapshot-vs-snapshot reconciliation — zero data movement instead
+    * of shuffling both tables. Oracle: the replay snapshot inner-joined
+    * with its python-free projection (no `_bucket` — the conjunct adds
+    * nothing semantically).
+    */
+  def q60Spj(s: SparkSession, dir: String): DataFrame = {
+    smLakeMode(s, ApplyMode.MergeOnRead, "sm_mor", "smmor")
+    q45SqlDelete(s, dir) // builds sm_del (CoW, lang='python' deleted) if absent
+    s.conf.set("spark.sql.catalog.gsm", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsm.root", LakeRoot)
+    val spjConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // join keys ⊃ partition key (_bucket): the co-partition check must
+      // accept partial-key alignment (same recipe Iceberg SPJ documents)
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = spjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    spjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val joined = s.sql(
+        """SELECT a.repo, a.path, a.lang, b.contentSha AS sha_b
+          |FROM gsm.sm_mor a JOIN gsm.sm_del b
+          |ON a.repo = b.repo AND a.path = b.path AND a._bucket = b._bucket""".stripMargin)
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange"),
+        "q60: the co-bucketed join must plan ZERO shuffles (SPJ):\n" + joinPlan)
+      val out = joined.orderBy("repo", "path")
+      // force the output plan while the SPJ confs are set — the cached
+      // QueryExecution keeps the zero-shuffle join after they're restored
+      require("Exchange".r.findAllMatchIn(
+          out.queryExecution.executedPlan.toString).size <= 1,
+        "q60: only the final ORDER BY may exchange")
+      out
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
   }
 
   /** The FULL change data feed (Delta `table_changes` parity, round-6):
@@ -1002,6 +1063,7 @@ object CdcQueries {
     "cdc_mv_apply" -> cdcMvApply _,
     "q58_mv_extrema" -> q58MvExtrema _,
     "q59_backfill" -> q59Backfill _,
+    "q60_spj" -> q60Spj _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

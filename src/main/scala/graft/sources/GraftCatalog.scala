@@ -3,8 +3,9 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
@@ -34,7 +35,7 @@ import graft.table.{Fs, LakeTable, Snapshot, SnapshotIO}
   * Renames are a single directory move — snapshots store root-relative
   * paths, so a moved table is immediately consistent.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -254,4 +255,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
+
+  /** FunctionCatalog: exactly one function, the layout's `bucket` hash —
+    * what lets Spark resolve the `KeyGroupedPartitioning` that `GraftScan`
+    * reports and plan storage-partitioned joins (zero-shuffle joins of
+    * co-bucketed graft tables). See [[GraftBucketFunction]].
+    */
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket")) else Array.empty
 }

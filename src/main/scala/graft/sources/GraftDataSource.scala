@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -169,7 +170,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   /** table root directory — the SQL DML rewrite (GraftDml) routes
     * UPDATE/MERGE statements on this relation into the LakeTable API
     */
@@ -190,6 +192,37 @@ final class GraftTable(rootSnap: (String, Snapshot), tableSchema: StructType)
     // V1_BATCH_WRITE tells the planner the Write resolves via V1Write
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  /** The physical layout as a DSv2 transform: every row lives in bucket
+    * `pmod(xxhash64(repo, path), nBuckets)`. Declared for DESCRIBE and
+    * catalog introspection; the catalog resolves `bucket` to
+    * [[GraftBucketFunction]]. Storage-partitioned JOIN planning rides the
+    * `_bucket` METADATA column instead (see [[metadataColumns]]): Spark
+    * 4.1's SPJ machinery only accepts partition transforms over a single
+    * column reference (`KeyGroupedPartitioning.supportsExpressions`), so
+    * the two-column layout hash itself can't key the physical partitioning.
+    */
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(rootSnap._2.nBuckets, "repo", "path"))
+
+  /** `_bucket`: the row's key-bucket id, `pmod(xxhash64(repo, path),
+    * nBuckets)`, served as a constant per scan task (every live-scan task
+    * holds exactly one bucket — see `GraftScan.planInputPartitions`). This
+    * is the STORAGE-PARTITIONED JOIN handle: reading it makes `GraftScan`
+    * report `KeyGroupedPartitioning(identity(_bucket))`, and an equi-join
+    * of two same-bucket-count graft tables whose ON clause includes
+    * `a._bucket = b._bucket` (a semantic no-op — `_bucket` is a function
+    * of the join key) plans ZERO Exchanges: each task zips one bucket from
+    * both sides. Null on `changeTypes` scans (those partition by sidecar,
+    * not bucket).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_bucket"
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "key-bucket id pmod(xxhash64(repo, path), nBuckets); join on it for storage-partitioned joins"
+    })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     import scala.jdk.CollectionConverters._
     new GraftScanBuilder(rootSnap._1, rootSnap._2, schema,
@@ -274,6 +307,7 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
                       planRepoEq: Option[Set[String]] = None,
                       planPathEq: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   // snapshot-stored paths are root-relative (relocatable tables)
   private def resolve(p: String): String = graft.table.LakeTable.resolveUnder(root, p)
@@ -480,6 +514,36 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   private def sidecarsFor(bucket: Int): Seq[String] =
     (dvByBucket.getOrElse(Some(bucket), Nil) ++ dvByBucket.getOrElse(None, Nil)).map(resolve)
 
+  /** STORAGE-PARTITIONED JOIN support: live-row scans are key-grouped by
+    * bucket — every partition this scan plans (per-file CoW/DV, per-bucket
+    * MOR resolve, key-range splits of a wide bucket) holds rows of exactly
+    * one bucket and carries that id as its partition key. Under
+    * `spark.sql.sources.v2.bucketing.enabled`, Spark groups same-key
+    * partitions into one task and elides the Exchange on BOTH sides of an
+    * equi-join of two graft tables with the same bucket count, turning
+    * snapshot-vs-snapshot joins into per-bucket zipped reads — the
+    * difference between shuffling 2×100 TB and shuffling nothing. The conf
+    * is deliberately left at Spark's default (off) otherwise, so plain
+    * scans keep one task per FILE rather than one per bucket.
+    *
+    * Spark 4.1's SPJ accepts only single-column-reference partition
+    * expressions (`KeyGroupedPartitioning.supportsExpressions` rejects a
+    * transform with more than one child), so the two-column layout hash
+    * `bucket(n, repo, path)` cannot key the partitioning directly. The
+    * bucket id is therefore exposed as the `_bucket` METADATA column
+    * (stamped per task, never stored), the partitioning is
+    * `identity(_bucket)`, and a zero-shuffle join includes the no-op
+    * conjunct `a._bucket = b._bucket` in its ON clause. Reported only when
+    * `_bucket` was actually read and the scan serves live rows (a
+    * typed-changes scan partitions by SIDECAR, not bucket); everything
+    * else falls back to unknown partitioning, never an error.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (!batchChanges && required.fieldNames.contains("_bucket"))
+      new KeyGroupedPartitioning(
+        Array[V2Expression](Expressions.identity("_bucket")), snap.nBuckets)
+    else new UnknownPartitioning(0)
+
   override def planInputPartitions(): Array[InputPartition] = {
     // batch typed changes: one partition per sidecar intersecting the
     // pushed lsn range — data files never open (key-equality pruning is
@@ -508,17 +572,19 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
         val sortedAll = files.forall(_.sorted)
         val splits = if (sortedAll) splitKeysFor(files) else Nil
         if (splits.isEmpty)
-          Seq(GraftInputPartition(paths, Nil, resolveLatest = true, sortedResolve = sortedAll))
+          Seq(GraftInputPartition(paths, Nil, resolveLatest = true, sortedResolve = sortedAll,
+            bucket = bucket))
         else (0 to splits.size).map { i =>
           val (loR, loP) = if (i == 0) (null: String, null: String) else splits(i - 1)
           val (hiR, hiP, bounded) =
             if (i < splits.size) (splits(i)._1, splits(i)._2, true) else (null, null, false)
           GraftInputPartition(paths, Nil, resolveLatest = true, sortedResolve = true,
-            range = Some(GraftKeyRange(loR, loP, hiR, hiP, bounded)))
+            range = Some(GraftKeyRange(loR, loP, hiR, hiP, bounded)), bucket = bucket)
         }
       } else
         files.map(f =>
-          GraftInputPartition(Seq(resolve(f.path)), sidecarsFor(bucket), resolveLatest = false))
+          GraftInputPartition(Seq(resolve(f.path)), sidecarsFor(bucket), resolveLatest = false,
+            bucket = bucket))
     }.map(p => p: InputPartition).toArray
   }
 
@@ -601,7 +667,8 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     // sidecar partitions use the streaming CDF row reader — same files,
     // same reader, batch plan
     if (batchChanges) new GraftStreamReaderFactory(physRequired, conf)
-    else new GraftReaderFactory(physRequired, conf, vectorized)
+    else new GraftReaderFactory(physRequired, conf, vectorized,
+      bucketOrdinal = physRequired.fieldNames.indexOf("_bucket"))
   }
 
   /** `spark.readStream.format("graft")` — the incremental CDC tail over
@@ -716,10 +783,24 @@ final case class GraftKeyRange(loRepo: String, loPath: String,
 final case class GraftInputPartition(files: Seq[String], dvSidecars: Seq[String],
                                      resolveLatest: Boolean,
                                      sortedResolve: Boolean = false,
-                                     range: Option[GraftKeyRange] = None) extends InputPartition
+                                     range: Option[GraftKeyRange] = None,
+                                     /** the one key-bucket this task's rows
+                                       * belong to — the partition key behind
+                                       * storage-partitioned joins
+                                       */
+                                     bucket: Int = -1)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
+}
 
 final class GraftReaderFactory(required: StructType, conf: SerializableConfiguration,
-                               vectorized: Boolean) extends PartitionReaderFactory {
+                               vectorized: Boolean,
+                               /** position of the `_bucket` metadata column in
+                                 * `required` (-1 = not requested): never stored
+                                 * in parquet, stamped per task from its
+                                 * partition's bucket id
+                                 */
+                               bucketOrdinal: Int = -1) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     vectorized && !partition.asInstanceOf[GraftInputPartition].resolveLatest &&
@@ -729,17 +810,28 @@ final class GraftReaderFactory(required: StructType, conf: SerializableConfigura
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
-    new GraftColumnarReader(p.files.head, required, conf.value, dead)
+    new GraftColumnarReader(p.files.head, required, conf.value, dead, bucketOrdinal, p.bucket)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    if (p.resolveLatest && p.sortedResolve)
-      new GraftSortedResolveReader(p.files, required, conf.value, p.range)
-    else if (p.resolveLatest) new GraftResolveReader(p.files, required, conf.value)
-    else {
-      val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
-      new GraftPartitionReader(p.files.head, required, conf.value, dead)
+    val inner =
+      if (p.resolveLatest && p.sortedResolve)
+        new GraftSortedResolveReader(p.files, required, conf.value, p.range)
+      else if (p.resolveLatest) new GraftResolveReader(p.files, required, conf.value)
+      else {
+        val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
+        new GraftPartitionReader(p.files.head, required, conf.value, dead)
+      }
+    // `_bucket` requested: the parquet cursors null-fill the absent field;
+    // overwrite the slot with the task's constant bucket id
+    if (bucketOrdinal < 0) inner
+    else new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get(); r.update(bucketOrdinal, p.bucket); r
+      }
+      override def close(): Unit = inner.close()
     }
   }
 }
@@ -1176,7 +1268,13 @@ private[sources] final class SelectedColumnVector(dt: org.apache.spark.sql.types
   * from the vectorized reader itself.
   */
 final class GraftColumnarReader(path: String, required: StructType, conf: Configuration,
-                                dead: Array[Long])
+                                dead: Array[Long],
+                                /** `_bucket` metadata column: position in
+                                  * `required` (-1 = absent) and the task's
+                                  * bucket id — served as a constant vector,
+                                  * never read from parquet
+                                  */
+                                bucketOrdinal: Int = -1, bucket: Int = -1)
     extends PartitionReader[ColumnarBatch] {
   import org.apache.hadoop.mapred.FileSplit
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -1184,10 +1282,22 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 
   private val capacity = 4096
+  // the parquet-served columns: required minus the synthetic `_bucket`
+  private val parquetFields: Array[StructField] =
+    if (bucketOrdinal >= 0) required.fields.patch(bucketOrdinal, Nil, 1) else required.fields
+  // output ordinal -> parquet batch ordinal (identity when no `_bucket`)
+  private def srcOrdinal(i: Int): Int =
+    if (bucketOrdinal >= 0 && i > bucketOrdinal) i - 1 else i
+  private val constBucket: ColumnVector =
+    if (bucketOrdinal < 0) null
+    else {
+      val v = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(capacity, IntegerType)
+      v.setInt(bucket); v
+    }
   // deleted is appended to the read schema (never exposed); it drives the
   // tombstone mask
-  private val readSchema = StructType(required.fields :+ StructField("deleted", BooleanType))
-  private val deletedIdx = required.length
+  private val readSchema = StructType(parquetFields :+ StructField("deleted", BooleanType))
+  private val deletedIdx = parquetFields.length
 
   private val vreader = new VectorizedParquetRecordReader(
     null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
@@ -1242,7 +1352,8 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
       }
       if (!anyDead) {
         if (passThrough == null) {
-          val cols = Array.tabulate[ColumnVector](required.length)(rb.column)
+          val cols = Array.tabulate[ColumnVector](required.length)(i =>
+            if (i == bucketOrdinal) constBucket else rb.column(srcOrdinal(i)))
           passThrough = new ColumnarBatch(cols)
         }
         passThrough.setNumRows(n)
@@ -1251,10 +1362,12 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
         return true
       }
       // build the live-row selection and serve a zero-copy remapped view
+      // (a selection over the constant `_bucket` vector is the vector itself)
       if (selVectors == null) {
         selVectors = required.fields.map(f => new SelectedColumnVector(f.dataType))
         sel = new Array[Int](capacity)
-        filtered = new ColumnarBatch(selVectors.map(v => v: ColumnVector))
+        filtered = new ColumnarBatch(Array.tabulate[ColumnVector](required.length)(i =>
+          if (i == bucketOrdinal) constBucket else selVectors(i)))
       }
       var out = 0
       var p = dp // local walk; dp itself re-syncs from `base` next batch
@@ -1270,8 +1383,10 @@ final class GraftColumnarReader(path: String, required: StructType, conf: Config
       if (out > 0) {
         var c = 0
         while (c < required.length) {
-          selVectors(c).src = rb.column(c)
-          selVectors(c).sel = sel
+          if (c != bucketOrdinal) {
+            selVectors(c).src = rb.column(srcOrdinal(c))
+            selVectors(c).sel = sel
+          }
           c += 1
         }
         filtered.setNumRows(out)
