@@ -330,3 +330,78 @@ object BackfillProbe {
     spark.stop()
   }
 }
+
+/** Storage-partitioned-join probe (round-7): the SAME full-key join of two
+  * co-bucketed tables, timed shuffled (plain ON clause, default confs) vs
+  * SPJ (v2 bucketing confs + the `_bucket = _bucket` no-op conjunct — zero
+  * Exchanges, each task zips one bucket from both sides). Both variants
+  * select payload columns so the shuffled run pays the real cost of moving
+  * rows; results are counted and must match. The SPJ plan is audited
+  * (require: no Exchange) so the probe can never time a silently-shuffled
+  * "SPJ" run. Args: <workDir> [events] [buckets].
+  */
+object SpjProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SpjProbe <workDir> [events] [buckets]")
+    val work = args(0)
+    val events = if (args.length > 1) args(1).toLong else 4000000L
+    val buckets = if (args.length > 2) args(2).toInt else 32
+    val spark = Cli.session("graft-spj-probe")
+    import org.apache.spark.sql.functions._
+    // wide key space, minimal skew: the probe measures join movement, not
+    // the salted writer (hot-key handling has its own probes)
+    val cfg = GenConfig(seed = 7, events = events,
+      repos = math.max(50, (events / 2000).toInt), filesPerRepo = 1000, hotShare = 0.01)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.deleteRecursive(work)
+    new LakeTable(spark, s"$work/spj_a", buckets, ApplyMode.CopyOnWrite)
+      .merge(wal, "a", 0L)
+    new LakeTable(spark, s"$work/spj_b", buckets, ApplyMode.CopyOnWrite)
+      .merge(wal.where(col("lsn") <= events * 3 / 4), "b", 0L)
+    wal.unpersist()
+    spark.conf.set("spark.sql.catalog.spjp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjp.root", work)
+    val spjConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    def joinSql(conjunct: Boolean) =
+      s"""SELECT a.repo, a.path, a.lang, a.content, b.contentSha AS sha_b
+         |FROM spjp.spj_a a JOIN spjp.spj_b b
+         |ON a.repo = b.repo AND a.path = b.path
+         |${if (conjunct) "AND a._bucket = b._bucket" else ""}""".stripMargin
+    def timed(conjunct: Boolean, verify: Boolean): (Double, Long) = {
+      def run(): (Double, Long) = {
+        val df = spark.sql(joinSql(conjunct))
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (conjunct) {
+          val plan = df.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"), s"SpjProbe: SPJ run shuffled:\n$plan")
+        }
+        (sec, if (verify) df.count() else -1L)
+      }
+      if (!conjunct) run()
+      else {
+        spjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try run() finally spjConfs.foreach { case (k, _) => spark.conf.unset(k) }
+      }
+    }
+    // shuffled twice and SPJ twice, interleaved; keep the min of each
+    // (one lost timeslice should not decide the comparison)
+    val (sh1, nSh) = timed(conjunct = false, verify = true)
+    val (spj1, nSpj) = timed(conjunct = true, verify = true)
+    val (sh2, _) = timed(conjunct = false, verify = false)
+    val (spj2, _) = timed(conjunct = true, verify = false)
+    require(nSh == nSpj, s"SpjProbe: result mismatch shuffled=$nSh spj=$nSpj")
+    val sh = math.min(sh1, sh2); val spj = math.min(spj1, spj2)
+    println(f"[spjprobe] events=$events buckets=$buckets rowsJoined=$nSh " +
+      f"shuffledSec=$sh%.2f spjSec=$spj%.2f speedup=${sh / spj}%.2fx")
+    spark.stop()
+  }
+}
