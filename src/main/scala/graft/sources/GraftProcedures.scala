@@ -68,6 +68,11 @@ object GraftProcedures {
     override def isDeterministic: Boolean = false
 
     override def parameters(): Array[ProcedureParameter] = proc match {
+      // max_files_per_bucket = 0 (default): full rewrite of every bucket;
+      // > 0: TARGETED fold of only the buckets whose file count exceeds it
+      // (compactBuckets — O(hot buckets), the steady-state maintenance call)
+      case "compact"            => Array(p("table", StringType),
+                                         pDef("max_files_per_bucket", IntegerType, "0"))
       case "rebucket"           => Array(p("table", StringType), p("buckets", IntegerType))
       case "expire_snapshots"   => Array(p("table", StringType), pDef("keep", IntegerType, "2"))
       case "vacuum_orphans"     => Array(p("table", StringType), pDef("older_than_hours", IntegerType, "24"))
@@ -113,11 +118,16 @@ object GraftProcedures {
       val out: Scan = proc match {
         case "compact" =>
           val before = lake.currentSnapshot().get
-          lake.compact()
+          val threshold = input.getInt(1)
+          val folded =
+            if (threshold <= 0) { lake.compact(); before.files.map(_.bucket).distinct.size }
+            else lake.compactBuckets(before.files.groupBy(_.bucket)
+              .collect { case (b, fl) if fl.size > threshold => b }.toSet)
           val after = lake.currentSnapshot().get
-          statusScan("files_before" -> IntegerType, "files_after" -> IntegerType,
+          statusScan("buckets_folded" -> IntegerType,
+            "files_before" -> IntegerType, "files_after" -> IntegerType,
             "dv_rows_removed" -> LongType)(
-            before.files.size, after.files.size, before.dvRows)
+            folded, before.files.size, after.files.size, before.dvRows - after.dvRows)
         case "rebucket" =>
           lake.rebucket(input.getInt(1))
           val after = lake.currentSnapshot().get

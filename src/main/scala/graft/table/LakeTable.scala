@@ -1737,6 +1737,88 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def compact(): Unit = rewriteAll(None)
 
+  /** Targeted compaction: fold ONLY the given buckets' file chains into
+    * freshly resolved, sorted files, leaving every other bucket's entries
+    * byte-identical — maintenance cost O(selected buckets' rows), never
+    * O(table). This is what keeps steady-state MergeOnRead read
+    * amplification bounded at fleet scale: a 1000-bucket table with three
+    * hot buckets folds three buckets, not the whole table (the Delta
+    * `OPTIMIZE ... WHERE` / Iceberg filtered-binpack analogue; `compact()`
+    * stays the full rewrite). Per apply mode:
+    *  - MergeOnRead: each selected bucket's delta chain collapses to its
+    *    latest-per-key rows — tombstone winners retained and ORIGINAL lsns
+    *    preserved, so deltas landing after the fold still out-resolve the
+    *    folded base by max-(lsn, commit), exactly as over the unfolded
+    *    chain;
+    *  - DeletionVector: the selected buckets' dead positions are applied,
+    *    and the SURVIVING DV entries (they reference untouched buckets'
+    *    files — a data path's `b=<k>` segment names its bucket) are folded
+    *    into one fresh bucket-partitioned sidecar set, so `dvRows` drops by
+    *    the applied count and the sidecar list resets to the fold's files
+    *    (an O(dvRows) read, bounded by the dv-fraction policy);
+    *  - CopyOnWrite: a plain rewrite of the selected buckets (binpack of
+    *    sub-split files; rarely useful — CoW buckets are always resolved).
+    * The change feed is untouched (a fold is not a logical change: no
+    * sidecar, hwm/floors unchanged) — typed tails ride the commit-time
+    * sidecars straight across, and historical snapshots keep reading the
+    * pre-fold files (left on disk for time travel until
+    * expire_snapshots/vacuum). A lost commit race means a concurrent
+    * writer advanced the table; the attempt is dropped and redone from the
+    * new head — cheap, because the work is bucket-scoped.
+    * Returns the number of buckets folded (0 = nothing selected exists).
+    */
+  def compactBuckets(target: Set[Int], attempts: Int = 0): Int = {
+    val snap = currentSnapshot().getOrElse(return 0)
+    val chosen = snap.files.iterator.map(_.bucket).filter(target).toSet
+    if (chosen.isEmpty) return 0
+    val version = snap.version + 1
+    val token = LakeTable.newToken
+    val commitDir = s"$dataDir/c$version-$token"
+    val isDv = LakeTable.modeOf(snap.mode) == ApplyMode.DeletionVector
+    val source =
+      if (isDv) applyDv(readRawAt(Some(snap), Some(chosen)), snap.dvFiles)
+      else readRawAt(Some(snap), Some(chosen))
+    val bCol = pmod(xxhash64(col("repo"), col("path")), lit(snap.nBuckets.toLong)).cast("int")
+    // same single-shuffle resolve as the full rewrite; parallelism keys on
+    // the SELECTED bucket count (one hot bucket on a wide cluster sub-splits
+    // k ways, it does not serialise on a single task)
+    bucketResolve(source.withColumn("b", bCol), chosen.size)
+      .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    val newEntries = entriesOf(fileStats(commitDir), sorted = true)
+    val kept = snap.files.filterNot(f => chosen(f.bucket))
+    val (dvFiles2, dvRows2) =
+      if (!isDv || snap.dvFiles.isEmpty) (snap.dvFiles, snap.dvRows)
+      else {
+        val dvBucket = regexp_extract(col("file_path"), "/b=(\\d+)/", 1).cast("int")
+        val surviving = spark.read.parquet(snap.dvFiles.map(resolvePath): _*)
+          .select(relPathCol(col("file_path")).as("file_path"), col("row_index"))
+          .where(not(regexp_extract(col("file_path"), "/b=(\\d+)/", 1).cast("int")
+            .isin(chosen.toSeq.map(Integer.valueOf): _*)))
+        val dvDir = s"$commitDir/dv"
+        surviving.withColumn("b", dvBucket)
+          .repartition(col("b"))
+          .sortWithinPartitions("file_path", "row_index")
+          .write.partitionBy("b").mode("overwrite").parquet(dvDir)
+        val dvPaths = fs.listDirs(dvDir)
+          .filter(d => new org.apache.hadoop.fs.Path(d).getName.startsWith("b="))
+          .flatMap(d => LakeTable.listParquet(fs, d))
+        val n = dvPaths.map(parquetRowCount).sum
+        if (n > 0) (dvPaths.map(LakeTable.relPath), n) else (Nil, 0L)
+      }
+    val files2 = kept ++ newEntries
+    try {
+      commitSnapshot(snap.copy(version = version, files = files2,
+        totalRows = files2.map(_.rows).sum, dvFiles = dvFiles2, dvRows = dvRows2),
+        snap, token)
+      chosen.size
+    } catch {
+      case e: CommitConflictException =>
+        fs.deleteRecursive(commitDir)
+        if (attempts >= 5) throw e
+        compactBuckets(target, attempts + 1)
+    }
+  }
+
   /** Bucket-count evolution: rewrite the whole table under a NEW key-hash
     * layout (a full-rewrite commit, like compact but re-keyed). The new
     * count is recorded in the snapshot, so `bucketCol()` and every later
@@ -1788,17 +1870,21 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   }
 
   /** Maintenance policy: MergeOnRead folds deltas when any bucket's file
-    * count exceeds the threshold (bounds read amplification);
-    * DeletionVector folds when dead positions exceed `dvMaxFraction` of
-    * stored rows (bounds DV anti-join size AND dead-byte storage). No-op in
-    * CopyOnWrite mode (always resolved). Returns true if a compaction ran.
+    * count exceeds the threshold — and folds ONLY the offending buckets
+    * (`compactBuckets`), so steady-state auto-compaction under a skewed
+    * write stream costs O(hot buckets), never O(table); DeletionVector
+    * folds fully when dead positions exceed `dvMaxFraction` of stored rows
+    * (the trigger is a GLOBAL fraction, so the fix is the global fold —
+    * bounds DV anti-join size AND dead-byte storage). No-op in CopyOnWrite
+    * mode (always resolved). Returns true if a compaction ran.
     */
   def maybeCompact(maxFilesPerBucket: Int = 8, dvMaxFraction: Double = 0.3): Boolean = {
     val snap = currentSnapshot().getOrElse(return false)
     mode match {
       case ApplyMode.MergeOnRead =>
-        val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
-        if (worst > maxFilesPerBucket) { compact(); true } else false
+        val offenders = snap.files.groupBy(_.bucket)
+          .collect { case (b, fl) if fl.size > maxFilesPerBucket => b }.toSet
+        if (offenders.nonEmpty) { compactBuckets(offenders); true } else false
       case ApplyMode.DeletionVector =>
         if (snap.totalRows > 0 && snap.dvRows > snap.totalRows * dvMaxFraction) { compact(); true }
         else false

@@ -29,7 +29,7 @@ class CatalogSpec extends SparkSpec {
 
     // compact folds the deltas; row state unchanged
     val c = spark.sql(s"CALL $cat.system.compact('m')").collect().head
-    assert(c.getInt(0) == filesBefore && c.getInt(1) < filesBefore)
+    assert(c.getInt(1) == filesBefore && c.getInt(2) < filesBefore)
     assert(collectSorted(t.read().select("repo", "path", "content")) ==
       Seq(Seq("r1", "a.py", "alpha2"), Seq("r2", "b.rs", "beta")))
 

@@ -321,4 +321,20 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(snap.hwm == cfg.events)
     assert(state(root) == replayOracle())
   }
+
+  test("targeted compactor racing an ingester loses cleanly and retries") {
+    // maybeCompact at threshold 1 folds the hot buckets after nearly every
+    // merge — maximal interleave pressure on the bucket-scoped redo path
+    val root = tmpDir("occtcompact")
+    val compactor: () => Unit = () => {
+      val t = new LakeTable(spark, root, 4, ApplyMode.MergeOnRead)
+      (0 until 4).foreach { _ => Thread.sleep(60); t.maybeCompact(maxFilesPerBucket = 1) }
+    }
+    inParallel(writer(root, ApplyMode.MergeOnRead, "w1", 0 until nb), compactor)
+    val t = new LakeTable(spark, root)
+    val snap = t.currentSnapshot().get
+    assert(snap.committedCount == nb, "a bucket fold must never erase a merge")
+    assert(snap.hwm == cfg.events)
+    assert(state(root) == replayOracle())
+  }
 }

@@ -34,6 +34,119 @@ class MaintenanceSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("compactBuckets folds only the selected buckets; every other entry byte-identical") {
+    val t = new LakeTable(spark, tmpDir("tcb"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      (0 until 8).foreach(i => t.merge(wal.where(pmod(col("lsn"), lit(8)) === i), "tc", i.toLong))
+      val snap0 = t.currentSnapshot().get
+      val byBucket = snap0.files.groupBy(_.bucket)
+      val target = byBucket.collectFirst { case (b, fl) if fl.size > 1 => b }.get
+      val before = stateOf(t)
+      assert(t.compactBuckets(Set(target)) == 1)
+      val snap1 = t.currentSnapshot().get
+      assert(snap1.version == snap0.version + 1)
+      // untouched buckets keep their EXACT FileEntry lists (no rewrite)
+      (byBucket - target).foreach { case (b, fl) =>
+        assert(snap1.files.filter(_.bucket == b) == fl,
+          s"bucket $b was rewritten by a fold targeting $target")
+      }
+      // the target bucket holds a fresh sorted fold, disjoint from its old files
+      val folded = snap1.files.filter(_.bucket == target)
+      assert(folded.nonEmpty && folded.forall(_.sorted))
+      assert(folded.map(_.path).toSet.intersect(byBucket(target).map(_.path).toSet).isEmpty)
+      assert(folded.size < byBucket(target).size)
+      assert(snap1.totalRows == snap1.files.map(_.rows).sum)
+      // state identical through both read paths (mixed folded/unfolded layout)
+      assert(stateOf(t) == before)
+      assert(collectSorted(spark.read.format("graft").load(t.root)
+        .select("repo", "path", "commit", "contentSha")) == before)
+      // absent bucket = no-op, no commit
+      assert(t.compactBuckets(Set(9999)) == 0)
+      assert(t.currentSnapshot().get.version == snap1.version)
+      // deltas landing AFTER the fold still out-resolve the folded base
+      val extra = ChangeLogGen.changeLog(spark, cfg.copy(seed = 34, events = 1000))
+      t.merge(extra, "tc", 99L)
+      val ref = new LakeTable(spark, tmpDir("tcbref"), defaultBuckets = 4, ApplyMode.CopyOnWrite)
+      ref.merge(wal, "ref", 0L); ref.merge(extra, "ref", 1L)
+      assert(stateOf(t) == stateOf(ref))
+    } finally wal.unpersist()
+  }
+
+  test("maybeCompact under skew folds ONLY the offending buckets") {
+    val t = new LakeTable(spark, tmpDir("skewc"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      t.merge(wal.where(col("lsn") <= 2000), "sk", 0L)
+      // hot traffic lands in ONE bucket: re-merge only that bucket's keys
+      val hotB = pmod(xxhash64(col("repo"), col("path")), lit(4)) === 2
+      (1 to 6).foreach(i => t.merge(
+        wal.where(col("lsn").between(2000 + (i - 1) * 300 + 1, 2000 + i * 300) && hotB),
+        "sk", i.toLong))
+      val snap0 = t.currentSnapshot().get
+      val counts0 = snap0.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+      assert(counts0(2) > 4, s"bucket 2 must be the offender, got $counts0")
+      assert(counts0.filter(_._1 != 2).values.forall(_ <= 4), s"cold buckets stacked: $counts0")
+      val before = stateOf(t)
+      assert(t.maybeCompact(maxFilesPerBucket = 4))
+      val snap1 = t.currentSnapshot().get
+      // cold buckets' entries untouched; offender folded
+      snap0.files.filterNot(_.bucket == 2).foreach(f => assert(snap1.files.contains(f)))
+      assert(snap1.files.count(_.bucket == 2) <= 4)
+      assert(stateOf(t) == before)
+      assert(!t.maybeCompact(maxFilesPerBucket = 4), "post-fold call is a no-op")
+    } finally wal.unpersist()
+  }
+
+  test("compactBuckets in DV mode: applied positions leave the sidecars, survivors still apply") {
+    val t = new LakeTable(spark, tmpDir("tcdv"), defaultBuckets = 4, ApplyMode.DeletionVector)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      t.merge(wal.where(col("lsn") <= 2000), "dv", 0L)
+      t.merge(wal.where(col("lsn") > 2000), "dv", 1L)
+      val snap0 = t.currentSnapshot().get
+      assert(snap0.dvRows > 0, "fixture must produce dead positions")
+      val dvByBucket = spark.read.parquet(snap0.dvFiles.map(t.resolvePath): _*)
+        .groupBy(regexp_extract(col("file_path"), "/b=(\\d+)/", 1).cast("int").as("b"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val target = dvByBucket.maxBy(_._2)._1
+      val before = stateOf(t)
+      assert(t.compactBuckets(Set(target)) == 1)
+      val snap1 = t.currentSnapshot().get
+      // exact accounting: the target bucket's dead positions are APPLIED
+      assert(snap1.dvRows == snap0.dvRows - dvByBucket(target),
+        s"dvRows ${snap0.dvRows} -> ${snap1.dvRows}, expected -${dvByBucket(target)}")
+      val onDisk =
+        if (snap1.dvFiles.isEmpty) 0L
+        else spark.read.parquet(snap1.dvFiles.map(t.resolvePath): _*).count()
+      assert(onDisk == snap1.dvRows, "sidecar fold must match the snapshot accounting")
+      // survivors keep masking the untouched buckets' dead rows
+      assert(stateOf(t) == before)
+      assert(collectSorted(spark.read.format("graft").load(t.root)
+        .select("repo", "path", "commit", "contentSha")) == before)
+    } finally wal.unpersist()
+  }
+
+  test("compactBuckets leaves the change feed untouched (floor, hwm, typed rows)") {
+    val t = new LakeTable(spark, tmpDir("tccdf"), defaultBuckets = 4,
+      ApplyMode.MergeOnRead, defaultCdf = true)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      (0 until 4).foreach(i =>
+        t.merge(wal.where(col("lsn").between(i * 1000 + 1, (i + 1) * 1000)), "cf", i.toLong))
+      val snap0 = t.currentSnapshot().get
+      val feedCols = Seq("repo", "path", "lsn", "_change_type")
+      val feedBefore = collectSorted(t.readChangesBetween(0).select(feedCols.head, feedCols.tail: _*))
+      val target = snap0.files.groupBy(_.bucket).maxBy(_._2.size)._1
+      assert(t.compactBuckets(Set(target)) == 1)
+      val snap1 = t.currentSnapshot().get
+      assert(snap1.cdfSinceLsn == snap0.cdfSinceLsn && snap1.hwm == snap0.hwm)
+      assert(snap1.cdfFiles == snap0.cdfFiles, "a fold must not write or drop sidecars")
+      assert(collectSorted(t.readChangesBetween(0).select(feedCols.head, feedCols.tail: _*))
+        == feedBefore, "typed feed must ride across the fold unchanged")
+    } finally wal.unpersist()
+  }
+
   test("resolve parallelism decouples from bucket count (sub-split shuffle)") {
     // force a cluster "wider" than the bucket count: 4 buckets, 16 slots
     spark.conf.set("spark.graft.resolve.minParallelism", "16")
