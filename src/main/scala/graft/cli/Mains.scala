@@ -405,3 +405,123 @@ object SpjProbe {
     spark.stop()
   }
 }
+
+/** Key-evidence point-lookup probe: a point lookup on an un-compacted
+  * MergeOnRead chain with bloom/dictionary file skipping on vs off — the
+  * on-path must plan only the files actually holding the key's versions.
+  * Args: workDir [commits] [eventsPerCommit] [buckets].
+  */
+object KeyLookupProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: KeyLookupProbe <workDir> [commits] [eventsPerCommit] [buckets]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 50
+    val perC = if (args.length > 2) args(2).toLong else 10000L
+    val buckets = if (args.length > 3) args(3).toInt else 16
+    val spark = Cli.session("graft-keylookup-probe")
+    import org.apache.spark.sql.functions._
+    // wide keyspace: a typical key gets a handful of updates spread over
+    // the chain — the cold-key lookup shape evidence skipping serves
+    val cfg = GenConfig(seed = 21, events = commits * perC,
+      repos = 500, filesPerRepo = 200, hotShare = 0.01)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.deleteRecursive(work)
+    val t = new LakeTable(spark, s"$work/t", buckets, ApplyMode.MergeOnRead)
+    (0 until commits).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "klp", i.toLong)
+    }
+    wal.unpersist()
+    val snap = t.currentSnapshot().get
+    // a COLD live key — held by few files; a hot key (updated every commit)
+    // has nothing to skip, and most of a real corpus is cold keys
+    val raw = spark.read.parquet(snap.files.map(f => t.resolvePath(f.path)): _*)
+      .withColumn("__f", input_file_name())
+    val Array(repo, path) = raw
+      .groupBy("repo", "path").agg(countDistinct(col("__f")).as("nf"))
+      .orderBy(col("nf"), col("repo"), col("path"))
+      .limit(1).collect().head.toSeq.take(2).map(_.toString).toArray
+    val keyBucket = LakeTable.bucketOf(repo, path, snap.nBuckets)
+    val chain = snap.files.count(_.bucket == keyBucket)
+    // ground truth: data files that actually hold a version of the key
+    val truth = raw
+      .where(col("repo") === repo && col("path") === path)
+      .select(input_file_name()).distinct().count()
+    def lookup(on: Boolean): (Double, Int, Long) = {
+      spark.conf.set("spark.graft.bloom.scan.enabled", on.toString)
+      try {
+        val df = spark.read.format("graft").load(t.root)
+          .where(col("repo") === repo && col("path") === path)
+        val planned = df.queryExecution.executedPlan
+          .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+          .head.scan.asInstanceOf[graft.sources.GraftScan]
+          .planInputPartitions()
+          .map(_.asInstanceOf[graft.sources.GraftInputPartition].files.size).sum
+        val t0 = System.nanoTime()
+        val n = df.count()
+        ((System.nanoTime() - t0) / 1e9, planned, n)
+      } finally spark.conf.unset("spark.graft.bloom.scan.enabled")
+    }
+    // interleaved min-of-2 (footer evidence is cached after the first pass —
+    // report both the cold and warm evidence-on run)
+    val (onCold, plannedOn, nOn) = lookup(on = true)
+    val (offA, plannedOff, nOff) = lookup(on = false)
+    val (onWarm, _, _) = lookup(on = true)
+    val (offB, _, _) = lookup(on = false)
+    require(nOn == nOff, s"KeyLookupProbe: result mismatch on=$nOn off=$nOff")
+    val off = math.min(offA, offB)
+    println(f"[keylookup] commits=$commits chainFiles=$chain filesHoldingKey=$truth " +
+      f"plannedOn=$plannedOn plannedOff=$plannedOff " +
+      f"onColdSec=$onCold%.3f onWarmSec=$onWarm%.3f offSec=$off%.3f " +
+      f"speedupWarm=${off / onWarm}%.1fx")
+    spark.stop()
+  }
+}
+
+/** Targeted-compaction probe: fold 2 hot buckets vs the full-table rewrite
+  * on identical tables — maintenance cost must track the selected buckets,
+  * not the table. Args: workDir [commits] [eventsPerCommit] [buckets].
+  */
+object CompactProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CompactProbe <workDir> [commits] [eventsPerCommit] [buckets]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 30
+    val perC = if (args.length > 2) args(2).toLong else 20000L
+    val buckets = if (args.length > 3) args(3).toInt else 32
+    val spark = Cli.session("graft-compact-probe")
+    import org.apache.spark.sql.functions._
+    val cfg = GenConfig(seed = 13, events = commits * perC, repos = 100, filesPerRepo = 100)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.deleteRecursive(work)
+    // two identical un-compacted MOR tables (same WAL, same batching)
+    val roots = Seq(s"$work/targeted", s"$work/full")
+    roots.foreach { r =>
+      val t = new LakeTable(spark, r, buckets, ApplyMode.MergeOnRead)
+      (0 until commits).foreach { i =>
+        t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "cp", i.toLong)
+      }
+    }
+    wal.unpersist()
+    val tT = new LakeTable(spark, roots.head)
+    val tF = new LakeTable(spark, roots.last)
+    val filesBefore = tT.currentSnapshot().get.files.size
+    val hot = tT.currentSnapshot().get.files.groupBy(_.bucket)
+      .toSeq.sortBy(-_._2.size).take(2).map(_._1).toSet
+    val t0 = System.nanoTime()
+    val folded = tT.compactBuckets(hot)
+    val targetedSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    tF.compact()
+    val fullSec = (System.nanoTime() - t1) / 1e9
+    val rowsT = tT.read().count(); val rowsF = tF.read().count()
+    require(rowsT == rowsF, s"CompactProbe: row divergence targeted=$rowsT full=$rowsF")
+    println(f"[compactprobe] commits=$commits buckets=$buckets filesBefore=$filesBefore " +
+      f"hotBuckets=$folded targetedSec=$targetedSec%.2f fullSec=$fullSec%.2f " +
+      f"fullVsTargeted=${fullSec / targetedSec}%.1fx")
+    spark.stop()
+  }
+}

@@ -453,16 +453,60 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     val pb = prunedBuckets // bind once — recomputing the cross product per file would be O(files × pairs)
     val re = repoEq
     val pe = pathEq
-    snap.files.filter(f =>
+    keyEvidenceGate(snap.files.filter(f =>
       pb.forall(_.contains(f.bucket)) &&
       repoMayMatch(f, re) &&
       pathMayMatch(f, pe) &&
-      f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi))
+      f.maxLsn >= lsnLo && (needResolve || f.minLsn <= lsnHi)))
+  }
+
+  /** KEY-EVIDENCE file skipping: for equality-bound key predicates, probe
+    * each surviving candidate file's per-rowgroup membership witnesses
+    * (bloom filter, or the dictionary page itself for fully dict-encoded
+    * chunks — see `GraftScan.KeyEv`) and drop files that provably hold NO
+    * row of any bound value. Sound under the MOR resolve by the same
+    * argument as repo-range skipping: a dropped file holds no version of
+    * any MATCHING key, so every matching key's history stays complete;
+    * stale winners of non-matching keys fail the residual re-filter. This
+    * is what makes a point lookup on an un-compacted delta chain
+    * O(commits touching the key) instead of O(chain): min/max key ranges
+    * of small random batches span the bucket, membership evidence does
+    * not. Caps: ≤ 64 bound values per column and ≤
+    * `spark.graft.bloom.scan.maxFiles` (default 1024) candidates — beyond
+    * that it is not a point lookup and driver-side footer probing (one
+    * open per file per process, LRU-cached) would not pay for itself.
+    */
+  @volatile private var lastKeySkipped = 0
+  private lazy val hconf =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+  private def keyEvidenceGate(cands: Seq[FileEntry]): Seq[FileEntry] = {
+    val re = repoEq
+    val pe = pathEq
+    if (re.isEmpty && pe.isEmpty) return cands
+    if (re.exists(_.size > 64) || pe.exists(_.size > 64)) return cands
+    val sess = org.apache.spark.sql.SparkSession.active
+    if (!sess.conf.getOption("spark.graft.bloom.scan.enabled").forall(_.toBoolean)) return cands
+    val cap = sess.conf.getOption("spark.graft.bloom.scan.maxFiles").fold(1024)(_.toInt)
+    if (cands.size > cap) return cands
+    // footer opens are independent IO — parallel collection, like fileStats
+    import scala.collection.parallel.CollectionConverters._
+    val surviving = cands.par.filter { f =>
+      val ev = GraftScan.keyEvidenceFor(resolve(f.path), hconf)
+      val rEvs = ev.getOrElse("repo", IndexedSeq(GraftScan.NoEv))
+      val pEvs = ev.getOrElse("path", IndexedSeq(GraftScan.NoEv))
+      (0 until math.max(rEvs.size, pEvs.size)).exists { i =>
+        re.forall(GraftScan.evMayContain(rEvs.lift(i).getOrElse(GraftScan.NoEv), _)) &&
+        pe.forall(GraftScan.evMayContain(pEvs.lift(i).getOrElse(GraftScan.NoEv), _))
+      }
+    }.seq
+    lastKeySkipped = cands.size - surviving.size
+    surviving
   }
 
   override def description(): String = {
     val total = snap.files.size
-    s"graft v${snap.version} files=${liveFiles.size}/$total dvFiles=${snap.dvFiles.size} " +
+    s"graft v${snap.version} files=${liveFiles.size}/$total keySkipped=$lastKeySkipped " +
+      s"dvFiles=${snap.dvFiles.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
   }
 
@@ -683,6 +727,96 @@ object GraftScan {
   def relPath(p: String): String = {
     val i = p.lastIndexOf("/data/")
     if (i >= 0) p.substring(i + 1) else p
+  }
+
+  // ---- per-file KEY MEMBERSHIP EVIDENCE (bloom / dictionary) ------------
+
+  /** One rowgroup's membership witness for a key column: a parquet bloom
+    * filter (written by `LakeTable.dataWrite` for chunks too large to stay
+    * dictionary-encoded), the decoded dictionary page itself (EXACT — a
+    * fully dict-encoded chunk's every value is in the dictionary; the
+    * parquet-mr DictionaryFilter argument), or nothing (pre-feature file,
+    * bloom disabled, plain-encoded chunk) in which case the file is kept.
+    */
+  sealed trait KeyEv
+  final case class BloomEv(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter) extends KeyEv
+  final case class DictEv(values: Set[String]) extends KeyEv
+  case object NoEv extends KeyEv
+
+  /** evidence per key column name, one entry per rowgroup */
+  type FileEvidence = Map[String, IndexedSeq[KeyEv]]
+
+  // data files are immutable once committed (commit dirs are
+  // version+token-unique, never rewritten in place), so evidence keyed by
+  // absolute path can never go stale — a plain LRU bounds driver memory
+  private val evidenceCache =
+    new java.util.LinkedHashMap[String, FileEvidence](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, FileEvidence]): Boolean =
+        size() > 1024
+    }
+
+  private[graft] def evidenceCacheSize: Int = evidenceCache.synchronized(evidenceCache.size())
+
+  /** driver-side, one footer open per file per process lifetime (cached);
+    * any read failure degrades to "no evidence" = keep the file
+    */
+  private[graft] def keyEvidenceFor(abs: String, conf: Configuration): FileEvidence = {
+    evidenceCache.synchronized {
+      val hit = evidenceCache.get(abs)
+      if (hit != null) return hit
+    }
+    val ev =
+      try loadEvidence(abs, conf)
+      catch { case scala.util.control.NonFatal(_) =>
+        Map("repo" -> IndexedSeq[KeyEv](NoEv), "path" -> IndexedSeq[KeyEv](NoEv)) }
+    evidenceCache.synchronized { evidenceCache.put(abs, ev) }
+    ev
+  }
+
+  private def loadEvidence(abs: String, conf: Configuration): FileEvidence = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs), conf))
+    try {
+      val footer = r.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks
+      Seq("repo", "path").map { name =>
+        name -> (0 until blocks.size()).map[KeyEv] { bi =>
+          val blk = blocks.get(bi)
+          (0 until blk.getColumns.size()).map(blk.getColumns.get(_))
+            .find(_.getPath.toDotString == name) match {
+            case None => NoEv
+            case Some(cc) =>
+              val bf =
+                try r.getBloomFilterDataReader(blk).readBloomFilter(cc)
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (bf != null) BloomEv(bf)
+              else {
+                val es = cc.getEncodingStats
+                if (es == null || !es.hasDictionaryPages || es.hasNonDictionaryEncodedPages) NoEv
+                else {
+                  val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                    r.getDictionaryReader(blk)
+                  val page = store.readDictionaryPage(schema.getColumnDescription(Array(name)))
+                  if (page == null) NoEv
+                  else {
+                    val d = page.getEncoding.initDictionary(
+                      schema.getColumnDescription(Array(name)), page)
+                    DictEv((0 to d.getMaxId).map(i => d.decodeToBinary(i).toStringUsingUTF8).toSet)
+                  }
+                }
+              }
+          }
+        }
+      }.toMap
+    } finally r.close()
+  }
+
+  private[graft] def evMayContain(ev: KeyEv, vals: Set[String]): Boolean = ev match {
+    case BloomEv(bf) =>
+      vals.exists(v => bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(v))))
+    case DictEv(s) => vals.exists(s)
+    case NoEv => true
   }
 
   /** target bucket of a DV sidecar, parsed from its `dv/b=<k>/` layout

@@ -765,7 +765,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
 
     val commitDir = s"$dataDir/c$version-$token"
     val resolved = bucketResolve(all, math.max(affected.fold(nBuckets)(_.size), 1))
-    resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    dataWrite(resolved).parquet(commitDir)
 
     // per-FILE (rows, min/max lsn/repo) from the parquet FOOTERS of the
     // files just written — driver-side metadata reads, no Spark job.
@@ -992,11 +992,10 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val commitDir = s"$dataDir/c$version-$token"
       val dataCols = batch.columns.map(col).toSeq
       val kDv = subSplitFactor(math.max(affected.size, 1))
-      keep.select(dataCols: _*)
+      dataWrite(keep.select(dataCols: _*)
         .withColumn("__salt", saltCol(kDv))
         .repartition(math.max(affected.size, 1) * kDv, col("b"), col("__salt"))
-        .drop("__salt")
-        .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+        .drop("__salt")).parquet(commitDir)
       // DV sidecars are PARTITIONED BY TARGET BUCKET (the dead position's
       // file determines its bucket): the write parallelises across affected
       // buckets (no single-task stage), and the DSv2 scan attaches each
@@ -1141,6 +1140,27 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       }
       throw new CommitConflictException(s"mergeDv($cpId/$batchId): lost $attempts commit races")
     } finally keep.unpersist()
+  }
+
+  /** Data-file writer with per-column parquet BLOOM FILTERS on the key
+    * columns (repo, path). Small delta files stay fully dictionary-encoded
+    * and parquet then skips the bloom (the dictionary page IS an exact
+    * membership witness — the scan probes it instead); larger files get an
+    * adaptively sized bloom. Together they give the scan per-file key
+    * membership evidence, so a point lookup on an un-compacted MergeOnRead
+    * chain reads only the files that actually hold a version of the key —
+    * O(key's commits), not O(chain) (the Delta bloom-index / parquet
+    * DictionaryFilter analogue, at FILE granularity so pruned files never
+    * schedule a task). `spark.graft.bloom.enabled=false` opts the write
+    * side out; pre-feature files carry no evidence and are simply kept.
+    */
+  private def dataWrite(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val w = df.write.partitionBy("b").mode("overwrite")
+    if (spark.conf.getOption("spark.graft.bloom.enabled").forall(_.toBoolean))
+      w.option("parquet.bloom.filter.enabled#repo", "true")
+        .option("parquet.bloom.filter.enabled#path", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+    else w
   }
 
   /** total row count from one parquet file's footer (driver-side, no job) */
@@ -1782,8 +1802,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // same single-shuffle resolve as the full rewrite; parallelism keys on
     // the SELECTED bucket count (one hot bucket on a wide cluster sub-splits
     // k ways, it does not serialise on a single task)
-    bucketResolve(source.withColumn("b", bCol), chosen.size)
-      .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    dataWrite(bucketResolve(source.withColumn("b", bCol), chosen.size)).parquet(commitDir)
     val newEntries = entriesOf(fileStats(commitDir), sorted = true)
     val kept = snap.files.filterNot(f => chosen(f.bucket))
     val (dvFiles2, dvRows2) =
@@ -1856,8 +1875,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         applyDv(readRawAt(Some(snap), None), snap.dvFiles)
       else readRawAt(Some(snap), None)
     val newB = pmod(xxhash64(col("repo"), col("path")), lit(newBuckets.toLong)).cast("int")
-    bucketResolve(source.withColumn("b", newB), newBuckets)
-      .write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    dataWrite(bucketResolve(source.withColumn("b", newB), newBuckets)).parquet(commitDir)
     val entries = entriesOf(fileStats(commitDir), sorted = true)
     try commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap, token)
@@ -1913,7 +1931,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val cleaned = clean(events, snap)
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val resolved = bucketResolve(cleaned.withColumn("b", bCol), nBuckets)
-    resolved.write.partitionBy("b").mode("overwrite").parquet(commitDir)
+    dataWrite(resolved).parquet(commitDir)
     val perFile = fileStats(commitDir)
     val stats = bucketStatsOf(perFile)
     val newEntries = entriesOf(perFile, sorted = true)
