@@ -633,6 +633,15 @@ object CdcQueries {
           SELECT a.repo, a.path, a.lang, b.content_sha AS sha_b
           FROM snap a JOIN snap b ON a.repo = b.repo AND a.path = b.path
           WHERE b.lang <> 'python' ORDER BY a.repo, a.path""") +
+    // content-addressed lookup: the minimum live digest, computed the same
+    // way on both sides (the Spark side's scan is require-audited to prune
+    // files via contentSha evidence)
+    ("q61_sha_lookup" ->
+      s"""WITH live AS ($liveSql),
+               digests AS (SELECT repo, path, sha256(content) AS content_sha FROM live)
+          SELECT repo, path, content_sha FROM digests
+          WHERE content_sha = (SELECT min(content_sha) FROM digests)
+          ORDER BY repo, path""") +
     // the FULL feed's oracle: the q50 replay extended with before-images —
     // each winner's predecessor sha from a lag window; preimage rows join
     // via UNION ALL under the new change's (lsn, commit), delete rows take
@@ -798,6 +807,42 @@ object CdcQueries {
     } finally saved.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }
+  }
+
+  /** Content-addressed lookup (round-7): `WHERE contentSha = <digest>` —
+    * the dedup/CDC "does this blob already exist" probe. On the resolved
+    * CoW layout the scan's VALUE-column evidence (parquet blooms /
+    * dictionary pages on contentSha) prunes candidate files that provably
+    * lack the digest, so the lookup reads O(files holding the blob), not
+    * O(table). Self-audited: the plan must read fewer files than the
+    * snapshot holds (evidence live), and the rows must match the replay
+    * oracle's digest lookup exactly.
+    */
+  def q61ShaLookup(s: SparkSession, dir: String): DataFrame = {
+    // own fixture name: sm_cow may predate the bloom-writing era on a
+    // long-lived box (pre-feature files carry no contentSha evidence —
+    // their dictionaries overflow at battery scale and old writers added
+    // no blooms); sm_sha is built by the current writer, same WAL replay
+    val t = smLakeMode(s, ApplyMode.CopyOnWrite, "sm_sha", "smsha")
+    val df = s.read.format("graft").load(t.root)
+    // deterministic target: the minimum live digest (the oracle computes
+    // the same from the replayed WAL)
+    val target = df.agg(min("contentSha")).collect()(0).getString(0)
+    val lookup = df.where(col("contentSha") === target)
+    val total = t.currentSnapshot().get.files.size
+    // audit the exchange-free lookup plan (AQE wraps plans with an
+    // Exchange, hiding the scan from collect); the ordered result below
+    // plans the same pruned scan
+    val planned = lookup.queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.GraftScan]
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition].files.size).sum
+    require(planned < total,
+      s"q61: content-address evidence must prune the scan ($planned/$total files planned)")
+    lookup
+      .select(col("repo"), col("path"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
   }
 
   /** The FULL change data feed (Delta `table_changes` parity, round-6):
@@ -1064,6 +1109,7 @@ object CdcQueries {
     "q58_mv_extrema" -> q58MvExtrema _,
     "q59_backfill" -> q59Backfill _,
     "q60_spj" -> q60Spj _,
+    "q61_sha_lookup" -> q61ShaLookup _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -261,6 +261,14 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
   // lookups) then stop reading all buckets (round-3 VERDICT item 1)
   private var repoEq: Option[Set[String]] = None
   private var pathEq: Option[Set[String]] = None
+  // equality/IN on the CONTENT-ADDRESS column ("does this blob exist" —
+  // the dedup/CDC lookup shape): feeds VALUE-column membership evidence,
+  // applied only where the layout is resolved (see keyEvidenceGate).
+  // Guarded against column mapping: only when contentSha is physically
+  // itself (a renamed-away / re-added contentSha must not probe another
+  // column's evidence).
+  private var shaEq: Option[Set[String]] = None
+  private def shaIsPhysical = snap.physicalOf("contentSha") == "contentSha"
 
   private def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
     Some(cur.fold(add)(_ intersect add))
@@ -271,8 +279,11 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
            LessThan("lsn", _: Long) | LessThanOrEqual("lsn", _: Long) |
            EqualTo("lsn", _: Long) => true
       case EqualTo("repo", _: String) | EqualTo("path", _: String) => true
+      case EqualTo("contentSha", _: String) => shaIsPhysical
       case In("repo", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case In("path", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case In("contentSha", vs) =>
+        shaIsPhysical && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     usable.foreach {
@@ -283,8 +294,10 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
       case EqualTo("lsn", v: Long)            => lsnLo = math.max(lsnLo, v); lsnHi = math.min(lsnHi, v)
       case EqualTo("repo", v: String)         => repoEq = intersect(repoEq, Set(v))
       case EqualTo("path", v: String)         => pathEq = intersect(pathEq, Set(v))
+      case EqualTo("contentSha", v: String)   => shaEq = intersect(shaEq, Set(v))
       case In("repo", vs) => repoEq = intersect(repoEq, vs.map(_.asInstanceOf[String]).toSet)
       case In("path", vs) => pathEq = intersect(pathEq, vs.map(_.asInstanceOf[String]).toSet)
+      case In("contentSha", vs) => shaEq = intersect(shaEq, vs.map(_.asInstanceOf[String]).toSet)
       case _ => ()
     }
     pushed = usable
@@ -298,14 +311,15 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
 
   override def build(): Scan =
     new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized, options,
-      repoEq, pathEq)
+      repoEq, pathEq, shaEq)
 }
 
 final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
                       lsnLo: Long, lsnHi: Long, vectorized: Boolean,
                       options: Map[String, String] = Map.empty,
                       planRepoEq: Option[Set[String]] = None,
-                      planPathEq: Option[Set[String]] = None)
+                      planPathEq: Option[Set[String]] = None,
+                      planShaEq: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -482,21 +496,44 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   private def keyEvidenceGate(cands: Seq[FileEntry]): Seq[FileEntry] = {
     val re = repoEq
     val pe = pathEq
-    if (re.isEmpty && pe.isEmpty) return cands
-    if (re.exists(_.size > 64) || pe.exists(_.size > 64)) return cands
+    val se = planShaEq
+    if (re.isEmpty && pe.isEmpty && se.isEmpty) return cands
+    if (Seq(re, pe, se).exists(_.exists(_.size > 64))) return cands
     val sess = org.apache.spark.sql.SparkSession.active
     if (!sess.conf.getOption("spark.graft.bloom.scan.enabled").forall(_.toBoolean)) return cands
     val cap = sess.conf.getOption("spark.graft.bloom.scan.maxFiles").fold(1024)(_.toInt)
     if (cands.size > cap) return cands
+    // VALUE-column (contentSha) evidence is only sound where the layout is
+    // RESOLVED: under a multi-file MOR chain, dropping the file holding a
+    // key's LATEST version would resurrect an older version of that key
+    // whose sha PASSES the residual filter (the lsn-upper-bound trap).
+    // Key evidence never has this problem (it partitions by key). A MOR
+    // bucket is resolved iff all its candidate files come from ONE commit
+    // (a single write — batch-resolved, sub-splits key-disjoint); CoW is
+    // always single-commit per bucket, and DV masks dead positions by
+    // sidecar independently of file pruning, so both are always safe.
+    val isMor = snap.mode == "mor"
+    def commitDirOf(p: String): String = {
+      val i = p.indexOf("/b=")
+      if (i >= 0) p.substring(0, i) else p
+    }
+    val bucketResolved: Map[Int, Boolean] =
+      if (se.isEmpty || !isMor) Map.empty
+      else cands.groupBy(_.bucket).view
+        .mapValues(fs => fs.iterator.map(f => commitDirOf(f.path)).toSet.size == 1).toMap
+    def valueSafe(f: FileEntry): Boolean = !isMor || bucketResolved.getOrElse(f.bucket, true)
     // footer opens are independent IO — parallel collection, like fileStats
     import scala.collection.parallel.CollectionConverters._
     val surviving = cands.par.filter { f =>
       val ev = GraftScan.keyEvidenceFor(resolve(f.path), hconf)
       val rEvs = ev.getOrElse("repo", IndexedSeq(GraftScan.NoEv))
       val pEvs = ev.getOrElse("path", IndexedSeq(GraftScan.NoEv))
-      (0 until math.max(rEvs.size, pEvs.size)).exists { i =>
+      val sEvs = ev.getOrElse("contentSha", IndexedSeq(GraftScan.NoEv))
+      val sOk = se.isEmpty || valueSafe(f)
+      (0 until Seq(rEvs.size, pEvs.size, sEvs.size).max).exists { i =>
         re.forall(GraftScan.evMayContain(rEvs.lift(i).getOrElse(GraftScan.NoEv), _)) &&
-        pe.forall(GraftScan.evMayContain(pEvs.lift(i).getOrElse(GraftScan.NoEv), _))
+        pe.forall(GraftScan.evMayContain(pEvs.lift(i).getOrElse(GraftScan.NoEv), _)) &&
+        (!sOk || se.forall(GraftScan.evMayContain(sEvs.lift(i).getOrElse(GraftScan.NoEv), _)))
       }
     }.seq
     lastKeySkipped = cands.size - surviving.size
@@ -768,7 +805,8 @@ object GraftScan {
     val ev =
       try loadEvidence(abs, conf)
       catch { case scala.util.control.NonFatal(_) =>
-        Map("repo" -> IndexedSeq[KeyEv](NoEv), "path" -> IndexedSeq[KeyEv](NoEv)) }
+        Map("repo" -> IndexedSeq[KeyEv](NoEv), "path" -> IndexedSeq[KeyEv](NoEv),
+          "contentSha" -> IndexedSeq[KeyEv](NoEv)) }
     evidenceCache.synchronized { evidenceCache.put(abs, ev) }
     ev
   }
@@ -780,7 +818,7 @@ object GraftScan {
       val footer = r.getFooter
       val schema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks
-      Seq("repo", "path").map { name =>
+      Seq("repo", "path", "contentSha").map { name =>
         name -> (0 until blocks.size()).map[KeyEv] { bi =>
           val blk = blocks.get(bi)
           (0 until blk.getColumns.size()).map(blk.getColumns.get(_))

@@ -1159,6 +1159,9 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     if (spark.conf.getOption("spark.graft.bloom.enabled").forall(_.toBoolean))
       w.option("parquet.bloom.filter.enabled#repo", "true")
         .option("parquet.bloom.filter.enabled#path", "true")
+        // content-address lookups ("does this blob exist") probe contentSha
+        // evidence on resolved layouts — see GraftScan.keyEvidenceGate
+        .option("parquet.bloom.filter.enabled#contentSha", "true")
         .option("parquet.bloom.filter.adaptive.enabled", "true")
     else w
   }

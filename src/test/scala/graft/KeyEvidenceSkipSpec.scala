@@ -143,6 +143,47 @@ class KeyEvidenceSkipSpec extends SparkSpec {
     assert(GraftScan.evMayContain(repoEv, Set("absent-1", "repo-7", "absent-2")))
   }
 
+  test("content-address lookup on a resolved layout prunes via contentSha evidence") {
+    // CoW: every bucket's files are key-disjoint and resolved — value
+    // evidence applies to every file
+    val t = new LakeTable(spark, tmpDir("kevSha"), defaultBuckets = 2, ApplyMode.CopyOnWrite)
+    (0 until 5).foreach { i =>
+      val rows = (0 until 40).map(j => ("main", f"f${i * 40 + j}%03d.txt", s"c$i", s"blob-$i-$j", i * 1000L + j))
+      t.merge(rows.toDF("repo", "path", "commit", "content", "lsn")
+        .withColumn("op", lit("U")), "sha", i.toLong)
+    }
+    val df = spark.read.format("graft").load(t.root)
+    val target = df.where(col("path") === "f042.txt").select("contentSha")
+      .collect().head.getString(0)
+    val lookup = df.where(col("contentSha") === target)
+    val total = t.currentSnapshot().get.files.size
+    val planned = plannedFiles(lookup)
+    assert(planned < total, s"sha evidence must prune: planned $planned/$total")
+    assert(collectSorted(lookup.select("repo", "path", "content")) ==
+      Seq(Seq("main", "f042.txt", "blob-1-2")))
+  }
+
+  test("sha evidence is NOT applied under a multi-file MOR chain (stale-winner trap)") {
+    // the hot key's OLD version (commit 2) has a sha the LIVE winner
+    // (commit 7) does not; if value evidence dropped commit 7's file, the
+    // resolve would resurrect the old version and the residual sha filter
+    // would PASS it — the correct answer is empty
+    val t = buildChain(tmpDir("kevShaMor"))
+    val oldSha = spark.read.format("graft").option("snapshot", 3).load(t.root)
+      .where(col("repo") === "main" && col("path") === "f042.txt")
+      .select("contentSha").collect().head.getString(0)
+    val lookup = spark.read.format("graft").load(t.root)
+      .where(col("contentSha") === oldSha)
+    assert(lookup.count() == 0, "superseded version must not resurrect")
+    // after compaction the layout is resolved: value evidence applies and
+    // the absent digest prunes the whole scan
+    t.compact()
+    val folded = spark.read.format("graft").load(t.root)
+      .where(col("contentSha") === oldSha)
+    assert(plannedFiles(folded) == 0, "absent digest should plan zero files post-fold")
+    assert(folded.count() == 0)
+  }
+
   test("evidence survives compaction and stays correct on the folded layout") {
     val t = buildChain(tmpDir("kevCompact"))
     t.compact()
