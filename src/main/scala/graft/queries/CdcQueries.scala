@@ -642,6 +642,14 @@ object CdcQueries {
           SELECT repo, path, content_sha FROM digests
           WHERE content_sha = (SELECT min(content_sha) FROM digests)
           ORDER BY repo, path""") +
+    // RESTORE to version 3 == the replay of the first three 10k-lsn batches
+    ("q62_restore" ->
+      s"""SELECT repo, path, "commit", ${LangRules.langSqlCase("path")} AS lang,
+                 sha256(content) AS content_sha
+          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+                         ORDER BY lsn DESC, "commit" DESC) AS rn
+                FROM $walSrc WHERE lsn <= 30000)
+          WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""") +
     // the FULL feed's oracle: the q50 replay extended with before-images —
     // each winner's predecessor sha from a lag window; preimage rows join
     // via UNION ALL under the new change's (lsn, commit), delete rows take
@@ -842,6 +850,36 @@ object CdcQueries {
       s"q61: content-address evidence must prune the scan ($planned/$total files planned)")
     lookup
       .select(col("repo"), col("path"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** RESTORE (round-7): the 5-batch apply rolled back to version 3 as a
+    * zero-copy commit — the restored table must equal the replay of the
+    * first three batches exactly (lsn ≤ 30000). The fixture is reused
+    * only when fully built (5 merges + the restore = version 6).
+    */
+  def q62Restore(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val root = s"$LakeRoot/sm_restore"
+    val t = new LakeTable(s, root, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t.currentSnapshot().exists(snap =>
+      snap.version == smBatches + 1 && snap.committedCount == smBatches)
+    val fixed =
+      if (ok) t
+      else {
+        deleteRec(root)
+        val fresh = new LakeTable(s, root, smBuckets, ApplyMode.CopyOnWrite)
+        val wal = s.read.parquet(smWal)
+        val per = smCfg.events / smBatches
+        (0 until smBatches).foreach { i =>
+          fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smrst", i.toLong)
+        }
+        fresh.restore(3)
+        fresh
+      }
+    fixed.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("contentSha").as("content_sha"))
       .orderBy("repo", "path")
   }
 
@@ -1110,6 +1148,7 @@ object CdcQueries {
     "q59_backfill" -> q59Backfill _,
     "q60_spj" -> q60Spj _,
     "q61_sha_lookup" -> q61ShaLookup _,
+    "q62_restore" -> q62Restore _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,

@@ -37,7 +37,7 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
     "describe_history", "describe_detail", "widen_column", "compact_change_feed",
-    "backfill_change_feed", "refresh_mv")
+    "backfill_change_feed", "refresh_mv", "restore")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -74,6 +74,7 @@ object GraftProcedures {
       case "compact"            => Array(p("table", StringType),
                                          pDef("max_files_per_bucket", IntegerType, "0"))
       case "rebucket"           => Array(p("table", StringType), p("buckets", IntegerType))
+      case "restore"            => Array(p("table", StringType), p("version", IntegerType))
       case "expire_snapshots"   => Array(p("table", StringType), pDef("keep", IntegerType, "2"))
       case "vacuum_orphans"     => Array(p("table", StringType), pDef("older_than_hours", IntegerType, "24"))
       case "expire_change_feed" => Array(p("table", StringType), p("below_lsn", LongType))
@@ -133,6 +134,12 @@ object GraftProcedures {
           val after = lake.currentSnapshot().get
           statusScan("buckets" -> IntegerType, "files" -> IntegerType)(
             after.nBuckets, after.files.size)
+        case "restore" =>
+          lake.restore(input.getInt(1))
+          val after = lake.currentSnapshot().get
+          statusScan("version" -> IntegerType, "restored_from" -> IntegerType,
+            "files" -> IntegerType, "total_rows" -> LongType)(
+            after.version, input.getInt(1), after.files.size, after.totalRows)
         case "expire_snapshots" =>
           val keep = input.getInt(1)
           val head = lake.currentSnapshot().get.version

@@ -2052,6 +2052,69 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     throw new CommitConflictException(s"truncate($root): lost $attempts commit races")
   }
 
+  /** RESTORE (the Delta `RESTORE TABLE ... TO VERSION AS OF` analogue):
+    * roll the table's DATA STATE back to retained snapshot `version` as a
+    * NEW commit — zero-copy (the commit re-references the old version's
+    * files and DV sidecars; nothing is rewritten, so a bad-data rollback
+    * at fleet scale is a metadata operation). What rolls back: file set,
+    * DV sidecars, bucket layout, apply mode, row counts. What survives:
+    * schema evolution (widening/renames/drops — old narrow files read
+    * fine under the evolved schema), the committed-batch bookkeeping
+    * (exactly-once ids are not forgotten), the LSN high watermark (never
+    * decreases), and the change feed's coverage. CDC-correct: with the
+    * feed on, the commit's sidecar is the keyed diff head → restored
+    * (delete rows for keys the rollback removes, typed post-images for
+    * keys it changes back, before-images under `cdf='full'`), stamped one
+    * past the hwm like a replace — downstream tails and incremental MVs
+    * fold the rollback exactly instead of diverging. Fails loudly if the
+    * target version's files were already reclaimed (expire_snapshots /
+    * vacuum), and on a mid-restore concurrent commit the diff is recomputed
+    * against the new head (same race rule as overwrite).
+    */
+  def restore(version: Int): Unit = {
+    val head = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"restore: no table at $root"))
+    if (version == head.version) return
+    val p = s"$metaDir/snap-$version.json"
+    require(fs.exists(p),
+      s"restore: snapshot $version expired or never existed (head ${head.version})")
+    val target = loadSnap(p)
+    // every referenced file must still exist — a retained SNAPSHOT whose
+    // files a vacuum reclaimed is not restorable, and silently committing
+    // dangling references would poison every later read
+    (target.files.map(_.path) ++ target.dvFiles).foreach { f =>
+      require(fs.exists(resolvePath(f)),
+        s"restore: $f of version $version was reclaimed; the version is no longer restorable")
+    }
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = reloadAfterConflict(head.version)
+      val v = cur.version + 1
+      val token = LakeTable.newToken
+      try {
+        val cdfEntries: Seq[CdfEntry] =
+          if (cur.cdfSinceLsn < 0 || (cur.totalRows == 0 && target.totalRows == 0)) Nil
+          else writeReplaceSidecar(Some(cur), readResolvedAt(Some(target), None),
+            cur.hwm + 1, "!restore-" + token, s"$dataDir/c$v-$token/cdf",
+            full = cur.cdfFullSinceLsn >= 0)
+        val newHwm = if (cdfEntries.nonEmpty) cur.hwm + 1 else cur.hwm
+        val (nextSince, nextFiles) = applyCdfRetention(
+          (cur.cdfSinceLsn, cur.cdfFiles ++ cdfEntries), newHwm)
+        commitSnapshot(cur.copy(version = v,
+          files = target.files, totalRows = target.totalRows,
+          dvFiles = target.dvFiles, dvRows = target.dvRows,
+          nBuckets = target.nBuckets, mode = target.mode,
+          hwm = newHwm, cdfSinceLsn = nextSince, cdfFiles = nextFiles), cur, token)
+        return
+      } catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          fs.deleteRecursive(s"$dataDir/c$v-$token")
+      }
+    }
+    throw new CommitConflictException(s"restore($root, $version): lost $attempts commit races")
+  }
+
   /** Filter-based delete: tombstone every live row matching `cond`, applied
     * through the ordinary merge path (one op='D' event per victim at
     * `hwm + 1`, so the deletes beat everything already applied). The
