@@ -642,6 +642,9 @@ object CdcQueries {
           SELECT repo, path, content_sha FROM digests
           WHERE content_sha = (SELECT min(content_sha) FROM digests)
           ORDER BY repo, path""") +
+    // a targeted fold never changes state: the folded chain equals the same
+    // full WAL replay as cdc_snapshot (three fixtures, one oracle)
+    ("cdc_compact_targeted" -> m("cdc_snapshot")) +
     // RESTORE to version 3 == the replay of the first three 10k-lsn batches
     ("q62_restore" ->
       s"""SELECT repo, path, "commit", ${LangRules.langSqlCase("path")} AS lang,
@@ -850,6 +853,44 @@ object CdcQueries {
       s"q61: content-address evidence must prune the scan ($planned/$total files planned)")
     lookup
       .select(col("repo"), col("path"), col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** Targeted compaction in the battery (round-7): an 8-commit MoR chain is
+    * rewound to its un-folded state with a zero-copy `restore(8)` (so every
+    * battery run folds a REAL chain deterministically, no fixture
+    * accumulation), then the two hottest buckets are folded — the timed
+    * work is the steady-state `maybeCompact` cost under skew, and the
+    * returned table state is oracled against the full WAL replay (the fold
+    * must never change state).
+    */
+  def cdcCompactTargeted(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val root = s"$LakeRoot/sm_tc"
+    val nBatches = 8
+    val t0 = new LakeTable(s, root, smBuckets, ApplyMode.MergeOnRead)
+    val ok = t0.currentSnapshot().exists(snap =>
+      snap.hwm == smCfg.events && (0 until nBatches).forall(b => snap.isCommitted("smtc", b.toLong)))
+    val t =
+      if (ok) t0
+      else {
+        deleteRec(root)
+        val fresh = new LakeTable(s, root, smBuckets, ApplyMode.MergeOnRead)
+        val wal = s.read.parquet(smWal)
+        val per = smCfg.events / nBatches
+        (0 until nBatches).foreach { i =>
+          fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smtc", i.toLong)
+        }
+        fresh
+      }
+    if (t.currentSnapshot().get.version > nBatches) t.restore(nBatches)
+    val snap = t.currentSnapshot().get
+    val hot = snap.files.groupBy(_.bucket).toSeq.sortBy(-_._2.size).take(2).map(_._1).toSet
+    val folded = t.compactBuckets(hot)
+    require(folded == 2, s"cdc_compact_targeted: expected 2 hot buckets folded, got $folded")
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("contentSha").as("content_sha"))
       .orderBy("repo", "path")
   }
 
@@ -1149,6 +1190,7 @@ object CdcQueries {
     "q60_spj" -> q60Spj _,
     "q61_sha_lookup" -> q61ShaLookup _,
     "q62_restore" -> q62Restore _,
+    "cdc_compact_targeted" -> cdcCompactTargeted _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,
     "pub_content_diversity" -> pubContentDiversity _,
