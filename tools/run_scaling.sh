@@ -20,12 +20,16 @@ if [ -z "$JAR" ]; then sbt -batch package >/dev/null; JAR=$(ls target/scala-2.13
 
 run_level() { # cores -> throughput (ev/s)
   local CORES=$1
+  # SCALING_EXTRA_CONF: optional space-separated k=v spark confs (A/B knobs)
+  local EXTRA=()
+  for kv in ${SCALING_EXTRA_CONF:-}; do EXTRA+=(--conf "$kv"); done
   taskset -c 0-$((CORES - 1)) /opt/spark/bin/spark-submit \
     --master "local[$CORES]" \
     --driver-memory "${SCALING_MEM:-32g}" \
     --conf spark.driver.extraJavaOptions="-XX:ActiveProcessorCount=$CORES -XX:+UseParallelGC" \
     --conf spark.sql.shuffle.partitions="$CORES" \
     --conf spark.ui.enabled=false \
+    "${EXTRA[@]}" \
     --class graft.BenchScaling "$JAR" single "$CORES" "$EVENTS" "$BATCHES" "$MODE" "$SHARE" "$REPS" 2>/dev/null \
     | awk '/^SCALING_THR/ {print $3}'
 }
