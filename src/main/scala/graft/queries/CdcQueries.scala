@@ -653,6 +653,20 @@ object CdcQueries {
                          ORDER BY lsn DESC, "commit" DESC) AS rn
                 FROM $walSrc WHERE lsn <= 30000)
           WHERE rn = 1 AND op <> 'D' ORDER BY repo, path""") +
+    // CHECK-constraint enforcement leaves the rejected poison batch
+    // traceless: the final state equals the plain full-WAL replay
+    ("q63_constraints" -> m("cdc_snapshot")) +
+    // a clone branched at v3 and fed the remaining WAL converges to the
+    // same full replay — zero-copy references resolve identically
+    ("q64_clone" -> m("cdc_snapshot")) +
+    // the clustered clone serves the lang slice of the same replay —
+    // clustering + evidence pruning must be invisible to results
+    ("q65_lang_cluster" ->
+      s"""SELECT repo, path, "commit", ${LangRules.langSqlCase("path")} AS lang,
+                 sha256(content) AS content_sha
+          FROM ($liveSql)
+          WHERE ${LangRules.langSqlCase("path")} = 'go'
+          ORDER BY repo, path""") +
     // the FULL feed's oracle: the q50 replay extended with before-images —
     // each winner's predecessor sha from a lag window; preimage rows join
     // via UNION ALL under the new change's (lsn, commit), delete rows take
@@ -924,6 +938,144 @@ object CdcQueries {
       .orderBy("repo", "path")
   }
 
+  /** CHECK constraints (round-7): the 5-batch apply with
+    * `length(content) > 0` enforced from batch 1 on. A POISON batch
+    * (100 events whose live rows carry empty content) is pushed between
+    * batches 2 and 3 and MUST be rejected in-pipeline — no commit, no
+    * partial rows — after which the true batches land. The final state
+    * therefore equals the plain full-WAL replay (the cdc_snapshot
+    * oracle): one surviving poison row, or one true row lost with it,
+    * fails the hash gate.
+    */
+  def q63Constraints(s: SparkSession, dir: String): DataFrame = {
+    ensureSmWal(s)
+    val root = s"$LakeRoot/sm_cstr"
+    val t0 = new LakeTable(s, root, smBuckets, ApplyMode.CopyOnWrite)
+    val ok = t0.currentSnapshot().exists(sn => sn.committedCount == smBatches &&
+      sn.hwm == smCfg.events && sn.constraints.contains("content_nonempty"))
+    val t =
+      if (ok) t0
+      else {
+        deleteRec(root)
+        val fresh = new LakeTable(s, root, smBuckets, ApplyMode.CopyOnWrite)
+        val wal = s.read.parquet(smWal)
+        val per = smCfg.events / smBatches
+        fresh.merge(wal.where(col("lsn").between(1, per)), "smcstr", 0L)
+        fresh.addConstraint("content_nonempty", "length(content) > 0")
+        (1 until smBatches).foreach { i =>
+          if (i == 2) {
+            val poison = wal.where(col("lsn").between(i * per + 1, i * per + 100))
+              .withColumn("content",
+                when(col("op") =!= "D", lit("")).otherwise(col("content")))
+            val rejected =
+              try { fresh.merge(poison, "smcstr-poison", 0L); false }
+              catch { case e: Exception if causeChain(e).contains("content_nonempty") => true }
+            require(rejected, "q63: the poison batch must be rejected by the CHECK constraint")
+          }
+          fresh.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)), "smcstr", i.toLong)
+        }
+        fresh
+      }
+    require(t.currentSnapshot().exists(_.constraints.contains("content_nonempty")),
+      "q63: the constraint must survive every data commit")
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** SHALLOW CLONE (round-7): sm_cow cloned zero-copy at version 3 (three
+    * batches), then the remaining two WAL batches merged INTO THE CLONE —
+    * the branch must converge to the same full replay as the source would
+    * (the cdc_snapshot oracle), while the source fixture is pinned
+    * untouched. Exercises: cross-root file references through every read
+    * path, exactly-once state carried (the clone continues the source's
+    * batch numbering under a new cpId), divergent writes resolving over
+    * referenced history.
+    */
+  def q64Clone(s: SparkSession, dir: String): DataFrame = {
+    val src = smLake(s) // builds/reuses sm_cow (5 batches, versions 1..5)
+    val srcVersion = src.currentSnapshot().get.version
+    val root = s"$LakeRoot/sm_clone"
+    val t0 = new LakeTable(s, root)
+    // reuse only if complete AND every cross-root reference still exists
+    // (a rebuilt sm_cow would strand a stale clone — the documented
+    // source-vacuum hazard, detected here instead of failing the read)
+    val ok = t0.currentSnapshot().exists(sn =>
+      sn.hwm == smCfg.events && sn.isCommitted("smclone", 1L) &&
+        sn.files.forall(f => t0.fs.exists(t0.resolvePath(f.path))))
+    val t =
+      if (ok) t0
+      else {
+        deleteRec(root)
+        src.cloneTo(root, Some(3))
+        val clone = new LakeTable(s, root)
+        val wal = s.read.parquet(smWal)
+        val per = smCfg.events / smBatches
+        (3 until smBatches).foreach { i =>
+          clone.merge(wal.where(col("lsn").between(i * per + 1, (i + 1) * per)),
+            "smclone", (i - 3).toLong)
+        }
+        clone
+      }
+    require(src.currentSnapshot().get.version == srcVersion,
+      "q64: clone activity must never advance the source")
+    t.read()
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  /** CLUSTERED value lookup (round-7): sm_cow branched zero-copy and the
+    * CLONE cluster-compacted by `lang` into bounded value-homogeneous
+    * files (`compact(clusterBy)` + maxRecordsPerFile — the OPTIMIZE
+    * ZORDER shape); a `WHERE lang = 'go'` scan must then plan only the
+    * files whose dictionaries/blooms may hold 'go' (require-audited) and
+    * hash-match the DuckDB replay filtered by the same rule CASE. Chains
+    * two round-7 features deliberately: the clone is the thing you
+    * re-layout — the source keeps its write-optimised layout untouched.
+    */
+  def q65LangCluster(s: SparkSession, dir: String): DataFrame = {
+    val src = smLake(s)
+    val root = s"$LakeRoot/sm_cluster"
+    val t0 = new LakeTable(s, root)
+    val ok = t0.currentSnapshot().exists(sn => sn.hwm == smCfg.events &&
+      sn.files.nonEmpty && sn.files.forall(!_.sorted) &&
+      sn.files.forall(f => t0.fs.exists(t0.resolvePath(f.path))))
+    val t =
+      if (ok) t0
+      else {
+        deleteRec(root)
+        src.cloneTo(root)
+        val c = new LakeTable(s, root)
+        // split each bucket's sorted run into small value-homogeneous
+        // files — at sm scale a bucket holds ~56 live rows
+        s.conf.set("spark.sql.files.maxRecordsPerFile", "16")
+        try c.compact(clusterBy = Seq("lang"))
+        finally s.conf.unset("spark.sql.files.maxRecordsPerFile")
+        c
+      }
+    val df = s.read.format("graft").load(root).where(col("lang") === "go")
+    val total = t.currentSnapshot().get.files.size
+    val planned = df.queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.scan.asInstanceOf[graft.sources.GraftScan]
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition].files.size).sum
+    require(planned < total,
+      s"q65: lang evidence on the clustered clone must prune ($planned/$total files planned)")
+    df.select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("contentSha").as("content_sha"))
+      .orderBy("repo", "path")
+  }
+
+  private def causeChain(e: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = e
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
   /** The FULL change data feed (Delta `table_changes` parity, round-6):
     * the same 5-batch MoR apply with `cdf = 'full'`, so every commit's
     * sidecar also records BEFORE-IMAGES — an `update_preimage` row per
@@ -1190,6 +1342,9 @@ object CdcQueries {
     "q60_spj" -> q60Spj _,
     "q61_sha_lookup" -> q61ShaLookup _,
     "q62_restore" -> q62Restore _,
+    "q63_constraints" -> q63Constraints _,
+    "q64_clone" -> q64Clone _,
+    "q65_lang_cluster" -> q65LangCluster _,
     "cdc_compact_targeted" -> cdcCompactTargeted _,
     "pub_repo_summary" -> pubRepoSummary _,
     "pub_lang_entropy" -> pubLangEntropy _,

@@ -261,14 +261,24 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
   // lookups) then stop reading all buckets (round-3 VERDICT item 1)
   private var repoEq: Option[Set[String]] = None
   private var pathEq: Option[Set[String]] = None
-  // equality/IN on the CONTENT-ADDRESS column ("does this blob exist" —
-  // the dedup/CDC lookup shape): feeds VALUE-column membership evidence,
+  // equality/IN on ANY stored STRING value column — contentSha ("does
+  // this blob exist", the dedup/CDC lookup), lang, commit, a payload
+  // column — feeds VALUE-column membership evidence (bloom/dictionary),
   // applied only where the layout is resolved (see keyEvidenceGate).
-  // Guarded against column mapping: only when contentSha is physically
-  // itself (a renamed-away / re-added contentSha must not probe another
-  // column's evidence).
-  private var shaEq: Option[Set[String]] = None
-  private def shaIsPhysical = snap.physicalOf("contentSha") == "contentSha"
+  // Clustered compaction (`compact(clusterBy = ...)`) makes the evidence
+  // selective: value-homogeneous files prune to the bound value's files.
+  // Guarded against column mapping: only when the column is physically
+  // itself (a renamed-away / re-added column must not probe another
+  // storage column's evidence).
+  private var valEq: Map[String, Set[String]] = Map.empty
+  private lazy val physSchema = StructType.fromDDL(snap.schemaDdl)
+  private def valCol(name: String): Boolean =
+    name != "repo" && name != "path" &&
+      snap.physicalOf(name) == name &&
+      physSchema.fields.exists(f => f.name == name &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+  private def addVal(c: String, vs: Set[String]): Unit =
+    valEq = valEq.updated(c, valEq.get(c).fold(vs)(_ intersect vs))
 
   private def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
     Some(cur.fold(add)(_ intersect add))
@@ -279,11 +289,11 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
            LessThan("lsn", _: Long) | LessThanOrEqual("lsn", _: Long) |
            EqualTo("lsn", _: Long) => true
       case EqualTo("repo", _: String) | EqualTo("path", _: String) => true
-      case EqualTo("contentSha", _: String) => shaIsPhysical
+      case EqualTo(c, _: String) => valCol(c)
       case In("repo", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case In("path", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-      case In("contentSha", vs) =>
-        shaIsPhysical && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case In(c, vs) =>
+        valCol(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     usable.foreach {
@@ -294,10 +304,10 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
       case EqualTo("lsn", v: Long)            => lsnLo = math.max(lsnLo, v); lsnHi = math.min(lsnHi, v)
       case EqualTo("repo", v: String)         => repoEq = intersect(repoEq, Set(v))
       case EqualTo("path", v: String)         => pathEq = intersect(pathEq, Set(v))
-      case EqualTo("contentSha", v: String)   => shaEq = intersect(shaEq, Set(v))
+      case EqualTo(c, v: String)              => addVal(c, Set(v))
       case In("repo", vs) => repoEq = intersect(repoEq, vs.map(_.asInstanceOf[String]).toSet)
       case In("path", vs) => pathEq = intersect(pathEq, vs.map(_.asInstanceOf[String]).toSet)
-      case In("contentSha", vs) => shaEq = intersect(shaEq, vs.map(_.asInstanceOf[String]).toSet)
+      case In(c, vs)      => addVal(c, vs.map(_.asInstanceOf[String]).toSet)
       case _ => ()
     }
     pushed = usable
@@ -311,7 +321,7 @@ final class GraftScanBuilder(root: String, snap: Snapshot, fullSchema: StructTyp
 
   override def build(): Scan =
     new GraftScan(root, snap, required, pushed, lsnLo, lsnHi, vectorized, options,
-      repoEq, pathEq, shaEq)
+      repoEq, pathEq, valEq)
 }
 
 final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed: Array[Filter],
@@ -319,7 +329,7 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
                       options: Map[String, String] = Map.empty,
                       planRepoEq: Option[Set[String]] = None,
                       planPathEq: Option[Set[String]] = None,
-                      planShaEq: Option[Set[String]] = None)
+                      planValEq: Map[String, Set[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -496,44 +506,49 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
   private def keyEvidenceGate(cands: Seq[FileEntry]): Seq[FileEntry] = {
     val re = repoEq
     val pe = pathEq
-    val se = planShaEq
-    if (re.isEmpty && pe.isEmpty && se.isEmpty) return cands
-    if (Seq(re, pe, se).exists(_.exists(_.size > 64))) return cands
+    val ve = planValEq
+    if (re.isEmpty && pe.isEmpty && ve.isEmpty) return cands
+    if ((Seq(re, pe).flatten ++ ve.values).exists(_.size > 64)) return cands
     val sess = org.apache.spark.sql.SparkSession.active
     if (!sess.conf.getOption("spark.graft.bloom.scan.enabled").forall(_.toBoolean)) return cands
     val cap = sess.conf.getOption("spark.graft.bloom.scan.maxFiles").fold(1024)(_.toInt)
     if (cands.size > cap) return cands
-    // VALUE-column (contentSha) evidence is only sound where the layout is
-    // RESOLVED: under a multi-file MOR chain, dropping the file holding a
-    // key's LATEST version would resurrect an older version of that key
-    // whose sha PASSES the residual filter (the lsn-upper-bound trap).
-    // Key evidence never has this problem (it partitions by key). A MOR
-    // bucket is resolved iff all its candidate files come from ONE commit
-    // (a single write — batch-resolved, sub-splits key-disjoint); CoW is
-    // always single-commit per bucket, and DV masks dead positions by
-    // sidecar independently of file pruning, so both are always safe.
+    // VALUE-column evidence (contentSha, lang, commit, payload columns) is
+    // only sound where the layout is RESOLVED: under a multi-file MOR
+    // chain, dropping the file holding a key's LATEST version would
+    // resurrect an older version of that key whose value PASSES the
+    // residual filter (the lsn-upper-bound trap). Key evidence never has
+    // this problem (it partitions by key). A MOR bucket is resolved iff
+    // all its candidate files come from ONE commit (a single write —
+    // batch-resolved, sub-splits key-disjoint); CoW is always
+    // single-commit per bucket, and DV masks dead positions by sidecar
+    // independently of file pruning, so both are always safe.
     val isMor = snap.mode == "mor"
     def commitDirOf(p: String): String = {
       val i = p.indexOf("/b=")
       if (i >= 0) p.substring(0, i) else p
     }
     val bucketResolved: Map[Int, Boolean] =
-      if (se.isEmpty || !isMor) Map.empty
+      if (ve.isEmpty || !isMor) Map.empty
       else cands.groupBy(_.bucket).view
         .mapValues(fs => fs.iterator.map(f => commitDirOf(f.path)).toSet.size == 1).toMap
     def valueSafe(f: FileEntry): Boolean = !isMor || bucketResolved.getOrElse(f.bucket, true)
+    val vCols = ve.keys.toSeq.sorted
+    val evCols = Seq("repo", "path") ++ vCols
     // footer opens are independent IO — parallel collection, like fileStats
     import scala.collection.parallel.CollectionConverters._
     val surviving = cands.par.filter { f =>
-      val ev = GraftScan.keyEvidenceFor(resolve(f.path), hconf)
+      val ev = GraftScan.keyEvidenceFor(resolve(f.path), hconf, evCols)
       val rEvs = ev.getOrElse("repo", IndexedSeq(GraftScan.NoEv))
       val pEvs = ev.getOrElse("path", IndexedSeq(GraftScan.NoEv))
-      val sEvs = ev.getOrElse("contentSha", IndexedSeq(GraftScan.NoEv))
-      val sOk = se.isEmpty || valueSafe(f)
-      (0 until Seq(rEvs.size, pEvs.size, sEvs.size).max).exists { i =>
+      val vEvs = vCols.map(c => c -> ev.getOrElse(c, IndexedSeq(GraftScan.NoEv)))
+      val vOk = ve.nonEmpty && valueSafe(f)
+      val groups = (Seq(rEvs.size, pEvs.size) ++ vEvs.map(_._2.size)).max
+      (0 until groups).exists { i =>
         re.forall(GraftScan.evMayContain(rEvs.lift(i).getOrElse(GraftScan.NoEv), _)) &&
         pe.forall(GraftScan.evMayContain(pEvs.lift(i).getOrElse(GraftScan.NoEv), _)) &&
-        (!sOk || se.forall(GraftScan.evMayContain(sEvs.lift(i).getOrElse(GraftScan.NoEv), _)))
+        (!vOk || vEvs.forall { case (c, evs) =>
+          GraftScan.evMayContain(evs.lift(i).getOrElse(GraftScan.NoEv), ve(c)) })
       }
     }.seq
     lastKeySkipped = cands.size - surviving.size
@@ -748,8 +763,20 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
     // sidecar partitions use the streaming CDF row reader — same files,
     // same reader, batch plan
     if (batchChanges) new GraftStreamReaderFactory(physRequired, conf)
-    else new GraftReaderFactory(physRequired, conf, vectorized,
-      bucketOrdinal = physRequired.fieldNames.indexOf("_bucket"))
+    else {
+      // Spark forbids MIXED row/columnar partitions in one scan even under
+      // ColumnarSupportMode.PARTITION_DEFINED (DataSourceV2ScanExecBase
+      // requires uniformity) — a PARTIALLY-compacted MoR table would plan
+      // resolve (row) partitions for its multi-file buckets and columnar
+      // ones for its single-file buckets and crash at planning. Decide
+      // ONCE per scan from snapshot metadata (stable across the multiple
+      // planning passes): any multi-file bucket ⇒ the whole scan reads
+      // row-based. Fully-compacted / CoW / DV layouts keep vectorization.
+      val allPlain = snap.mode != "mor" ||
+        snap.files.groupBy(_.bucket).values.forall(_.size <= 1)
+      new GraftReaderFactory(physRequired, conf, vectorized && allPlain,
+        bucketOrdinal = physRequired.fieldNames.indexOf("_bucket"))
+    }
   }
 
   /** `spark.readStream.format("graft")` — the incremental CDC tail over
@@ -794,31 +821,37 @@ object GraftScan {
 
   private[graft] def evidenceCacheSize: Int = evidenceCache.synchronized(evidenceCache.size())
 
-  /** driver-side, one footer open per file per process lifetime (cached);
-    * any read failure degrades to "no evidence" = keep the file
+  /** driver-side, one footer open per file per requested-column set
+    * (cached; a later query binding a NEW value column loads just the
+    * missing columns and merges); any read failure degrades to "no
+    * evidence" = keep the file
     */
-  private[graft] def keyEvidenceFor(abs: String, conf: Configuration): FileEvidence = {
-    evidenceCache.synchronized {
-      val hit = evidenceCache.get(abs)
-      if (hit != null) return hit
+  private[graft] def keyEvidenceFor(abs: String, conf: Configuration,
+      cols: Seq[String] = Seq("repo", "path", "contentSha")): FileEvidence = {
+    val cached = evidenceCache.synchronized(Option(evidenceCache.get(abs)))
+    cached match {
+      case Some(hit) if cols.forall(hit.contains) => return hit
+      case _ => ()
     }
-    val ev =
-      try loadEvidence(abs, conf)
+    val missing = cached.fold(cols)(hit => cols.filterNot(hit.contains))
+    val fresh =
+      try loadEvidence(abs, conf, missing)
       catch { case scala.util.control.NonFatal(_) =>
-        Map("repo" -> IndexedSeq[KeyEv](NoEv), "path" -> IndexedSeq[KeyEv](NoEv),
-          "contentSha" -> IndexedSeq[KeyEv](NoEv)) }
-    evidenceCache.synchronized { evidenceCache.put(abs, ev) }
-    ev
+        missing.map(_ -> IndexedSeq[KeyEv](NoEv)).toMap }
+    val merged = cached.getOrElse(Map.empty) ++ fresh
+    evidenceCache.synchronized { evidenceCache.put(abs, merged) }
+    merged
   }
 
-  private def loadEvidence(abs: String, conf: Configuration): FileEvidence = {
+  private def loadEvidence(abs: String, conf: Configuration,
+      cols: Seq[String]): FileEvidence = {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs), conf))
     try {
       val footer = r.getFooter
       val schema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks
-      Seq("repo", "path", "contentSha").map { name =>
+      cols.map { name =>
         name -> (0 until blocks.size()).map[KeyEv] { bi =>
           val blk = blocks.get(bi)
           (0 until blk.getColumns.size()).map(blk.getColumns.get(_))

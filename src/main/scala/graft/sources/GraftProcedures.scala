@@ -37,7 +37,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "rebucket", "expire_snapshots",
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
     "describe_history", "describe_detail", "widen_column", "compact_change_feed",
-    "backfill_change_feed", "refresh_mv", "restore")
+    "backfill_change_feed", "refresh_mv", "restore", "add_constraint",
+    "drop_constraint", "clone")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -72,7 +73,11 @@ object GraftProcedures {
       // > 0: TARGETED fold of only the buckets whose file count exceeds it
       // (compactBuckets — O(hot buckets), the steady-state maintenance call)
       case "compact"            => Array(p("table", StringType),
-                                         pDef("max_files_per_bucket", IntegerType, "0"))
+                                         pDef("max_files_per_bucket", IntegerType, "0"),
+                                         // comma-separated columns: clustered full
+                                         // rewrite (Delta OPTIMIZE ZORDER analogue);
+                                         // mutually exclusive with the threshold
+                                         pDef("cluster_by", StringType, "''"))
       case "rebucket"           => Array(p("table", StringType), p("buckets", IntegerType))
       case "restore"            => Array(p("table", StringType), p("version", IntegerType))
       case "expire_snapshots"   => Array(p("table", StringType), pDef("keep", IntegerType, "2"))
@@ -90,6 +95,14 @@ object GraftProcedures {
                                            pDef("target_files", IntegerType, "16"))
       case "enable_change_data_feed" => Array(p("table", StringType),
                                               pDef("mode", StringType, "'post'"))
+      case "add_constraint"     => Array(p("table", StringType), p("name", StringType),
+                                         // boolean SQL expression over the table's
+                                         // logical columns, e.g. 'length(content) > 0'
+                                         p("expr", StringType))
+      case "drop_constraint"    => Array(p("table", StringType), p("name", StringType))
+      // version -1 (default) clones the head; >= 1 a retained version
+      case "clone"              => Array(p("table", StringType), p("dest", StringType),
+                                         pDef("version", IntegerType, "-1"))
       case "refresh_mv"         => Array(p("mv_table", StringType), p("from_table", StringType),
                                          p("group_expr", StringType), p("metric_expr", StringType),
                                          // 'auto' (default) picks the liveness convention by
@@ -120,8 +133,13 @@ object GraftProcedures {
         case "compact" =>
           val before = lake.currentSnapshot().get
           val threshold = input.getInt(1)
+          val cluster = input.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(cluster.isEmpty || threshold <= 0,
+            "compact: cluster_by is a full rewrite — max_files_per_bucket must be 0")
           val folded =
-            if (threshold <= 0) { lake.compact(); before.files.map(_.bucket).distinct.size }
+            if (cluster.nonEmpty) { lake.compact(cluster); before.files.map(_.bucket).distinct.size }
+            else if (threshold <= 0) { lake.compact(); before.files.map(_.bucket).distinct.size }
             else lake.compactBuckets(before.files.groupBy(_.bucket)
               .collect { case (b, fl) if fl.size > threshold => b }.toSet)
           val after = lake.currentSnapshot().get
@@ -231,6 +249,35 @@ object GraftProcedures {
           val head = agg.mv.currentSnapshot()
           statusScan("mv_hwm" -> LongType, "stored_groups" -> LongType)(
             head.map(_.hwm).getOrElse(0L), head.map(_.totalRows).getOrElse(0L))
+        case "add_constraint" =>
+          // Spark's ALTER TABLE ADD CONSTRAINT parses only for its own
+          // builtin constraint framework, so the lake's CHECK surface
+          // ships as a procedure (same route as widen_column). Validates
+          // existing live rows, then enforces on every later write.
+          val cname = input.getUTF8String(1).toString
+          lake.addConstraint(cname, input.getUTF8String(2).toString)
+          val head = lake.currentSnapshot().get
+          statusScan("name" -> StringType, "expr" -> StringType,
+            "constraints" -> IntegerType)(
+            UTF8String.fromString(cname),
+            UTF8String.fromString(head.constraints(cname)), head.constraints.size)
+        case "drop_constraint" =>
+          val cname = input.getUTF8String(1).toString
+          lake.dropConstraint(cname)
+          statusScan("name" -> StringType, "constraints" -> IntegerType)(
+            UTF8String.fromString(cname), lake.currentSnapshot().get.constraints.size)
+        case "clone" =>
+          // shallow clone: dest becomes an ordinary catalog table whose
+          // first snapshot references the source's files zero-copy
+          val destDir = resolve(input.getUTF8String(1).toString)
+          val v = input.getInt(2)
+          lake.cloneTo(destDir, if (v < 0) None else Some(v))
+          val d = new LakeTable(spark, destDir).currentSnapshot().get
+          statusScan("dest" -> StringType, "cloned_version" -> IntegerType,
+            "files_referenced" -> IntegerType, "total_rows" -> LongType)(
+            UTF8String.fromString(input.getUTF8String(1).toString),
+            if (v < 0) lake.currentSnapshot().get.version else v,
+            d.files.size, d.totalRows)
         case "describe_history" =>
           describeHistory(lake, dir)
         case "describe_detail" =>
@@ -257,13 +304,16 @@ object GraftProcedures {
             "cdf_rows" -> LongType, "cdf_manifests" -> IntegerType,
             "retained_snapshots" -> IntegerType, "snapshots_retain" -> IntegerType,
             "cdf_retention_lsns" -> LongType, "columns" -> IntegerType,
-            "renamed_columns" -> IntegerType)(
+            "renamed_columns" -> IntegerType, "constraints" -> StringType)(
             s.version, UTF8String.fromString(s.mode), s.nBuckets,
             s.hwm, s.totalRows, s.files.size,
             perBucket, s.dvFiles.size, s.dvRows,
             UTF8String.fromString(cdfMode), s.cdfSinceLsn, s.cdfFullSinceLsn,
             s.cdfFiles.size, s.cdfFiles.map(_.rows).sum, s.cdfManifests.size,
-            retained, snapRetain, cdfRetain, StructType.fromDDL(s.schemaDdl).size, s.renames.size)
+            retained, snapRetain, cdfRetain, StructType.fromDDL(s.schemaDdl).size, s.renames.size,
+            if (s.constraints.isEmpty) null
+            else UTF8String.fromString(s.constraints.toSeq.sortBy(_._1)
+              .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
       }
       Collections.singletonList(out).iterator()
     }

@@ -158,7 +158,16 @@ final case class Snapshot(
       * from the manifests at load. (Iceberg's manifest-list analogue;
       * dvFiles stay inline — bounded by the dv-fraction compaction policy.)
       */
-    manifests: Seq[(Int, String)] = Nil
+    manifests: Seq[(Int, String)] = Nil,
+    /** CHECK constraints (Delta's table-constraint semantics): name → SQL
+      * boolean expression over the LOGICAL schema that every stored LIVE
+      * row must satisfy (violation = evaluates false OR null, the Delta
+      * convention; tombstones are exempt — a delete event is a marker,
+      * not data). Enforced inside the write pipeline of every merge (no
+      * second pass; a violating row fails the commit before any metadata
+      * lands) and validated against the existing live rows when added.
+      */
+    constraints: Map[String, String] = Map.empty
 ) {
   def physicalOf(logical: String): String = renames.getOrElse(logical, logical)
   def logicalOf(physical: String): String =
@@ -676,6 +685,109 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     )
   }
 
+  /** In-pipeline CHECK-constraint enforcement: the guard rides the write
+    * pipeline itself as one codegen'd conjunction (`when(ok, true)
+    * .otherwise(raise_error(...))` per constraint, folded with AND) — no
+    * second pass over the batch, and a violating row fails the commit
+    * inside the task before any metadata lands (attempt-scoped commit
+    * dirs are reclaimed by the ordinary failure paths). Violation =
+    * expression false OR null on a non-tombstone row (Delta's CHECK
+    * convention); tombstones are exempt — a delete event carries null
+    * content by contract and is a marker, not data. Constraints are
+    * written against LOGICAL column names; the cleaned frame is physical,
+    * so the guard evaluates under a logical aliasing and maps back.
+    */
+  private def enforceConstraints(cleaned: DataFrame, snap: Option[Snapshot]): DataFrame = {
+    val cs = snap.map(_.constraints).getOrElse(Map.empty)
+    if (cs.isEmpty) return cleaned
+    val s = snap.get
+    val logical = toLogical(cleaned, snap)
+    // a batch narrower than the table (schema evolution) null-backfills
+    // the missing columns at write — the constraint must see the same
+    // nulls the stored row will carry (null = violation), not fail
+    // analysis on an unresolved reference
+    val stored = StructType.fromDDL(s.schemaDdl)
+    val missing = cs.values.flatMap(e => constraintRefs(s.logicalSchema, e)).toSeq.distinct
+      .filterNot(r => logical.columns.exists(_.equalsIgnoreCase(r)))
+    val probe = missing.foldLeft(logical)((df, r) =>
+      df.withColumn(r, lit(null).cast(stored(s.physicalOf(r)).dataType)))
+    val guard = cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      when(col("deleted") || coalesce(expr(e), lit(false)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"graft: CHECK constraint '$n' ($e) violated by row key ("),
+          col("repo"), lit(", "), col("path"), lit(")"))))
+    }.reduce(_ && _)
+    val checked = probe.where(guard)
+    if (s.renames.isEmpty && missing.isEmpty) checked
+    else checked.select(cleaned.columns.map(p => col(s.logicalOf(p)).as(p)).toIndexedSeq: _*)
+  }
+
+  /** the logical-name column set a constraint expression references —
+    * resolved through the analyzer (a Spark-4 Column is a lazy ColumnNode
+    * tree; analysis against an empty frame of the schema is the one
+    * honest way to get the resolved reference set)
+    */
+  private def constraintRefs(schema: StructType, exprSql: String): Set[String] = {
+    emptyTable(schema).where(expr(exprSql)).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet }
+      .getOrElse(Set.empty)
+  }
+
+  /** ADD CONSTRAINT (Delta parity): `exprSql` is a boolean SQL expression
+    * over the table's logical columns. Validates that every EXISTING live
+    * row satisfies it (one bounded scan — the first violation aborts),
+    * then commits the constraint as metadata; every later merge enforces
+    * it in-pipeline. OCC: losing a commit race re-validates against the
+    * new head (the interleaved commit may have added violating rows).
+    */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"addConstraint: name '$name' must be alphanumeric/underscore")
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"addConstraint: no table at $root"))
+      require(!cur.constraints.contains(name),
+        s"addConstraint: constraint '$name' already exists on $root")
+      // resolve + type-check against the logical schema (the analyzer
+      // rejects unresolved columns and aggregates/windows in a WHERE);
+      // `deleted` is off-limits — constraints only ever see live rows
+      val refs = constraintRefs(cur.logicalSchema, exprSql)
+      require(!refs.exists(_.equalsIgnoreCase("deleted")),
+        "addConstraint: constraints apply to live rows only — 'deleted' cannot be referenced")
+      val viol = readLiveAt(Some(cur), None)
+        .where(!coalesce(expr(exprSql), lit(false)))
+        .select(col("repo"), col("path")).limit(1).collect()
+      require(viol.isEmpty,
+        s"addConstraint($name): existing live rows violate '$exprSql', " +
+          s"e.g. key (${viol.headOption.map(r => r.getString(0) + ", " + r.getString(1)).getOrElse("")})")
+      try {
+        commitSnapshot(cur.copy(version = cur.version + 1,
+          constraints = cur.constraints + (name -> exprSql)), cur)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"addConstraint($root, $name): lost 20 commit races")
+  }
+
+  /** DROP CONSTRAINT: metadata-only commit removing the named check. */
+  def dropConstraint(name: String): Unit = {
+    var attempts = 0
+    while (attempts < 20) {
+      val cur = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"dropConstraint: no table at $root"))
+      require(cur.constraints.contains(name),
+        s"dropConstraint: no constraint '$name' on $root (have: ${cur.constraints.keys.toSeq.sorted.mkString(", ")})")
+      try {
+        commitSnapshot(cur.copy(version = cur.version + 1,
+          constraints = cur.constraints - name), cur)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"dropConstraint($root, $name): lost 20 commit races")
+  }
+
   /** Apply one micro-batch of ChangeEvents. Exactly-once: a batch whose
     * (cpId, batchId) is already committed is skipped entirely.
     * Returns the per-bucket ledger stats of the commit (empty if skipped).
@@ -733,7 +845,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // the hot key on every input partition, so the bucket shuffle moves one
     // row per key instead of the flood. Off by default: for typical batches
     // it would add a shuffle without removing bytes.
-    val cleaned0 = clean(events, snap)
+    val cleaned0 = enforceConstraints(clean(events, snap), snap)
     val cleaned = if (prereduceHotKeys) latestPerKey(cleaned0) else cleaned0
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val token = LakeTable.newToken
@@ -890,7 +1002,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           // preimages a commit didn't write
           cdfFullSinceLsn = LakeTable.nextFullFloor(cdfFull, cur.cdfFullSinceLsn, batchHwm),
           renames = cur.renames,
-          retiredPhysicals = cur.retiredPhysicals
+          retiredPhysicals = cur.retiredPhysicals,
+          constraints = cur.constraints
         ), cur, token)
         return stats
       } catch {
@@ -1156,14 +1269,21 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   private def dataWrite(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val w = df.write.partitionBy("b").mode("overwrite")
-    if (spark.conf.getOption("spark.graft.bloom.enabled").forall(_.toBoolean))
-      w.option("parquet.bloom.filter.enabled#repo", "true")
+    if (spark.conf.getOption("spark.graft.bloom.enabled").forall(_.toBoolean)) {
+      val w2 = w.option("parquet.bloom.filter.enabled#repo", "true")
         .option("parquet.bloom.filter.enabled#path", "true")
         // content-address lookups ("does this blob exist") probe contentSha
         // evidence on resolved layouts — see GraftScan.keyEvidenceGate
         .option("parquet.bloom.filter.enabled#contentSha", "true")
         .option("parquet.bloom.filter.adaptive.enabled", "true")
-    else w
+      // opt-in witnesses for further value columns (high-cardinality
+      // payload columns whose chunks outgrow dictionaries — low-cardinality
+      // ones like lang are fully dict-encoded and carry exact evidence
+      // already): spark.graft.bloom.extraColumns = comma-separated names
+      spark.conf.getOption("spark.graft.bloom.extraColumns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+        .foldLeft(w2)((acc, c) => acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    } else w
   }
 
   /** total row count from one parquet file's footer (driver-side, no job) */
@@ -1760,6 +1880,25 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def compact(): Unit = rewriteAll(None)
 
+  /** CLUSTERED compaction (the Delta `OPTIMIZE ... ZORDER BY` / liquid-
+    * clustering analogue for the engine's equality-lookup shape): a full
+    * rewrite that additionally sorts each bucket by `clusterBy` (logical
+    * names) and splits the sorted run into bounded files
+    * (`spark.sql.files.maxRecordsPerFile` — set it; one giant file per
+    * bucket clusters rowgroups but prunes nothing at FILE granularity).
+    * Files come out value-homogeneous, so their dictionaries/blooms make
+    * the VALUE-column evidence gate (`WHERE lang = 'go'`,
+    * `WHERE contentSha = <digest>`) drop every file not holding the bound
+    * value — the read-side win that pays for the rewrite. Costs: the
+    * rewritten files are NOT (repo,path)-sorted (`sorted = false`), so a
+    * MoR bucket that stacks NEW deltas on a clustered base resolves via
+    * the hash-map fallback (O(bucket) memory) until the next plain
+    * compact; key-range stats (minRepo/maxRepo) stay correct but widen to
+    * the bucket's span. Cluster read-mostly tables; re-clustering after
+    * heavy ingest is the same call again.
+    */
+  def compact(clusterBy: Seq[String]): Unit = rewriteAll(None, clusterBy = clusterBy)
+
   /** Targeted compaction: fold ONLY the given buckets' file chains into
     * freshly resolved, sorted files, leaving every other bucket's entries
     * byte-identical — maintenance cost O(selected buckets' rows), never
@@ -1862,9 +2001,14 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     * we rewrote — the rewrite is stale (it would erase that merge), so the
     * attempt is dropped and the whole rewrite redone from the new head.
     */
-  private def rewriteAll(newBucketsOpt: Option[Int], attempts: Int = 0): Unit = {
+  private def rewriteAll(newBucketsOpt: Option[Int], attempts: Int = 0,
+                         clusterBy: Seq[String] = Nil): Unit = {
     val snap = currentSnapshot().getOrElse(return)
     val newBuckets = newBucketsOpt.getOrElse(snap.nBuckets)
+    clusterBy.foreach { c =>
+      require(StructType.fromDDL(snap.schemaDdl).fieldNames.contains(snap.physicalOf(c)),
+        s"compact(clusterBy): no column '$c'")
+    }
     val version = snap.version + 1
     val token = LakeTable.newToken
     val commitDir = s"$dataDir/c$version-$token"
@@ -1878,15 +2022,24 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         applyDv(readRawAt(Some(snap), None), snap.dvFiles)
       else readRawAt(Some(snap), None)
     val newB = pmod(xxhash64(col("repo"), col("path")), lit(newBuckets.toLong)).cast("int")
-    dataWrite(bucketResolve(source.withColumn("b", newB), newBuckets)).parquet(commitDir)
-    val entries = entriesOf(fileStats(commitDir), sorted = true)
+    val resolved = bucketResolve(source.withColumn("b", newB), newBuckets)
+    // clustered rewrite: re-sort each bucket partition by the cluster
+    // columns (replaces the window's (repo,path) output order — the `b`
+    // prefix keeps FileFormatWriter from re-sorting); the sorted run
+    // splits into value-homogeneous files via maxRecordsPerFile
+    val toWrite =
+      if (clusterBy.isEmpty) resolved
+      else resolved.sortWithinPartitions(
+        (col("b") +: clusterBy.map(c => col(snap.physicalOf(c)))): _*)
+    dataWrite(toWrite).parquet(commitDir)
+    val entries = entriesOf(fileStats(commitDir), sorted = clusterBy.isEmpty)
     try commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap, token)
     catch {
       case e: CommitConflictException =>
         fs.deleteRecursive(commitDir)
         if (attempts >= 5) throw e
-        rewriteAll(newBucketsOpt, attempts + 1)
+        rewriteAll(newBucketsOpt, attempts + 1, clusterBy)
     }
   }
 
@@ -1931,7 +2084,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val theMode = snap.map(s => LakeTable.modeOf(s.mode)).getOrElse(defaultMode)
     val token = LakeTable.newToken
     val commitDir = s"$dataDir/c${prev.version + 1}-$token"
-    val cleaned = clean(events, snap)
+    val cleaned = enforceConstraints(clean(events, snap), snap)
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(nBuckets.toLong)).cast("int")
     val resolved = bucketResolve(cleaned.withColumn("b", bCol), nBuckets)
     dataWrite(resolved).parquet(commitDir)
@@ -1995,7 +2148,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           cdfFiles = nextCdfFiles,
           cdfFullSinceLsn = if (cdfFull) math.max(cur.cdfFullSinceLsn, 0L) else cur.cdfFullSinceLsn,
           renames = cur.renames,
-          retiredPhysicals = cur.retiredPhysicals
+          retiredPhysicals = cur.retiredPhysicals,
+          constraints = cur.constraints
         ), cur, token)
         return stats
       } catch {
@@ -2113,6 +2267,59 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       }
     }
     throw new CommitConflictException(s"restore($root, $version): lost $attempts commit races")
+  }
+
+  /** SHALLOW CLONE (Delta parity, zero-copy): create a NEW table at
+    * `destRoot` whose first snapshot references THIS table's data/DV files
+    * in place (absolute paths — `resolveUnder` passes them through), so a
+    * 100 TB table branches in one metadata commit. The clone is a fully
+    * independent table from then on: writes land under its own root and
+    * out-resolve the referenced history, schema evolution/constraints/
+    * retention are its own, and `compact()`/`rebucket()` progressively
+    * LOCALIZE it (rewrites write clone-local files). Dev/test branching,
+    * what-if migrations, and blast-radius-free experiments at fleet scale.
+    *
+    * Carried: schema (+column mapping, +widening state), layout
+    * (nBuckets/mode), hwm, CHECK constraints, and the committed-batch
+    * state — replaying the SAME upstream WAL against the clone stays
+    * exactly-once, so a clone can take over a source's ingest checkpoint.
+    * NOT carried: the change feed (sidecar retention belongs to the
+    * source; enable a fresh feed on the clone — coverage starts at its
+    * own hwm) and the ledger.
+    *
+    * Ownership rule (enforced in expireSnapshotsCore): a table only ever
+    * DELETES files under its own root — a clone's expiry/vacuum can
+    * never reclaim source-owned files it references. The inverse hazard
+    * is real and documented, same as Delta shallow clone vs VACUUM: the
+    * SOURCE's `expireSnapshots` does not know about clones, so retiring
+    * the cloned-from version can strand the clone (its reads fail on the
+    * missing files; `compact()` first to localize if the source must
+    * vacuum).
+    */
+  def cloneTo(destRoot: String, version: Option[Int] = None): Unit = {
+    val head = currentSnapshot().getOrElse(
+      throw new IllegalStateException(s"cloneTo: no table at $root"))
+    val src = version.fold(head) { v =>
+      val p = s"$metaDir/snap-$v.json"
+      require(fs.exists(p),
+        s"cloneTo: snapshot $v expired or never existed (head ${head.version})")
+      loadSnap(p)
+    }
+    require(destRoot != root, "cloneTo: destination is the source itself")
+    val dest = new LakeTable(spark, destRoot)
+    require(dest.currentSnapshot().isEmpty, s"cloneTo: a table already exists at $destRoot")
+    // every referenced file must exist NOW — cloning an already-stranded
+    // version would poison every later read (same rule as restore)
+    (src.files.map(_.path) ++ src.dvFiles).foreach { f =>
+      require(fs.exists(resolvePath(f)),
+        s"cloneTo: $f of version ${src.version} was reclaimed; clone a retained version")
+    }
+    dest.commitSnapshot(src.copy(
+      version = 1,
+      files = src.files.map(f => f.copy(path = resolvePath(f.path))),
+      dvFiles = src.dvFiles.map(resolvePath),
+      cdfSinceLsn = -1L, cdfFullSinceLsn = -1L, cdfFiles = Nil, cdfManifests = Nil,
+      manifests = Nil), dest.emptySnapshot)
   }
 
   /** Filter-based delete: tombstone every live row matching `cond`, applied
@@ -2322,6 +2529,20 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   private val coreColumns =
     Set("repo", "path", "commit", "lang", "content", "contentsha", "lsn", "deleted")
 
+  /** schema evolution may not orphan a constraint: renaming or dropping a
+    * column a CHECK constraint references would leave the expression
+    * unresolvable at the next merge (Delta blocks the same way) — the
+    * constraint must be dropped (and re-added under the new name) first
+    */
+  private def requireUnconstrained(snap: Snapshot, colName: String, op: String): Unit = {
+    val holders = snap.constraints.collect {
+      case (n, e) if constraintRefs(snap.logicalSchema, e).exists(_.equalsIgnoreCase(colName)) => n
+    }
+    require(holders.isEmpty,
+      s"$op: column '$colName' is referenced by CHECK constraint(s) ${holders.toSeq.sorted.mkString(", ")} — " +
+        "drop the constraint first")
+  }
+
   /** Column RENAME as a metadata-only commit (column mapping): the storage
     * name stays what it always was — files never move — and the snapshot
     * maps the new logical name onto it. Historic snapshots keep their own
@@ -2343,6 +2564,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val takenLogical = prev.fieldNames.map(p => snap.logicalOf(p).toLowerCase).toSet
       require(!takenLogical(newName.toLowerCase),
         s"renameColumn: column '$newName' already exists")
+      requireUnconstrained(snap, oldName, "renameColumn")
       require(newName == phys ||
           (!prev.fieldNames.contains(newName) && !snap.retiredPhysicals.contains(newName)),
         s"renameColumn: '$newName' collides with a storage column name")
@@ -2372,6 +2594,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val prev = StructType.fromDDL(snap.schemaDdl)
       val phys = prev.fieldNames.find(p => snap.logicalOf(p).equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"dropColumn: no column '$name'"))
+      requireUnconstrained(snap, name, "dropColumn")
       val next = StructType(prev.fields.filterNot(_.name == phys))
       try {
         commitSnapshot(snap.copy(version = snap.version + 1, schemaDdl = next.toDDL,
@@ -2416,9 +2639,17 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // delete unreferenced data + DV + CDF files + manifests (bucket AND
     // cdf), then empty commit dirs, then old meta
     val touchedDirs = scala.collection.mutable.Set[String]()
+    // OWNERSHIP: a table only ever deletes files under its own root — a
+    // shallow CLONE references source-owned files by absolute path, and
+    // the clone expiring its cloned-from version must drop the REFERENCE,
+    // never the source's file (Delta's shallow-clone rule). Relative
+    // ("data/...") paths are owned by construction; absolute ones only if
+    // they resolve under this root (pre-upgrade absolute self-paths).
+    def owned(p: String): Boolean =
+      p.startsWith("data/") || resolvePath(p).startsWith(s"$root/")
     all.filterNot(x => retained.exists(_._1 == x._1)).foreach { case (v, s) =>
       (s.files.map(_.path) ++ s.dvFiles ++ s.cdfFiles.map(_.path))
-        .filterNot(live).map(resolvePath).foreach { p =>
+        .filterNot(live).filter(owned).map(resolvePath).foreach { p =>
           fs.delete(p)
           LakeTable.commitDirOf(p).foreach(touchedDirs += _)
         }
@@ -2892,7 +3123,10 @@ object SnapshotIO {
           .map { case (l, p) => s"${q(l)}:${q(p)}" }.mkString("{", ",", "}")},"""
       val rt = if (s.retiredPhysicals.isEmpty) ""
         else s""""retired":${s.retiredPhysicals.map(q).mkString("[", ",", "]")},"""
-      rn + rt
+      val cn = if (s.constraints.isEmpty) ""
+        else s""""constraints":${s.constraints.toSeq.sortBy(_._1)
+          .map { case (n, e) => s"${q(n)}:${q(e)}" }.mkString("{", ",", "}")},"""
+      rn + rt + cn
     }
     val cdf =
       if (s.cdfSinceLsn < 0) ""
@@ -2969,7 +3203,9 @@ object SnapshotIO {
       renames = v.get("renames").map(_.asInstanceOf[Map[String, Any]]
         .map { case (l, p) => l -> p.asInstanceOf[String] }).getOrElse(Map.empty),
       retiredPhysicals = v.get("retired")
-        .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil)
+        .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil),
+      constraints = v.get("constraints").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (n, e) => n -> e.asInstanceOf[String] }).getOrElse(Map.empty)
     )
   }
 }

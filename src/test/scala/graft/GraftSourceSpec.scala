@@ -101,6 +101,27 @@ class GraftSourceSpec extends SparkSpec {
       collectSorted(t.read().select("repo", "path", "lsn")))
   }
 
+  test("PARTIALLY-compacted MoR scans plan uniformly (no mixed row/columnar crash)") {
+    // Spark rejects mixed row/columnar partitions in one scan even under
+    // PARTITION_DEFINED; a table whose buckets straddle single-file
+    // (columnar-eligible) and multi-file (resolve = row) layouts used to
+    // crash at planning. One bucket folded, the rest left as chains is
+    // the steady state of TARGETED compaction — it must just read.
+    val t = new LakeTable(spark, tmpDir("dsv2mix"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    t.merge(wal.where(col("lsn") <= 2000), "mix", 0L)
+    t.compact() // every bucket down to one file
+    // second batch touches ONE key only — its bucket stacks a delta
+    // chain, the other buckets stay single-file
+    val k = wal.where(col("lsn") > 2000).orderBy(col("lsn").desc).select("repo", "path").head
+    t.merge(wal.where(col("lsn") > 2000 &&
+      col("repo") === k.getString(0) && col("path") === k.getString(1)), "mix", 1L)
+    val byBucket = t.currentSnapshot().get.files.groupBy(_.bucket).values.map(_.size)
+    assert(byBucket.exists(_ == 1) && byBucket.exists(_ > 1), "fixture must straddle layouts")
+    assert(collectSorted(spark.read.format("graft").load(t.root).select("repo", "path", "lsn")) ==
+      collectSorted(t.read().select("repo", "path", "lsn")))
+  }
+
   test("MOR resolve: upper-bound lsn filter must not resurrect old versions") {
     val t = new LakeTable(spark, tmpDir("dsv2morhi"), defaultBuckets = 4, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, cfg)

@@ -184,6 +184,55 @@ class KeyEvidenceSkipSpec extends SparkSpec {
     assert(folded.count() == 0)
   }
 
+  test("generalized value evidence: clusterBy compaction makes lang lookups prune files") {
+    // any stored STRING column feeds the evidence gate; clustered
+    // compaction (sort-by-value + bounded files) makes it selective —
+    // the Delta OPTIMIZE ZORDER shape for equality lookups
+    val t = new LakeTable(spark, tmpDir("kevClust"), defaultBuckets = 2, ApplyMode.CopyOnWrite)
+    val exts = Seq("py", "rs", "go", "js")
+    (0 until 4).foreach { i =>
+      val rows = (0 until 80).map(j =>
+        ("main", f"f${i * 80 + j}%03d.${exts(j % 4)}", s"c$i", s"body-$i-$j", i * 1000L + j))
+      t.merge(rows.toDF("repo", "path", "commit", "content", "lsn")
+        .withColumn("op", lit("U")), "cl", i.toLong)
+    }
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "40")
+    try t.compact(clusterBy = Seq("lang")) finally
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val snap = t.currentSnapshot().get
+    assert(snap.files.forall(!_.sorted), "clustered files are not key-sorted")
+    assert(snap.files.size >= 8, "maxRecordsPerFile must split the sorted runs")
+    val df = spark.read.format("graft").load(t.root).where(col("lang") === "go")
+    val planned = plannedFiles(df)
+    assert(planned < snap.files.size, s"lang evidence must prune: $planned/${snap.files.size}")
+    assert(df.count() == 80 && df.where(col("lang") =!= "go").count() == 0)
+    // evidence-off control: same rows, more files planned
+    spark.conf.set("spark.graft.bloom.scan.enabled", "false")
+    try {
+      val off = spark.read.format("graft").load(t.root).where(col("lang") === "go")
+      assert(plannedFiles(off) == snap.files.size, "without evidence nothing prunes")
+      assert(off.count() == 80)
+    } finally spark.conf.set("spark.graft.bloom.scan.enabled", "true")
+  }
+
+  test("mutable value column is NOT pruned under a MOR chain (stale-winner trap, generalized)") {
+    // the hot key's `commit` column changes every version: pruning by the
+    // OLD commit id on a chained layout would drop the winner file and
+    // resurrect the old version (which passes the residual) — the gate's
+    // resolved-layout rule forbids it; the correct answer is empty
+    val t = buildChain(tmpDir("kevValMor"))
+    val lookup = spark.read.format("graft").load(t.root)
+      .where(col("repo") === "main" && col("path") === "f042.txt" && col("commit") === "c2")
+    assert(lookup.count() == 0, "superseded version must not resurrect via value pruning")
+    // post-fold the layout is resolved: the absent (key, old-commit) pair
+    // prunes (commit evidence applies) and the answer stays empty
+    t.compact()
+    val folded = spark.read.format("graft").load(t.root)
+      .where(col("repo") === "main" && col("path") === "f042.txt" && col("commit") === "c2")
+    assert(folded.count() == 0)
+    assert(plannedFiles(folded) <= 1)
+  }
+
   test("evidence survives compaction and stays correct on the folded layout") {
     val t = buildChain(tmpDir("kevCompact"))
     t.compact()
