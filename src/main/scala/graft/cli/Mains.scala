@@ -525,3 +525,77 @@ object CompactProbe {
     spark.stop()
   }
 }
+
+/** Write-side price of CHECK-constraint enforcement: the SAME N-commit MoR
+  * apply with zero constraints vs three active ones (the guard rides the
+  * write projection — the expected cost is a few scalar expressions per
+  * row inside codegen, not a pass). A/B alternated per round, min over
+  * rounds per variant (the box drifts; min-of-interleaved is the round's
+  * established protocol). Args: workDir [commits] [eventsPerCommit]
+  * [buckets] [rounds].
+  */
+object ConstraintProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ConstraintProbe <workDir> [commits] [eventsPerCommit] [buckets] [rounds]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 10
+    val perC = if (args.length > 2) args(2).toLong else 200000L
+    val buckets = if (args.length > 3) args(3).toInt else 32
+    val rounds = if (args.length > 4) args(4).toInt else 2
+    val spark = Cli.session("graft-constraint-probe")
+    import org.apache.spark.sql.functions._
+    val cfg = GenConfig(seed = 17, events = commits * perC, repos = 100, filesPerRepo = 100)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+
+    def mk(root: String, constrained: Boolean): LakeTable = {
+      fs.deleteRecursive(root)
+      val t = new LakeTable(spark, root, buckets, ApplyMode.MergeOnRead)
+      t.merge(wal.where(col("lsn") === 1), "seed", -1L)
+      if (constrained) {
+        val all = Seq(
+          // octet_length is O(1) (byte count); length() would walk the
+          // payload's bytes per row (UTF-8 char count) — the probe prices
+          // the GUARD, the expression's own cost belongs to its author
+          "content_present" -> "octet_length(content) > 0",
+          "sha_shape" -> "octet_length(contentSha) = 64",
+          "lang_present" -> "lang IS NOT NULL")
+        all.take(sys.env.getOrElse("CONSTRAINT_PROBE_N", "3").toInt)
+          .foreach { case (n, e) => t.addConstraint(n, e) }
+      }
+      t
+    }
+
+    // identical commit sequences into both tables, INTERLEAVED per commit
+    // (adjacent timings share the box's momentary state) with the order
+    // alternating per commit (the second of a pair tends to run warmer);
+    // min over `rounds` full passes per variant
+    var offBest = Double.MaxValue
+    var onBest = Double.MaxValue
+    var rows = -1L
+    (0 until rounds).foreach { r =>
+      val off = mk(s"$work/off", constrained = false)
+      val on = mk(s"$work/on", constrained = true)
+      def commitInto(t: LakeTable, i: Int): Double = {
+        val t0 = System.nanoTime()
+        t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "cp", i.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }
+      var offSec = 0.0
+      var onSec = 0.0
+      (0 until commits).foreach { i =>
+        if (i % 2 == 0) { offSec += commitInto(off, i); onSec += commitInto(on, i) }
+        else { onSec += commitInto(on, i); offSec += commitInto(off, i) }
+      }
+      println(f"[constraintprobe] round=$r offSec=$offSec%.2f onSec=$onSec%.2f")
+      offBest = math.min(offBest, offSec); onBest = math.min(onBest, onSec)
+      val rowsOff = off.read().count(); val rowsOn = on.read().count()
+      require(rowsOff == rowsOn, s"ConstraintProbe: row divergence off=$rowsOff on=$rowsOn")
+      rows = rowsOff
+    }
+    println(f"[constraintprobe] commits=$commits eventsPerCommit=$perC rows=$rows " +
+      f"offSec=$offBest%.2f onSec=$onBest%.2f overheadPct=${(onBest / offBest - 1) * 100}%.1f")
+    spark.stop()
+  }
+}
