@@ -1041,6 +1041,7 @@ object CdcQueries {
     val t0 = new LakeTable(s, root)
     val ok = t0.currentSnapshot().exists(sn => sn.hwm == smCfg.events &&
       sn.files.nonEmpty && sn.files.forall(!_.sorted) &&
+      sn.clusterBy == Seq("lang") &&
       sn.files.forall(f => t0.fs.exists(t0.resolvePath(f.path))))
     val t =
       if (ok) t0
@@ -1048,10 +1049,13 @@ object CdcQueries {
         deleteRec(root)
         src.cloneTo(root)
         val c = new LakeTable(s, root)
+        // PERSISTED policy (not a one-shot arg): later maintenance keeps
+        // the layout; the no-arg compact applies it now
+        c.setClustering(Seq("lang"))
         // split each bucket's sorted run into small value-homogeneous
         // files — at sm scale a bucket holds ~56 live rows
         s.conf.set("spark.sql.files.maxRecordsPerFile", "16")
-        try c.compact(clusterBy = Seq("lang"))
+        try c.compact()
         finally s.conf.unset("spark.sql.files.maxRecordsPerFile")
         c
       }

@@ -38,7 +38,7 @@ object GraftProcedures {
     "vacuum_orphans", "enable_change_data_feed", "expire_change_feed",
     "describe_history", "describe_detail", "widen_column", "compact_change_feed",
     "backfill_change_feed", "refresh_mv", "restore", "add_constraint",
-    "drop_constraint", "clone")
+    "drop_constraint", "clone", "set_clustering")
 
   /** `resolve`: table-name argument (optionally 'ns.table') → table dir,
     * with the catalog's own segment validation applied.
@@ -100,6 +100,9 @@ object GraftProcedures {
                                          // logical columns, e.g. 'length(content) > 0'
                                          p("expr", StringType))
       case "drop_constraint"    => Array(p("table", StringType), p("name", StringType))
+      // comma-separated columns; '' clears the policy. Metadata-only:
+      // the next compact (manual or automatic) applies the layout.
+      case "set_clustering"     => Array(p("table", StringType), p("cluster_by", StringType))
       // version -1 (default) clones the head; >= 1 a retained version
       case "clone"              => Array(p("table", StringType), p("dest", StringType),
                                          pDef("version", IntegerType, "-1"))
@@ -266,6 +269,12 @@ object GraftProcedures {
           lake.dropConstraint(cname)
           statusScan("name" -> StringType, "constraints" -> IntegerType)(
             UTF8String.fromString(cname), lake.currentSnapshot().get.constraints.size)
+        case "set_clustering" =>
+          val cols = input.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          lake.setClustering(cols)
+          statusScan("cluster_by" -> StringType)(
+            UTF8String.fromString(lake.currentSnapshot().get.clusterBy.mkString(",")))
         case "clone" =>
           // shallow clone: dest becomes an ordinary catalog table whose
           // first snapshot references the source's files zero-copy
@@ -304,7 +313,8 @@ object GraftProcedures {
             "cdf_rows" -> LongType, "cdf_manifests" -> IntegerType,
             "retained_snapshots" -> IntegerType, "snapshots_retain" -> IntegerType,
             "cdf_retention_lsns" -> LongType, "columns" -> IntegerType,
-            "renamed_columns" -> IntegerType, "constraints" -> StringType)(
+            "renamed_columns" -> IntegerType, "constraints" -> StringType,
+            "cluster_by" -> StringType)(
             s.version, UTF8String.fromString(s.mode), s.nBuckets,
             s.hwm, s.totalRows, s.files.size,
             perBucket, s.dvFiles.size, s.dvRows,
@@ -313,7 +323,10 @@ object GraftProcedures {
             retained, snapRetain, cdfRetain, StructType.fromDDL(s.schemaDdl).size, s.renames.size,
             if (s.constraints.isEmpty) null
             else UTF8String.fromString(s.constraints.toSeq.sortBy(_._1)
-              .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))
+              .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")),
+            // shown under LOGICAL names (stored physical — rename-proof)
+            if (s.clusterBy.isEmpty) null
+            else UTF8String.fromString(s.clusterBy.map(s.logicalOf).mkString(",")))
       }
       Collections.singletonList(out).iterator()
     }

@@ -167,7 +167,17 @@ final case class Snapshot(
       * second pass; a violating row fails the commit before any metadata
       * lands) and validated against the existing live rows when added.
       */
-    constraints: Map[String, String] = Map.empty
+    constraints: Map[String, String] = Map.empty,
+    /** persisted CLUSTERING policy (Delta liquid-clustering parity):
+      * PHYSICAL column names every full/targeted compaction sorts by
+      * (value-homogeneous bounded files → the evidence gate prunes
+      * equality lookups on these columns). Physical, not logical, so a
+      * column RENAME never orphans the policy. Delta writes stay
+      * (repo,path)-sorted — clustering is a compaction-time layout, set
+      * via `setClustering` / `CALL set_clustering`. Empty = key-sorted
+      * compaction (the default).
+      */
+    clusterBy: Seq[String] = Nil
 ) {
   def physicalOf(logical: String): String = renames.getOrElse(logical, logical)
   def logicalOf(physical: String): String =
@@ -289,8 +299,24 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     if (!fs.exists(vf)) None
     else {
       // VERSION is a last-writer-wins hint: under concurrent commits the
-      // flips can land out of order; probe to the dense head.
-      val v = LakeTable.headVersion(fs.exists, metaDir, fs.readString(vf).trim.toInt)
+      // flips can land out of order; probe to the dense head. It is also
+      // the ONE file that is overwritten in place, so a reader racing the
+      // atomic rename can transiently see a stale checksum sidecar on
+      // LocalFileSystem (observed as a rare ChecksumException in the OCC
+      // race suites) — retry briefly; persistent failure is real
+      // corruption and still surfaces.
+      var attempts = 0
+      var hint = -1
+      while (hint < 0) {
+        try hint = fs.readString(vf).trim.toInt
+        catch {
+          case e: org.apache.hadoop.fs.ChecksumException =>
+            attempts += 1
+            if (attempts >= 5) throw e
+            Thread.sleep(20L * attempts)
+        }
+      }
+      val v = LakeTable.headVersion(fs.exists, metaDir, hint)
       Some(loadSnap(s"$metaDir/snap-$v.json"))
     }
   }
@@ -1012,7 +1038,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           cdfFullSinceLsn = LakeTable.nextFullFloor(cdfFull, cur.cdfFullSinceLsn, batchHwm),
           renames = cur.renames,
           retiredPhysicals = cur.retiredPhysicals,
-          constraints = cur.constraints
+          constraints = cur.constraints,
+          clusterBy = cur.clusterBy
         ), cur, token)
         return stats
       } catch {
@@ -1908,6 +1935,34 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     */
   def compact(clusterBy: Seq[String]): Unit = rewriteAll(None, clusterBy = clusterBy)
 
+  /** Persist the clustering policy (metadata-only commit): every LATER
+    * full or targeted compaction — including `maybeCompact`'s automatic
+    * folds — sorts the rewritten buckets by these columns, so the layout
+    * survives maintenance instead of silently reverting to key-sorted at
+    * the first auto-fold (the operational gap one-shot
+    * `compact(clusterBy)` leaves). Stored under PHYSICAL names: a later
+    * column RENAME keeps the policy valid. `Nil` clears it. Does not
+    * rewrite anything by itself — call `compact()` to apply now.
+    */
+  def setClustering(cols: Seq[String]): Unit = {
+    var attempts = 0
+    while (attempts < 20) {
+      val snap = currentSnapshot().getOrElse(
+        throw new IllegalStateException(s"setClustering: no table at $root"))
+      val phys = cols.map { c =>
+        val p = snap.physicalOf(c)
+        require(StructType.fromDDL(snap.schemaDdl).fieldNames.contains(p),
+          s"setClustering: no column '$c'")
+        p
+      }
+      try {
+        commitSnapshot(snap.copy(version = snap.version + 1, clusterBy = phys), snap)
+        return
+      } catch { case _: CommitConflictException => attempts += 1 }
+    }
+    throw new CommitConflictException(s"setClustering($root): lost 20 commit races")
+  }
+
   /** Targeted compaction: fold ONLY the given buckets' file chains into
     * freshly resolved, sorted files, leaving every other bucket's entries
     * byte-identical — maintenance cost O(selected buckets' rows), never
@@ -1953,8 +2008,15 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // same single-shuffle resolve as the full rewrite; parallelism keys on
     // the SELECTED bucket count (one hot bucket on a wide cluster sub-splits
     // k ways, it does not serialise on a single task)
-    dataWrite(bucketResolve(source.withColumn("b", bCol), chosen.size)).parquet(commitDir)
-    val newEntries = entriesOf(fileStats(commitDir), sorted = true)
+    val resolvedSel = bucketResolve(source.withColumn("b", bCol), chosen.size)
+    // the persisted clustering policy applies to targeted folds too —
+    // maybeCompact's automatic maintenance must not revert a clustered
+    // table to key-sorted layout one hot bucket at a time
+    val toWriteSel =
+      if (snap.clusterBy.isEmpty) resolvedSel
+      else resolvedSel.sortWithinPartitions((col("b") +: snap.clusterBy.map(col)): _*)
+    dataWrite(toWriteSel).parquet(commitDir)
+    val newEntries = entriesOf(fileStats(commitDir), sorted = snap.clusterBy.isEmpty)
     val kept = snap.files.filterNot(f => chosen(f.bucket))
     val (dvFiles2, dvRows2) =
       if (!isDv || snap.dvFiles.isEmpty) (snap.dvFiles, snap.dvRows)
@@ -2035,13 +2097,16 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // clustered rewrite: re-sort each bucket partition by the cluster
     // columns (replaces the window's (repo,path) output order — the `b`
     // prefix keeps FileFormatWriter from re-sorting); the sorted run
-    // splits into value-homogeneous files via maxRecordsPerFile
+    // splits into value-homogeneous files via maxRecordsPerFile. An
+    // explicit clusterBy argument wins; otherwise the snapshot's
+    // persisted policy applies (so maintenance preserves the layout).
+    val clusterPhys =
+      if (clusterBy.nonEmpty) clusterBy.map(snap.physicalOf) else snap.clusterBy
     val toWrite =
-      if (clusterBy.isEmpty) resolved
-      else resolved.sortWithinPartitions(
-        (col("b") +: clusterBy.map(c => col(snap.physicalOf(c)))): _*)
+      if (clusterPhys.isEmpty) resolved
+      else resolved.sortWithinPartitions((col("b") +: clusterPhys.map(col)): _*)
     dataWrite(toWrite).parquet(commitDir)
-    val entries = entriesOf(fileStats(commitDir), sorted = clusterBy.isEmpty)
+    val entries = entriesOf(fileStats(commitDir), sorted = clusterPhys.isEmpty)
     try commitSnapshot(snap.copy(version = version, nBuckets = newBuckets, files = entries,
       totalRows = entries.map(_.rows).sum, dvFiles = Nil, dvRows = 0L), snap, token)
     catch {
@@ -2158,7 +2223,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           cdfFullSinceLsn = if (cdfFull) math.max(cur.cdfFullSinceLsn, 0L) else cur.cdfFullSinceLsn,
           renames = cur.renames,
           retiredPhysicals = cur.retiredPhysicals,
-          constraints = cur.constraints
+          constraints = cur.constraints,
+          clusterBy = cur.clusterBy
         ), cur, token)
         return stats
       } catch {
@@ -2330,6 +2396,12 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       cdfSinceLsn = -1L, cdfFullSinceLsn = -1L, cdfFiles = Nil, cdfManifests = Nil,
       manifests = Nil), dest.emptySnapshot)
   }
+
+  /** shallow clone as of an instant — "branch the table as it was
+    * yesterday" (same caveats as `cloneTo`; the version must be retained)
+    */
+  def cloneAtTimestamp(destRoot: String, tsMs: Long): Unit =
+    cloneTo(destRoot, Some(versionAsOf(tsMs)))
 
   /** Filter-based delete: tombstone every live row matching `cond`, applied
     * through the ordinary merge path (one op='D' event per victim at
@@ -2604,6 +2676,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val phys = prev.fieldNames.find(p => snap.logicalOf(p).equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(s"dropColumn: no column '$name'"))
       requireUnconstrained(snap, name, "dropColumn")
+      require(!snap.clusterBy.contains(phys),
+        s"dropColumn: '$name' is in the clustering policy — setClustering without it first")
       val next = StructType(prev.fields.filterNot(_.name == phys))
       try {
         commitSnapshot(snap.copy(version = snap.version + 1, schemaDdl = next.toDDL,
@@ -3135,7 +3209,9 @@ object SnapshotIO {
       val cn = if (s.constraints.isEmpty) ""
         else s""""constraints":${s.constraints.toSeq.sortBy(_._1)
           .map { case (n, e) => s"${q(n)}:${q(e)}" }.mkString("{", ",", "}")},"""
-      rn + rt + cn
+      val cl = if (s.clusterBy.isEmpty) ""
+        else s""""clusterBy":${s.clusterBy.map(q).mkString("[", ",", "]")},"""
+      rn + rt + cn + cl
     }
     val cdf =
       if (s.cdfSinceLsn < 0) ""
@@ -3214,7 +3290,9 @@ object SnapshotIO {
       retiredPhysicals = v.get("retired")
         .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil),
       constraints = v.get("constraints").map(_.asInstanceOf[Map[String, Any]]
-        .map { case (n, e) => n -> e.asInstanceOf[String] }).getOrElse(Map.empty)
+        .map { case (n, e) => n -> e.asInstanceOf[String] }).getOrElse(Map.empty),
+      clusterBy = v.get("clusterBy")
+        .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])).getOrElse(Nil)
     )
   }
 }
