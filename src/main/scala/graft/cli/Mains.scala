@@ -526,6 +526,70 @@ object CompactProbe {
   }
 }
 
+/** Read-side payoff of the persisted clustering policy: the SAME CoW table
+  * queried `WHERE lang = <value>` before and after `setClustering("lang")`
+  * + compact — the clustered layout's value-homogeneous files let the
+  * dictionary/bloom evidence gate drop every non-matching file, so the
+  * selective scan reads O(matching files), not O(table). Args: workDir
+  * [commits] [eventsPerCommit] [buckets] [maxRecordsPerFile].
+  */
+object ClusterProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ClusterProbe <workDir> [commits] [eventsPerCommit] [buckets] [maxRecordsPerFile]")
+    val work = args(0)
+    val commits = if (args.length > 1) args(1).toInt else 5
+    val perC = if (args.length > 2) args(2).toLong else 400000L
+    val buckets = if (args.length > 3) args(3).toInt else 32
+    val maxRec = if (args.length > 4) args(4).toLong else 20000L
+    val spark = Cli.session("graft-cluster-probe")
+    import org.apache.spark.sql.functions._
+    val cfg = GenConfig(seed = 23, events = commits * perC,
+      repos = 500, filesPerRepo = 200, hotShare = 0.01)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    wal.count()
+    val fs = new graft.table.Fs(spark.sessionState.newHadoopConf())
+    fs.deleteRecursive(work)
+    val t = new LakeTable(spark, s"$work/t", buckets, ApplyMode.CopyOnWrite)
+    (0 until commits).foreach { i =>
+      t.merge(wal.where(col("lsn").between(i * perC + 1, (i + 1) * perC)), "clp", i.toLong)
+    }
+    wal.unpersist()
+    // least-common lang = the selective lookup clustering serves
+    val target = t.read().groupBy("lang").count().orderBy(col("count"), col("lang"))
+      .limit(1).collect().head.getString(0)
+    def scan(): (Double, Int, Long) = {
+      val df = spark.read.format("graft").load(t.root).where(col("lang") === target)
+      val planned = df.queryExecution.executedPlan
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+        .head.scan.asInstanceOf[graft.sources.GraftScan]
+        .planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition].files.size).sum
+      val t0 = System.nanoTime()
+      val n = df.agg(count(lit(1)), sum(length(col("content")))).collect().head.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, planned, n)
+    }
+    val (beforeA, plannedBefore, nBefore) = scan()
+    val (beforeB, _, _) = scan()
+    val filesBefore = t.currentSnapshot().get.files.size
+    t.setClustering(Seq("lang"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRec.toString)
+    val t0 = System.nanoTime()
+    try t.compact() finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val filesAfter = t.currentSnapshot().get.files.size
+    val (afterA, plannedAfter, nAfter) = scan()
+    val (afterB, _, _) = scan()
+    require(nBefore == nAfter, s"ClusterProbe: result drift before=$nBefore after=$nAfter")
+    val before = math.min(beforeA, beforeB)
+    val after = math.min(afterA, afterB)
+    println(f"[clusterprobe] lang=$target rows=$nBefore files=$filesBefore->$filesAfter " +
+      f"planned=$plannedBefore->$plannedAfter " +
+      f"beforeSec=$before%.3f afterSec=$after%.3f speedup=${before / after}%.1fx " +
+      f"compactSec=$compactSec%.2f")
+    spark.stop()
+  }
+}
+
 /** Write-side price of CHECK-constraint enforcement: the SAME N-commit MoR
   * apply with zero constraints vs three active ones (the guard rides the
   * write projection — the expected cost is a few scalar expressions per
