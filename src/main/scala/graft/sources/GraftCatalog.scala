@@ -172,10 +172,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     val cdfProp = Option(properties.get("cdf")).map(_.toLowerCase)
     val cdfFull = cdfProp.contains("full")
     val cdf = cdfFull || cdfProp.exists(_.toBoolean)
+    // TBLPROPERTIES ('clusterBy' = 'lang[,col…]'): the persisted
+    // clustering policy from creation — every compaction lays buckets out
+    // value-sorted (see LakeTable.setClustering; columns are physical at
+    // creation time by definition)
+    val clusterBy = Option(properties.get("clusterBy"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    clusterBy.foreach(c => require(stored.fieldNames.contains(c),
+      s"clusterBy: no column '$c' in the table schema"))
     val snap = Snapshot(1, stored.toDDL, buckets, Seq.empty, Map.empty, 0L, 0L, mode,
       tsMs = System.currentTimeMillis(),
       cdfSinceLsn = if (cdf) 0L else -1L,
-      cdfFullSinceLsn = if (cdfFull) 0L else -1L)
+      cdfFullSinceLsn = if (cdfFull) 0L else -1L,
+      clusterBy = clusterBy)
     if (!fs.atomicCreate(s"$dir/meta/snap-1.json", SnapshotIO.write(snap)))
       throw new TableAlreadyExistsException(ident)
     // properties file in graft.table.Catalog's format (shared warehouse)

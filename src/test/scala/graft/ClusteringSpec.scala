@@ -95,10 +95,14 @@ class ClusteringSpec extends SparkSpec {
     val cat = "gclus"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+    // declaratively clustered from creation via TBLPROPERTIES
     spark.sql(s"""CREATE TABLE $cat.t (repo STRING, path STRING, commit STRING,
       lang STRING, content STRING, contentSha STRING, lsn BIGINT)
-      TBLPROPERTIES ('mode' = 'mor', 'buckets' = '2')""")
+      TBLPROPERTIES ('mode' = 'mor', 'buckets' = '2', 'clusterBy' = 'contentSha')""")
+    assert(new LakeTable(spark, s"$warehouse/t").currentSnapshot().get.clusterBy ==
+      Seq("contentSha"))
     spark.sql(s"INSERT INTO $cat.t VALUES ('r1','a.py','c1',null,'alpha',null,1)")
+    // set_clustering replaces the creation-time policy
     val res = spark.sql(s"CALL $cat.system.set_clustering('t', 'lang')").collect().head
     assert(res.getString(0) == "lang")
     val detail = spark.sql(s"CALL $cat.system.describe_detail('t')").collect().head
