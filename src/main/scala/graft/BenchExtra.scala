@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CdcQueries, Fixtures, TextQueries, RelationalQueries}
+import graft.table.{ApplyMode, LakeTable}
+
+/** Round-8 optimization probes (guide §1: measure first, §1.4 noop-sink
+  * isolation). NOT part of the driver contract — a separate main so
+  * Bench.scala stays frozen. Times the sub-phases of the heaviest battery
+  * entries so each optimization targets the phase that actually costs.
+  */
+object BenchExtra {
+
+  private def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    System.err.println(f"[extra] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val which = if (args.nonEmpty) args.toSet else Set("ingest", "q24", "q39", "q46", "q36", "mv", "q52")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try CdcQueries.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
+
+    if (which("ingest")) {
+      spark.sparkContext.setJobDescription("probe: ingest")
+      // replicate cdc_ingest_bench with per-phase timers
+      val (wal, cfg, _) = (s"${Fixtures.FixtureRoot}/wal_bench",
+        graft.gen.GenConfig(seed = 42L, events = 1000000L, repos = 500, filesPerRepo = 50), 20)
+      val lakeDir = s"${Fixtures.LakeRoot}/probe_ingest"
+      CdcQueries.deleteRec(lakeDir)
+      val t = new LakeTable(spark, lakeDir, 32, ApplyMode.MergeOnRead)
+      val walDf = spark.read.parquet(wal)
+      val nb = 8; val per = cfg.events / nb
+      (0 until nb).foreach { i =>
+        time(s"ingest merge $i")(
+          t.merge(walDf.where(col("lsn").between(i * per + 1, (i + 1) * per)), "probe", i.toLong))
+      }
+      time("ingest compact")(t.compact())
+      time("ingest read+agg")(noop(t.read().groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")))
+      // isolate the component jobs of ONE merge-equivalent batch
+      val b0 = walDf.where(col("lsn").between(1, per))
+      time("phase pre-pass groupBy(bucket)")(
+        b0.groupBy(pmod(xxhash64(col("repo"), col("path")), lit(32L)).cast("int").as("b"))
+          .agg(count(lit(1)).as("n"), sum(when(col("lsn") <= -1L, 1L).otherwise(0L)).as("stale"))
+          .collect())
+      val cleaned = b0.select(col("repo"), col("path"), col("commit"),
+        graft.model.LangRules.langFor(col("path")).as("lang"), col("content"),
+        when(col("content").isNull, lit(null)).otherwise(sha2(col("content"), 256)).as("contentSha"),
+        col("lsn"), (col("op") === "D").as("deleted"))
+        .withColumn("b", pmod(xxhash64(col("repo"), col("path")), lit(32L)).cast("int"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("b", "repo", "path").orderBy(col("lsn").desc, col("commit").desc)
+      val resolved = cleaned.repartition(32, col("b"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      val outDir = s"${Fixtures.LakeRoot}/probe_write"
+      time("phase resolve+write (bloom on)")(
+        resolved.write.partitionBy("b").mode("overwrite")
+          .option("parquet.bloom.filter.enabled#repo", "true")
+          .option("parquet.bloom.filter.enabled#path", "true")
+          .option("parquet.bloom.filter.enabled#contentSha", "true")
+          .option("parquet.bloom.filter.adaptive.enabled", "true").parquet(outDir))
+      time("phase resolve+write (bloom off)")(
+        resolved.write.partitionBy("b").mode("overwrite").parquet(s"${outDir}2"))
+      time("phase resolve only (noop)")(noop(resolved))
+      time("phase clean only (noop)")(noop(cleaned))
+      time("phase raw scan (noop)")(noop(b0))
+      time("phase tombstone count")(
+        spark.read.parquet(outDir).agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect())
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q24")) {
+      spark.sparkContext.setJobDescription("probe: q24 stages")
+      val docs0 = RelationalQueries.T(spark, sfDir, "documents")
+        .select(col("doc_id"), array_distinct(TextQueries.shingles(TextQueries.tokens(col("text")), 3)).as("sh"))
+        .where(size(col("sh")) > 0)
+      val docs = time("q24 localCheckpoint")(docs0.localCheckpoint())
+      val sig = docs.withColumn("sig", TextQueries.minhashSig(col("sh"), 16))
+      val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(16 / 4 - 1)),
+          b => hash(slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band", "bh")))
+      time("q24 bands noop")(noop(bands))
+      val a = bands.as("a"); val b = bands.as("b")
+      val cand0 = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      time("q24 cand noop")(noop(cand0))
+      val cand = time("q24 dump")(Fixtures.dump(cand0, s"${Fixtures.FixtureRoot}/probe_q24c"))
+      val ver = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))).cast("double"))
+        .withColumn("uni", size(array_union(col("sha_"), col("shb_"))).cast("double"))
+        .where(col("inter") / col("uni") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+      time("q24 verify noop")(noop(ver))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q39")) {
+      spark.sparkContext.setJobDescription("probe: q39 dsv2 dv")
+      val dv = s"${Fixtures.LakeRoot}/sm_dv"
+      time("q39 dsv2 read noop x1")(noop(spark.read.format("graft").load(dv)))
+      time("q39 dsv2 read noop x2")(noop(spark.read.format("graft").load(dv)))
+      time("q39 dsv2 read+sort noop")(noop(spark.read.format("graft").load(dv)
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha"))
+        .orderBy("repo", "path")))
+      val t = new LakeTable(spark, dv)
+      time("q39 laketable read noop")(noop(t.read()))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q46")) {
+      spark.sparkContext.setJobDescription("probe: q46 tail")
+      (1 to 2).foreach { i =>
+        time(s"q46 full drain $i") {
+          import org.apache.spark.sql.streaming.Trigger
+          val t = new LakeTable(spark, s"${Fixtures.LakeRoot}/sm_mor")
+          val cp = java.nio.file.Files.createTempDirectory("probeq46").toString
+          val q = spark.readStream.format("graft").option("changeFeed", "true").load(t.root)
+            .select(col("repo"), col("path"), col("lsn"), col("commit"), col("deleted"))
+            .writeStream.format("memory").queryName(s"probe_q46_$i")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        time(s"q46 sink read $i")(noop(spark.table(s"probe_q46_$i").orderBy("lsn", "repo", "path")))
+      }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q36")) {
+      spark.sparkContext.setJobDescription("probe: q36 quantiles")
+      val ev = RelationalQueries.T(spark, sfDir, "events")
+      time("q36 count")(ev.select(col("value")).where(col("value").isNotNull).count())
+      Seq(0.5, 0.9, 0.99).foreach { p =>
+        time(s"q36 quantile $p")(graft.operators.Quantiles.exactQuantile(ev, col("value"), p))
+      }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("mv")) {
+      spark.sparkContext.setJobDescription("probe: mv apply phases")
+      val up = CdcQueries.smLakeMode(spark, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
+      val fold = CdcQueries.smMvProbeBase(spark, "sm_mvap", 64, "smmvap")
+      val changes = time("mv readChangesBetween noop")(
+        { val c = up.readChangesBetween(40000L, 50000L); noop(c); c })
+      time("mv applyChanges")(fold.applyChanges(changes, "smmvap", 50000L))
+      time("mv read")(noop(fold.read("g").orderBy("g")))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("tc")) {
+      spark.sparkContext.setJobDescription("probe: compact_targeted phases")
+      import graft.queries.CdcQueries.smCfg
+      CdcQueries.ensureSmWal(spark)
+      val root = s"${Fixtures.LakeRoot}/sm_tc"
+      val t = new LakeTable(spark, root, 16, ApplyMode.MergeOnRead)
+      if (t.currentSnapshot().get.version > 8) time("tc restore")(t.restore(8))
+      val snap = t.currentSnapshot().get
+      val hot = snap.files.groupBy(_.bucket).toSeq.sortBy(-_._2.size).take(2).map(_._1).toSet
+      time("tc compactBuckets")(t.compactBuckets(hot))
+      time("tc read")(noop(t.read()
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("contentSha").as("content_sha")).orderBy("repo", "path")))
+      time("tc read 2")(noop(t.read()
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("contentSha").as("content_sha")).orderBy("repo", "path")))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q28")) {
+      spark.sparkContext.setJobDescription("probe: q28 stages")
+      graft.functions.native.register(spark)
+      val e = RelationalQueries.T(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e.where(col("vec_id") < 40).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + lit(0.125d)).otherwise(x)).as("v"))
+      val aug = e.unionByName(planted)
+      val ts = graft.queries.VectorQueries.tables(8, 4, 64)
+      val withB = aug.select(col("vec_id"),
+        explode(graft.queries.VectorQueries.lshBuckets(col("v"), ts)).as("bucket"))
+      time("q28 buckets noop")(noop(withB))
+      val q = withB.select(col("vec_id").as("qid"), col("bucket"))
+      val c = withB.select(col("vec_id").as("nid"), col("bucket"))
+      val cand0 = q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
+        .select("qid", "nid").distinct().where(col("qid") < col("nid"))
+      time("q28 cand noop")(noop(cand0))
+      val cand = time("q28 dump")(Fixtures.dump(cand0, s"${Fixtures.FixtureRoot}/probe_q28c"))
+      val ver = cand
+        .join(aug.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+        .join(aug.select(col("vec_id").as("nid"), col("v").as("cv")), Seq("nid"))
+        .withColumn("sim", graft.functions.native.cosine(col("qv"), col("cv")))
+        .where(col("sim") >= 0.95)
+        .select(col("qid").as("ida"), col("nid").as("idb"), round(col("sim"), 4).as("sim"))
+        .orderBy("ida", "idb")
+      time("q28 verify noop")(noop(ver))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q52")) {
+      spark.sparkContext.setJobDescription("probe: q52 phases")
+      val L = 64
+      val grams = RelationalQueries.T(spark, sfDir, "documents").where(length(col("text")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, length(text) - ${L - 1}),
+             |  i -> named_struct('h1', xxhash64(substring(text, i, $L)),
+             |                    'h2', xxhash64(substring(text, i, $L), ${L}L)))""".stripMargin)).as("g"))
+      time("q52 raw grams noop")(noop(grams))
+      val dist = grams.distinct()
+      time("q52 distinct noop")(noop(dist))
+      val dup = dist.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
+      val out = dist.join(dup, "g").groupBy("doc_id").agg(count(lit(1)).as("dup_windows")).orderBy("doc_id")
+      time("q52 full noop")(noop(out))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    spark.stop()
+  }
+}

@@ -136,6 +136,69 @@ case class CosineSim(left: Expression, right: Expression)
     copy(newLeft, newRight)
 }
 
+/** Per-table LSH bucket ids for one vector against FIXED literal
+  * hyperplanes (round-8): the HOF form
+  * (`aggregate(zip_with(v, lit(plane), _*_), 0.0, _+_)` per plane)
+  * evaluates nTables × bits × dim interpreted lambda calls per row; this
+  * compiles to a tight Java loop under whole-stage codegen. Semantics are
+  * value-identical to the HOF form on well-formed vectors: the dot product
+  * accumulates left-to-right in the same order, `dot > 0` sets bit i, and
+  * bucket(t) = Σ bits + t·4096. A malformed vector (length ≠ plane dim, or
+  * a null element) made every HOF dot NULL → every bit 0 → bucket t·4096;
+  * the kernel reproduces exactly that.
+  */
+case class LshBucketIds(child: Expression, planes: Array[Array[Double]],
+                        nTables: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bucket_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    LshBucketIds.buckets(input.asInstanceOf[ArrayData], planes, nTables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBucketIds.buckets($c, $ref, $nTables, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketIds =
+    copy(child = newChild)
+}
+
+object LshBucketIds {
+  /** static kernel shared by interpreted eval and generated code */
+  def buckets(v: ArrayData, planes: Array[Array[Double]],
+              nTables: Int, bits: Int): ArrayData = {
+    val n = v.numElements()
+    // a null element nulls every zip_with product in the HOF form → every
+    // dot NULL → all bits 0 for every table
+    var malformed = false
+    var i = 0
+    while (i < n && !malformed) { if (v.isNullAt(i)) malformed = true; i += 1 }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var acc = t.toLong * 4096L
+      var b = 0
+      while (b < bits) {
+        val p = planes(t * bits + b)
+        if (!malformed && n == p.length) {
+          var dot = 0.0
+          var j = 0
+          while (j < p.length) { dot += v.getDouble(j) * p(j); j += 1 }
+          if (dot > 0) acc += (1L << b)
+        }
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object CosineSim {
   /** null (not NaN) on any malformed input — see CosineSim scaladoc */
   def cos(x: ArrayData, y: ArrayData): java.lang.Double = {

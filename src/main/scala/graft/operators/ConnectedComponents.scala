@@ -45,19 +45,21 @@ object ConnectedComponents {
       val nbrMin = und.join(labels.select(col("node").as("v"), col("cluster")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min("cluster").as("nbr"))
       val step = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-      // (2) pointer jump: follow the label's own label (labels are node ids)
+      // (2) pointer jump: follow the label's own label (labels are node ids).
+      // The round's OLD label rides along as `prev`, so the convergence
+      // check below is a count over the checkpointed blocks — the previous
+      // shape re-joined `next` against `labels`, paying an extra shuffle
+      // per round for a boolean (round-8, guide §2.4).
       val next = ckpt(step
         .join(step.select(col("node").as("cluster"), col("cluster").as("c2")),
           Seq("cluster"), "left")
-        .select(col("node"),
+        .select(col("node"), col("prev"),
           least(col("cluster"), coalesce(col("c2"), col("cluster"))).as("cluster")))
       // changed = any label lowered this round (by either step)
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("node"))
-        .where(col("cluster") < col("prev")).count()
-      labels = next
+      changed = next.where(col("cluster") < col("prev")).count()
+      labels = next.select("node", "cluster")
     }
     require(changed == 0, s"connected components did not converge in $maxIter rounds")
     labels

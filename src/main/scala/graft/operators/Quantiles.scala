@@ -67,4 +67,60 @@ object Quantiles {
     require(n > 0, "empty input")
     kthSmallest(df, valueCol, math.max(1L, math.ceil(p * n).toLong))
   }
+
+  /** SEVERAL exact quantiles in ONE sweep (round-8, guide §1.2): the count
+    * / min-max pass and the first histogram pass are shared by every
+    * requested fraction — 2 column-pruned scans serve all of them — and
+    * the per-fraction narrowing collects the union of the (tiny) target
+    * buckets in a single extra pass when it fits `collectCap`, falling
+    * back to the per-k refinement loop otherwise. Same k = ceil(p * n)
+    * type-1 semantics as `exactQuantile`, value-for-value.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column, ps: Seq[Double],
+                     buckets: Int = 2048, collectCap: Int = 65536): Seq[(Double, Double)] = {
+    val vals = df.select(valueCol.cast("double").as("__v")).where(col("__v").isNotNull)
+    val head = vals.agg(count(lit(1)), min("__v"), max("__v")).collect().head
+    val n = head.getLong(0)
+    require(n > 0, "empty input")
+    val lo = head.getDouble(1); val hi = head.getDouble(2)
+    val ks = ps.map(p => math.max(1L, math.ceil(p * n).toLong))
+    if (lo == hi) return ps.map(p => (p, lo))
+    if (n <= collectCap) {
+      val sorted = vals.collect().map(_.getDouble(0)).sorted
+      return ps.zip(ks).map { case (p, k) => (p, sorted((k - 1).toInt)) }
+    }
+    // identical bucket expression to kthSmallest so boundary rows land the
+    // same way — the fused path must be value-for-value equal to the
+    // one-at-a-time path
+    val width = (hi - lo) / buckets
+    val b = least(floor((col("__v") - lo) / width), lit(buckets - 1L)).cast("int")
+    val histo = vals.groupBy(b.as("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // per fraction: the bucket holding rank k and the residual rank inside it
+    val targets = ks.map { k =>
+      var cum = 0L; var t = -1; var i = 0
+      while (i < buckets && t < 0) {
+        val c = histo.getOrElse(i, 0L)
+        if (cum + c >= k) t = i else cum += c
+        i += 1
+      }
+      (t, k - cum)
+    }
+    val distinctBuckets = targets.map(_._1).distinct
+    val survivorRows = distinctBuckets.map(t => histo.getOrElse(t, 0L)).sum
+    if (survivorRows <= collectCap) {
+      // ONE collect of every target bucket, tagged; sort per bucket driver-side
+      val byBucket = vals.select(b.as("__b"), col("__v"))
+        .where(b.isin(distinctBuckets.map(Int.box): _*))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (t, rows) => t -> rows.map(_.getDouble(1)).sorted }
+      ps.zip(targets).map { case (p, (t, rank)) => (p, byBucket(t)((rank - 1).toInt)) }
+    } else
+      // pathological density in a target bucket: fall back to the exact
+      // per-k refinement (rare; bounded exactly like kthSmallest)
+      ps.zip(targets).map { case (p, (t, rank)) =>
+        (p, kthSmallest(vals.where(b === t), col("__v"), rank, buckets, collectCap))
+      }
+  }
 }

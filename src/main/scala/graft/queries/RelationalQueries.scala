@@ -56,10 +56,17 @@ object RelationalQueries {
       .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
       .orderBy("n_name")
 
-  // J5 semi join: parts that appear in lineitem, per brand.
+  // J5 semi join: parts that appear in lineitem, per brand. The probe side
+  // only needs DISTINCT l_partkey (a semi join is membership), so reduce it
+  // with a map-side-combined aggregate FIRST (guide §2.3 "aggregate before
+  // you shuffle"): the wide fact table never rides the join shuffle — only
+  // its key set does — and AQE's runtime re-optimization turns the join
+  // into a broadcast hash join whenever the materialized key set is small
+  // (scale-adaptive: at cluster scale it stays a key-only shuffle join).
   def q5Semi(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
-      .join(T(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+      .join(T(s, dir, "lineitem").select("l_partkey").distinct(),
+        col("p_partkey") === col("l_partkey"), "left_semi")
       .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
       .orderBy("p_brand")
 
@@ -240,9 +247,9 @@ object RelationalQueries {
   def q36ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantiles
     val ev = T(s, dir, "events")
-    val rows = Seq(0.5, 0.9, 0.99).map { p =>
-      (p, Quantiles.exactQuantile(ev, col("value"), p))
-    }
+    // fused: one count/min-max pass + one histogram pass serve all three
+    // fractions (round-8; was 3 independent exactQuantile sweeps)
+    val rows = Quantiles.exactQuantiles(ev, col("value"), Seq(0.5, 0.9, 0.99))
     import s.implicits._
     rows.toDF("p", "value_at_p").orderBy("p")
   }

@@ -88,10 +88,28 @@ object TextQueries {
   // fan-out at scale — candidates-then-verify, SURVEY.md §4), equi-join on
   // shingle, count shared per pair. Fully shuffle-parallel by shingle.
   def q23ShinglePairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
-    val sh = docs.select(col("doc_id"), explode(shingles(col("ws"), 3)).as("sh")).distinct()
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 20)
-    val filtered = sh.join(rare.select("sh"), Seq("sh"))
+    // Round-8 shape (guide §2.4): hash-partition the exploded shingles by
+    // `sh` ONCE — the per-doc dedup, the document-frequency cap (a window
+    // over sh replacing the old groupBy + re-join) and BOTH sides of the
+    // self-join all ride that single partitioning (HashPartitioning(sh)
+    // satisfies each later clustering/join distribution), so the old
+    // distinct + df-groupBy + semi-join chain of exchanges collapses to
+    // one exchange before the join and one for the final pair rollup.
+    // shingles generate EXPLODED through codegen'd built-ins (see q24) —
+    // the per-doc transform/slice lambda evaluated interpreted
+    val ws = col("ws")
+    val filtered = T(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(ws) >= 3)
+      .select(col("doc_id"), ws, explode(sequence(lit(1), size(ws) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(ws, col("i")), element_at(ws, col("i") + 1),
+        element_at(ws, col("i") + 2)).as("sh"))
+      .repartition(col("sh"))
+      .dropDuplicates("sh", "doc_id")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .where(col("df") <= 20).drop("df")
     val a = filtered.as("a"); val b = filtered.as("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -124,12 +142,24 @@ object TextQueries {
     */
   def q24MinhashLsh(s: SparkSession, dir: String,
                     k: Int = 16, rows: Int = 4, threshold: Double = 0.4): DataFrame = {
-    val docs = T(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-      .where(size(col("sh")) > 0)
+    // Round-8: shingles are generated EXPLODED through codegen'd built-ins
+    // (generate over a primitive int sequence + element_at/concat_ws per
+    // row) instead of the per-doc transform/slice lambda — higher-order
+    // functions evaluate their lambdas interpreted, one virtual call per
+    // element, and that generation dominated the old runtime (guide §4:
+    // keep the hot path inside whole-stage codegen). Same shingle strings,
+    // same downstream hashes.
+    val ws = col("ws")
+    val exploded = T(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(ws) >= 3)
+      .select(col("doc_id"), ws, explode(sequence(lit(1), size(ws) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(ws, col("i")), element_at(ws, col("i") + 1),
+        element_at(ws, col("i") + 2)).as("s"))
     // candidate pairs dumped so the DuckDB oracle verifies the exact-Jaccard
     // stage end-to-end (banding itself is xxhash64-dependent → ScalaTest)
-    minhashPairs(docs, k, rows, threshold,
+    minhashPairsExploded(exploded, k, rows, threshold,
       dumpPath = Some(s"${CdcQueries.FixtureRoot}/q24_cands_${Fixtures.sfTag(dir)}"))
   }
 
@@ -138,36 +168,56 @@ object TextQueries {
     * candidate ID pairs for the oracle's independent verify stage.
     */
   def minhashPairs(docsIn: DataFrame, k: Int, rows: Int, threshold: Double,
-                   dumpPath: Option[String] = None): DataFrame = {
-    // materialise the shingled corpus once — it feeds three branches
-    // (banding, and the two candidate re-attach joins); recomputing the
-    // shingle transform per branch costs far more than caching it. At scale
-    // this is the persisted shingle table of the dedup pipeline.
-    // localCheckpoint (eager) rather than persist: blocks are freed with the
-    // RDD by the ContextCleaner instead of squatting in the cache manager
-    // forever (a long-lived session would otherwise accumulate one cached
-    // corpus per run — the round-2 bench tail's re-cache warnings). A
-    // cluster deployment that must survive executor loss would use a
-    // reliable checkpoint dir instead.
-    val docs = docsIn.localCheckpoint()
-    val sig = docs.withColumn("sig", minhashSig(col("sh"), k))
-    // band → bucket join on IDs ONLY: the heavy shingle arrays do NOT ride
-    // the self-join/dedup shuffle — they are re-attached to the (few)
-    // surviving candidate pairs afterwards (candidates-then-verify).
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(k / rows - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
+                   dumpPath: Option[String] = None): DataFrame =
+    minhashPairsExploded(
+      docsIn.select(col("doc_id"), explode(col("sh")).as("s")), k, rows, threshold, dumpPath)
+
+  /** The pipeline proper, over EXPLODED (doc_id, s: string) shingle rows
+    * (round-8 shape). Signatures over the shingle SET become plain hash
+    * aggregates — min-hash per seed is `min(xxhash64(seed, s))` with
+    * map-side combine, fully codegen'd, replacing the interpreted
+    * k × |sh| lambda evaluations of the array form — and the exact-Jaccard
+    * verify stage computes |A∩B| by joining the (few) candidate pairs back
+    * to the shingle rows and |A∪B| = |A| + |B| − |A∩B| from per-doc
+    * counts carried on the signature aggregate, replacing the interpreted
+    * array_intersect/array_union. Hash values, candidate set, jaccard
+    * doubles and output rows are identical to the array form.
+    */
+  def minhashPairsExploded(shIn: DataFrame, k: Int, rows: Int, threshold: Double,
+                           dumpPath: Option[String] = None): DataFrame = {
+    // materialise the distinct shingle rows once — they feed the signature
+    // aggregate and the verify stage's intersection join. localCheckpoint
+    // (eager) rather than persist: blocks are freed with the RDD by the
+    // ContextCleaner instead of squatting in the cache manager forever.
+    val sh = shIn.dropDuplicates("doc_id", "s").localCheckpoint()
+    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"__m$i")) :+
+      count(lit(1)).as("__nsh")
+    // per-doc minhash signature + distinct-shingle count in ONE aggregate
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
+    val sigArr = array((0 until k).map(i => col(s"__m$i")): _*)
+    // band → bucket join on IDs ONLY: heavy columns do NOT ride the
+    // self-join/dedup shuffle (candidates-then-verify).
+    val bandCols = (0 until k / rows).map(b =>
+      struct(lit(b).as("band"), hash(slice(sigArr, b * rows + 1, rows)).as("bh")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand0 = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val cand = dumpPath.fold(cand0)(p => Fixtures.dump(cand0, p))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__i"))
+    val counts = sig.select(col("doc_id"), col("__nsh"))
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sha_"), col("shb_"))).cast("double"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.select(col("doc_id").as("doc_a"), col("__nsh").as("__na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("__nsh").as("__nb")), Seq("doc_b"))
+      .withColumn("inter", coalesce(col("__i"), lit(0L)).cast("double"))
+      .withColumn("uni", (col("__na") + col("__nb") - coalesce(col("__i"), lit(0L))).cast("double"))
       .where(col("inter") / col("uni") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -228,23 +278,34 @@ object TextQueries {
     */
   def q52SubstringDedup(s: SparkSession, dir: String): DataFrame = {
     val L = 64
-    // the gram set feeds both the duplicate detection and the re-join;
-    // recomputing the explode is cheap (measured a wash vs persist at
-    // sf0.1, and a persist would pin O(corpus windows) cache per call).
     // Gram identity is 128-bit — TWO independent xxhash64 values (the
     // second seeded by an extra literal), so a single 64-bit collision
     // between distinct windows can no longer mark a false duplicate: at
     // web-corpus gram counts (~1e14) 64-bit birthday collisions are
     // certain, 128-bit ones stay ~1e-11. Windows still travel as 16-byte
     // hashes, never 64-char strings.
-    val grams = T(s, dir, "documents").where(length(col("text")) >= L)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, length(text) - ${L - 1}),
-           |  i -> named_struct('h1', xxhash64(substring(text, i, $L)),
-           |                    'h2', xxhash64(substring(text, i, $L), ${L}L)))""".stripMargin)).as("g"))
-      .distinct()
-    val dup = grams.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
-    grams.join(dup, "g")
+    //
+    // Round-8 shape (guide §2.4/§1.2): positions explode as a primitive
+    // int sequence and the two hashes are projected per row AFTER the
+    // generate — no per-doc array-of-struct materialisation — and the
+    // grams are hash-partitioned by `g` ONCE: the per-doc dedup
+    // (dropDuplicates(g, doc_id)), the document-frequency count (a window
+    // over g) and the duplicate filter all ride that one partitioning
+    // (HashPartitioning(g) satisfies every later clustering), so the old
+    // distinct + groupBy + re-join — three exchanges and a second full
+    // gram computation — collapse to this single exchange plus the final
+    // per-doc rollup.
+    val gram = col("text").substr(col("i"), lit(L))
+    val raw = T(s, dir, "documents").where(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+      .select(col("doc_id"),
+        struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(L.toLong)).as("h2")).as("g"))
+    val uniq = raw.repartition(col("g")).dropDuplicates("g", "doc_id")
+    uniq
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .where(col("nd") >= 2)
       .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
       .orderBy("doc_id")
   }

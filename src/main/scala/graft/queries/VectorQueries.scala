@@ -66,15 +66,16 @@ object VectorQueries {
     * stays a plain equi-join on (table, bucket).
     */
   def lshBuckets(v: Column, tables: Seq[Seq[Array[Double]]]): Column = {
-    // array of per-table bucket ids: table index in the high bits
-    val buckets = tables.zipWithIndex.map { case (planes, t) =>
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        val dot = aggregate(zip_with(v, typedlit(p.toSeq), (x, w) => x * w), lit(0.0d), (a, b) => a + b)
-        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      (bits.reduce(_ + _) + lit(t.toLong * 4096L)).as(s"b$t")
-    }
-    array(buckets: _*)
+    // array of per-table bucket ids: table index in the high bits.
+    // Round-8: the per-plane aggregate(zip_with(...)) lambdas evaluated
+    // interpreted (nTables × bits × dim virtual calls per row); the native
+    // LshBucketIds expression runs the same left-to-right dot products as
+    // a tight codegen'd Java loop — value-identical buckets (guide §4).
+    require(tables.nonEmpty && tables.forall(_.size == tables.head.size),
+      "lshBuckets: tables must be non-empty and uniform")
+    import org.apache.spark.sql.graft.Internals
+    Internals.column(graft.functions.LshBucketIds(
+      Internals.expr(v), tables.flatten.toArray, tables.size, tables.head.size))
   }
 
   def tables(nTables: Int, bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {

@@ -834,13 +834,22 @@ object GraftScan {
       case _ => ()
     }
     val missing = cached.fold(cols)(hit => cols.filterNot(hit.contains))
-    val fresh =
-      try loadEvidence(abs, conf, missing)
+    val (fresh, loadOk) =
+      try (loadEvidence(abs, conf, missing), true)
       catch { case scala.util.control.NonFatal(_) =>
-        missing.map(_ -> IndexedSeq[KeyEv](NoEv)).toMap }
-    val merged = cached.getOrElse(Map.empty) ++ fresh
-    evidenceCache.synchronized { evidenceCache.put(abs, merged) }
-    merged
+        (missing.map(_ -> IndexedSeq[KeyEv](NoEv)).toMap, false) }
+    // merge under ONE synchronized block against the CURRENT cache value —
+    // the stale-read-then-put of the old shape could drop a column set a
+    // concurrent scan just loaded; and a TRANSIENT footer-read failure is
+    // returned degraded but NOT cached, so the next scan retries instead
+    // of pinning "no evidence" for the process lifetime (round-8, r7
+    // advisor findings)
+    evidenceCache.synchronized {
+      val cur = Option(evidenceCache.get(abs)).getOrElse(Map.empty)
+      val merged = cur ++ fresh.filterNot { case (k, _) => cur.contains(k) }
+      if (loadOk) evidenceCache.put(abs, merged)
+      merged
+    }
   }
 
   private def loadEvidence(abs: String, conf: Configuration,
@@ -905,55 +914,69 @@ object GraftScan {
     * ascending order, so membership is a monotone pointer walk — no boxing,
     * no hashing in the per-row hot path.
     */
+  /** Executor-side LRU of one DV sidecar file's positions GROUPED BY data
+    * file (round-8): every task of a bucket's scan used to re-open and
+    * re-decode the same sidecars (per-file partitions × per-bucket
+    * sidecars = quadratic sidecar decodes per scan). Sidecar files live
+    * under token-stamped attempt-scoped commit dirs — immutable, so
+    * entries never go stale; the LRU bounds memory and positions are
+    * bounded by the dv-fraction compaction policy anyway.
+    */
+  private val dvSidecarCache =
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Array[Long]]]): Boolean = size() > 128
+    }
+
+  /** one sidecar file decoded fully, positions grouped by root-relative
+    * data-file path (each group sorted — input is written sorted by
+    * (file_path, row_index))
+    */
+  private def sidecarPositions(f: String, conf: Configuration): Map[String, Array[Long]] = {
+    dvSidecarCache.synchronized {
+      val hit = dvSidecarCache.get(f)
+      if (hit != null) return hit
+    }
+    val byFile = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+      val blocks = reader.getFooter.getBlocks
+      var bi = 0
+      while (bi < blocks.size()) {
+        val pages = reader.readNextRowGroup()
+        val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        var i = 0L
+        while (i < pages.getRowCount) {
+          val g = rr.read()
+          byFile.getOrElseUpdate(relPath(g.getString("file_path", 0)),
+            new scala.collection.mutable.ArrayBuilder.ofLong) += g.getLong("row_index", 0)
+          i += 1
+        }
+        bi += 1
+      }
+    } finally reader.close()
+    val built = byFile.map { case (k, v) =>
+      val arr = v.result(); java.util.Arrays.sort(arr); k -> arr
+    }.toMap
+    dvSidecarCache.synchronized { dvSidecarCache.put(f, built) }
+    built
+  }
+
   def deadPositionsFor(dataFile: String, sidecars: Seq[String],
                        conf: Configuration): Array[Long] = {
     val mine = relPath(dataFile)
-    val out = new scala.collection.mutable.ArrayBuilder.ofLong
-    sidecars.foreach { f =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
-      try {
-        val fileSchema = reader.getFooter.getFileMetaData.getSchema
-        val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-        val blocks = reader.getFooter.getBlocks
-        var bi = 0
-        while (bi < blocks.size()) {
-          // sidecars are written sorted by file_path, so rowgroup stats are
-          // file-disjoint ranges — skip rowgroups that cannot hold `mine`.
-          // Only trusted when both bounds are already root-relative (the
-          // written form); anything else falls back to reading the group.
-          val blk = blocks.get(bi)
-          val fpStats = (0 until blk.getColumns.size())
-            .map(blk.getColumns.get(_))
-            .find(_.getPath.toDotString == "file_path")
-            .map(_.getStatistics).orNull
-          val skip = fpStats != null && fpStats.hasNonNullValue &&
-            ((fpStats.genericGetMin, fpStats.genericGetMax) match {
-              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
-                val min = mn.toStringUsingUTF8
-                val max = mx.toStringUsingUTF8
-                min.startsWith("data/") && max.startsWith("data/") &&
-                  (mine < min || mine > max)
-              case _ => false
-            })
-          if (skip) reader.skipNextRowGroup()
-          else {
-            val pages = reader.readNextRowGroup()
-            val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-            var i = 0L
-            while (i < pages.getRowCount) {
-              val g = rr.read()
-              if (relPath(g.getString("file_path", 0)) == mine) out += g.getLong("row_index", 0)
-              i += 1
-            }
-          }
-          bi += 1
-        }
-      } finally reader.close()
+    val parts = sidecars.flatMap(f => sidecarPositions(f, conf).get(mine))
+    parts.size match {
+      case 0 => Array.emptyLongArray
+      case 1 => parts.head
+      case _ =>
+        val arr = Array.concat(parts: _*)
+        java.util.Arrays.sort(arr)
+        arr
     }
-    val arr = out.result()
-    java.util.Arrays.sort(arr)
-    arr
   }
 }
 
