@@ -159,12 +159,47 @@ object BenchExtra {
 
     if (which("mv")) {
       spark.sparkContext.setJobDescription("probe: mv apply phases")
+      spark.conf.set("spark.graft.merge.timing", "true")
       val up = CdcQueries.smLakeMode(spark, ApplyMode.MergeOnRead, "sm_fullcdf", "smfcdf", cdfFull = true)
       val fold = CdcQueries.smMvProbeBase(spark, "sm_mvap", 64, "smmvap")
       val changes = time("mv readChangesBetween noop")(
-        { val c = up.readChangesBetween(40000L, 50000L); noop(c); c })
-      time("mv applyChanges")(fold.applyChanges(changes, "smmvap", 50000L))
+        { val c = up.readChangesBetween(40000L, 50000L).persist(); noop(c); c })
+      time("mv deltaBuckets")(fold.deltaBuckets(changes, 64))
+      val ev = fold.eventsFor(changes)
+      time("mv eventsFor noop")(noop(ev))
+      val evP = ev.persist()
+      time("mv eventsFor materialize")(noop(evP))
+      time("mv merge(cached events)")(fold.mv.merge(evP, "smmvap", 50000L))
+      evP.unpersist(); changes.unpersist()
       time("mv read")(noop(fold.read("g").orderBy("g")))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("q47")) {
+      spark.sparkContext.setJobDescription("probe: q47 phases")
+      import org.apache.spark.sql.streaming.Trigger
+      val bronze = CdcQueries.smLakeMode(spark, ApplyMode.MergeOnRead, "sm_mor", "smmor")
+      (1 to 2).foreach { i =>
+        val silverDir = s"${Fixtures.LakeRoot}/probe_silver"
+        CdcQueries.deleteRec(silverDir)
+        val cp = java.nio.file.Files.createTempDirectory("probeq47").toString
+        time(s"q47 drain+sink $i") {
+          val q = spark.readStream.format("graft").option("changeFeed", "true").load(bronze.root)
+            .select(col("repo"), col("path"), col("commit"),
+              lit(null).cast("string").as("lang"),
+              substring(col("content"), 1, 64).as("content"),
+              lit(null).cast("string").as("contentSha"), col("lsn"))
+            .writeStream.format("graft")
+            .option("path", silverDir).option("create", "true")
+            .option("mode", "mor").option("buckets", "16")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        time(s"q47 silver read $i")(noop(new LakeTable(spark, silverDir).read()
+          .select(col("repo"), col("path"), col("commit"), col("lang"),
+            col("contentSha").as("content_sha")).orderBy("repo", "path")))
+      }
       spark.sparkContext.setJobDescription(null)
     }
 
@@ -182,6 +217,16 @@ object BenchExtra {
         .select(col("repo"), col("path"), col("commit"), col("lang"),
           col("contentSha").as("content_sha")).orderBy("repo", "path")))
       time("tc read 2")(noop(t.read()
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("contentSha").as("content_sha")).orderBy("repo", "path")))
+      // A/B: the pre-split shape (one global latest-per-key over all buckets)
+      def oldRead() = LakeTable.latestPerKey(t.readRaw(None))
+        .where(!col("deleted"))
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("contentSha").as("content_sha")).orderBy("repo", "path")
+      time("tc read OLD shape")(noop(oldRead()))
+      time("tc read OLD shape 2")(noop(oldRead()))
+      time("tc read 3")(noop(t.read()
         .select(col("repo"), col("path"), col("commit"), col("lang"),
           col("contentSha").as("content_sha")).orderBy("repo", "path")))
       spark.sparkContext.setJobDescription(null)

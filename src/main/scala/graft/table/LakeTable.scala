@@ -554,27 +554,24 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // dedup on merges, rewrites resolved by construction, and one key
         // lands in exactly one task's file even under sub-splitting — so a
         // bucket whose files all come from ONE commit cannot hold two
-        // versions of a key; latest-per-key over it is an identity and its
-        // shuffle + window drop out of the plan. Buckets are split into
-        // already-resolved and delta-stacked sets (the steady state after
-        // compact() is all-resolved; a targeted compaction leaves a mix),
-        // resolving only the buckets that need it.
-        snap match {
-          case Some(s) =>
-            val sel = buckets.fold(s.files)(bs => s.files.filter(f => bs(f.bucket)))
-            def commitOf(p: String): String = {
-              val i = p.indexOf("/b=")
-              if (i >= 0) p.substring(0, i) else p
-            }
-            val (plainB, stackedB) = sel.groupBy(_.bucket).partition {
-              case (_, fs) => fs.map(f => commitOf(f.path)).distinct.size <= 1
-            }
-            if (stackedB.isEmpty) raw
-            else if (plainB.isEmpty) latestPerKey(raw)
-            else readRawAt(snap, Some(plainB.keySet))
-              .unionByName(latestPerKey(readRawAt(snap, Some(stackedB.keySet))))
-          case None => latestPerKey(raw)
+        // versions of a key; when EVERY selected bucket is in that state
+        // (the steady state right after compact()), latest-per-key is an
+        // identity and its whole shuffle + aggregate drop out of the plan.
+        // Mixed tables keep the single global resolve: an A/B on the
+        // targeted-compaction fixture measured the per-bucket plain ∪
+        // resolved split SLOWER than one aggregate (1.3 s vs 2.1 s — two
+        // scan subtrees + union cost more than the saved aggregate work).
+        val allPlain = snap.exists { s =>
+          val sel = buckets.fold(s.files)(bs => s.files.filter(f => bs(f.bucket)))
+          def commitOf(p: String): String = {
+            val i = p.indexOf("/b=")
+            if (i >= 0) p.substring(0, i) else p
+          }
+          sel.groupBy(_.bucket).forall { case (_, fs) =>
+            fs.map(f => commitOf(f.path)).distinct.size <= 1
+          }
         }
+        if (allPlain) raw else latestPerKey(raw)
       case ApplyMode.DeletionVector => applyDv(raw, snap.map(_.dvFiles).getOrElse(Nil))
     }
   }
@@ -951,35 +948,47 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           .unionByName(incoming, allowMissingColumns = true), Some(affectedAll))
     }
 
+    // opt-in phase timing (spark.graft.merge.timing=true): attribution for
+    // optimization work — stderr only, no behavior change
+    val timing = spark.conf.getOption("spark.graft.merge.timing").exists(_.toBoolean)
+    var tMark = System.nanoTime()
+    def mark(name: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[merge-timing] $name: ${(now - tMark) / 1e9}%.3f s")
+      tMark = now
+    }
+    mark("setup")
     val commitDir = s"$dataDir/c$version-$token"
     val resolved = bucketResolve(all, math.max(affected.fold(nBuckets)(_.size), 1))
     dataWrite(resolved).parquet(commitDir)
+    mark("write")
 
-    // tombstone count (one column-pruned pass over the written files'
-    // `deleted` column, KBs of IO) runs CONCURRENTLY with the driver-side
-    // footer reads below — two independent post-write steps, one wall-clock
-    // latency instead of two (guide §2.6). An EMPTY batch writes no
-    // partition dirs — skip the doomed read instead of letting its
-    // analysis error pollute the logs.
-    val wroteAny = fs.exists(commitDir) && fs.listDirs(commitDir)
-      .exists(d => new org.apache.hadoop.fs.Path(d).getName.startsWith("b="))
-    val tombFut =
-      if (!wroteAny) null
-      else LakeTable.auxPool.submit(() =>
-        try {
-          val t = spark.read.parquet(commitDir)
-            .agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
-          Right(if (t.isNullAt(0)) 0L else t.getLong(0))
-        } catch { case e: Throwable => Left(e) })
     // per-FILE (rows, min/max lsn/repo) from the parquet FOOTERS of the
     // files just written — driver-side metadata reads, no Spark job.
     val perFile = fileStats(commitDir)
     val stats = bucketStatsOf(perFile)
     val totalRows = stats.map(_.rows).sum
+    // tombstone count: the `deleted` column is a bit-packed boolean chunk
+    // (KBs per file) — for ordinary batches it is decoded DRIVER-side in a
+    // parallel pass over the just-written files, removing a whole Spark
+    // job from every merge (round-8; this was one of the fixed per-batch
+    // jobs bounding small-update latency). Commits past the row threshold
+    // keep the distributed count (a driver decode of billions of booleans
+    // would serialize on one machine).
     val tombstones =
-      if (stats.isEmpty || tombFut == null) 0L
-      else tombFut.get() match { case Right(v) => v; case Left(e) => throw e }
+      if (stats.isEmpty) 0L
+      else if (totalRows <= spark.conf.getOption("spark.graft.tombstones.driverMaxRows")
+          .map(_.toLong).getOrElse(4000000L)) {
+        import scala.collection.parallel.CollectionConverters._
+        val hconf = spark.sessionState.newHadoopConf()
+        perFile.par.map(f => LakeTable.tombstonesInFile(f.file, hconf)).sum
+      } else {
+        val t = spark.read.parquet(commitDir)
+          .agg(sum(when(col("deleted"), 1L).otherwise(0L))).collect().head
+        if (t.isNullAt(0)) 0L else t.getLong(0)
+      }
     val newEntries = entriesOf(perFile, sorted = true)
+    mark("stats+tombstones")
     val batchSchema = resolved.drop("b").schema
     val batchHwm = if (stats.isEmpty) Long.MinValue else stats.map(_.maxLsn).max
 
@@ -1011,6 +1020,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           else Some(readRawAt(snap, Some(affectedAll)))
         writeCdfSidecar(newStored, priorKeyed, priorFull, s"$commitDir/cdf")
       }
+    mark("cdf")
 
     // ---- optimistic commit loop (multi-writer safety) ----
     // Metadata is derived against the freshest head and committed
@@ -1092,6 +1102,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           constraints = cur.constraints,
           clusterBy = cur.clusterBy
         ), cur, token)
+        mark("commit")
         return stats
       } catch {
         case _: CommitConflictException =>
@@ -1968,7 +1979,18 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("b", "repo", "path")
         .orderBy(col("lsn").desc, col("commit").desc)
-      all.repartition(buckets, col("b"))
+      // a table MUCH wider than the cluster (e.g. a 512-bucket MV state
+      // fold on a 32-slot box) does not need one task per bucket: hash-
+      // partitioning by `b` into fewer partitions keeps every bucket's
+      // rows in exactly one task (file granularity and the key-disjoint
+      // per-commit-file invariant survive — FileFormatWriter still splits
+      // by the `b` partition value), while the task count stays
+      // proportional to the CLUSTER, not the layout (round-8; the cap is
+      // parallelism-derived, never a constant)
+      val parts = math.min(buckets, math.max(1, 2 * math.max(1,
+        spark.conf.getOption("spark.graft.resolve.minParallelism")
+          .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism))))
+      all.repartition(parts, col("b"))
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
     } else {
       val w = org.apache.spark.sql.expressions.Window
@@ -2907,6 +2929,42 @@ object LakeTable {
       t.setDaemon(true)
       t
     })
+
+  /** count of deleted=true rows in one parquet file, decoded driver-side
+    * from just the projected boolean column chunk (bit-packed, KBs) — no
+    * Spark job. Files written by the merge always carry `deleted`; absent
+    * column (foreign file) counts zero.
+    */
+  private[table] def tombstonesInFile(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.ColumnIOFactory
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("deleted")) return 0L
+      val proj = new org.apache.parquet.schema.MessageType("graft_tomb",
+        schema.getFields.get(schema.getFieldIndex("deleted")))
+      reader.setRequestedSchema(proj)
+      val columnIO = new ColumnIOFactory().getColumnIO(proj)
+      var n = 0L
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(proj))
+        var i = 0L
+        while (i < pages.getRowCount) {
+          val g = rr.read()
+          if (g.getFieldRepetitionCount(0) > 0 && g.getBoolean(0, 0)) n += 1
+          i += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+      n
+    } finally reader.close()
+  }
 
   final case class BucketStats(bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
                                minRepo: String = null, maxRepo: String = null)

@@ -262,6 +262,36 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("extrema rescan above the isin threshold: the left-semi path stays exact") {
+    val tag = "iaggxj"
+    val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)
+    val agg = IncrementalAgg.multi(spark, tmpDir(s"$tag-mv"), col("lang"),
+      Seq("total" -> length(col("content"))),
+      extrema = Seq(("min_len", length(col("content")), "min"),
+                    ("max_len", length(col("content")), "max")))
+    def oracle() = t.read().groupBy(col("lang").cast("string").as("g"))
+      .agg(count(lit(1)).as("c"), sum(length(col("content")).cast("long")).as("s"),
+        min(length(col("content")).cast("long")).as("mn"),
+        max(length(col("content")).cast("long")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    def mvX() = agg.read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // two groups (python/markdown), two rows each
+    t.merge(ev((1, "I", "a.py", "aa"), (2, "I", "b.py", "bbbb"),
+      (3, "I", "c.md", "cccccc"), (4, "I", "d.md", "dd")), tag, 0L)
+    agg.applyOnce(t, s"$tag-mv")
+    assert(mvX() == oracle())
+    // force EVERY flagged group through the semi-join rescan (threshold 0):
+    // the delete removes python's stored min, the update's preimage removes
+    // markdown's stored max — both groups flag, no driver-side isin
+    spark.conf.set("spark.graft.mv.rescanIsinMax", "0")
+    try {
+      t.merge(ev((5, "D", "a.py", null), (6, "U", "c.md", "c")), tag, 1L)
+      agg.applyOnce(t, s"$tag-mv")
+      assert(mvX() == oracle(), "semi-join rescan path must equal the recompute")
+    } finally spark.conf.unset("spark.graft.mv.rescanIsinMax")
+  }
+
   test("single-maintainer pin: a second cpId errors, takeOver transfers") {
     val tag = "iaggcp"
     val t = new LakeTable(spark, tmpDir(tag), 4, ApplyMode.MergeOnRead, defaultCdfFull = true)

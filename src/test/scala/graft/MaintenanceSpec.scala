@@ -18,6 +18,31 @@ class MaintenanceSpec extends SparkSpec {
   def stateOf(t: LakeTable) =
     collectSorted(t.read().select("repo", "path", "commit", "contentSha"))
 
+  test("MOR resolve elision: single-commit buckets skip latest-per-key; mixed tables split") {
+    val t = new LakeTable(spark, tmpDir("elide"), defaultBuckets = 4, ApplyMode.MergeOnRead)
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      (0 until 6).foreach(i => t.merge(wal.where(pmod(col("lsn"), lit(6)) === i), "el", i.toLong))
+      val before = stateOf(t)
+      // delta-stacked: the read must resolve (the latest-per-key
+      // max-by-struct aggregate + its exchange in the plan)
+      assert(t.read().queryExecution.executedPlan.toString.contains("max(struct(lsn"),
+        "stacked buckets must pay latest-per-key")
+      // fold TWO buckets: mixed table -> plain ∪ resolved split, same rows
+      val byBucket = t.currentSnapshot().get.files.groupBy(_.bucket)
+      val two = byBucket.collect { case (b, fl) if fl.size > 1 => b }.take(2).toSet
+      t.compactBuckets(two)
+      assert(stateOf(t) == before, "partial fold: split read must not change state")
+      // full compact: every bucket is one commit's files -> the whole
+      // latest-per-key (shuffle + aggregate) drops out of the read plan
+      t.compact()
+      val plan = t.read().queryExecution.executedPlan.toString
+      assert(!plan.contains("max(struct(lsn") && !plan.contains("Exchange"),
+        s"post-compact read must elide the resolve aggregate and its shuffle:\n$plan")
+      assert(stateOf(t) == before, "elided read must serve the identical state")
+    } finally wal.unpersist()
+  }
+
   test("maybeCompact folds deltas when a bucket exceeds the file threshold") {
     val t = new LakeTable(spark, tmpDir("mc"), defaultBuckets = 4, ApplyMode.MergeOnRead)
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
