@@ -814,6 +814,18 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       val refs = constraintRefs(cur.logicalSchema, exprSql)
       require(!refs.exists(_.equalsIgnoreCase("deleted")),
         "addConstraint: constraints apply to live rows only — 'deleted' cannot be referenced")
+      // non-deterministic expressions (rand() etc.) would make add-time
+      // validation and the per-merge write guard disagree row-by-row —
+      // reject them like Delta's CHECK validation does (round-8, the r7
+      // advisor's finding)
+      val nondet = emptyTable(cur.logicalSchema).where(expr(exprSql))
+        .queryExecution.analyzed
+        .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists(e => !e.deterministic) }
+        .getOrElse(false)
+      require(!nondet,
+        s"addConstraint($name): '$exprSql' is non-deterministic — add-time validation " +
+          "and the write-time guard could disagree row-by-row")
       val viol = readLiveAt(Some(cur), None)
         .where(!coalesce(expr(exprSql), lit(false)))
         .select(col("repo"), col("path")).limit(1).collect()

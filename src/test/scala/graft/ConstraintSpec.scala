@@ -77,6 +77,10 @@ class ConstraintSpec extends SparkSpec {
     intercept[Exception] { t.addConstraint("agg", "count(1) > 0") }
     intercept[Exception] { t.addConstraint("del", "deleted = false") }
     intercept[Exception] { t.addConstraint("min_len", "length(content) >= 1") } // duplicate name
+    // non-deterministic expressions: add-time validation and the write-time
+    // guard would disagree row-by-row (Delta rejects these too)
+    val nd = intercept[Exception] { t.addConstraint("lucky", "rand() < 0.5") }
+    assert(exMessage(nd).contains("non-deterministic"), exMessage(nd))
     assert(t.currentSnapshot().get.constraints.keySet == Set("min_len"))
   }
 
