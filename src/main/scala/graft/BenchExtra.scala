@@ -39,6 +39,7 @@ object BenchExtra {
 
     if (which("ingest")) {
       spark.sparkContext.setJobDescription("probe: ingest")
+      spark.conf.set("spark.graft.merge.timing", "true")
       // replicate cdc_ingest_bench with per-phase timers
       val (wal, cfg, _) = (s"${Fixtures.FixtureRoot}/wal_bench",
         graft.gen.GenConfig(seed = 42L, events = 1000000L, repos = 500, filesPerRepo = 50), 20)
