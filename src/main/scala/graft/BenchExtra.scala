@@ -233,6 +233,77 @@ object BenchExtra {
       spark.sparkContext.setJobDescription(null)
     }
 
+    if (which("meta")) {
+      spark.sparkContext.setJobDescription("probe: metadata costs")
+      // snapshot hydration cost (VERSION probe + snap JSON + manifests) on
+      // a 5-commit and an 8-commit lake — this runs on EVERY LakeTable
+      // call site (nBuckets/mode getters included)
+      Seq("sm_cow" -> s"${Fixtures.LakeRoot}/sm_cow",
+          "bench"  -> s"${Fixtures.LakeRoot}/bench_wal_bench").foreach { case (n, dir) =>
+        val t = new LakeTable(spark, dir)
+        t.currentSnapshot() // warm fs
+        val t0 = System.nanoTime()
+        val reps = 200
+        (0 until reps).foreach(_ => t.currentSnapshot())
+        System.err.println(f"[extra] meta currentSnapshot($n) avg: ${(System.nanoTime() - t0) / 1e6 / reps}%.2f ms")
+      }
+      // raw atomicWrite cost (ledger/VERSION-style small file)
+      val f = new graft.table.Fs(spark.sessionState.newHadoopConf())
+      val scratch = s"${Fixtures.LakeRoot}/probe_meta"
+      f.deleteRecursive(scratch)
+      f.mkdirs(scratch)
+      // sub-steps of one atomicWrite: tmp create+write+close vs the rename
+      locally {
+        val hp = new org.apache.hadoop.fs.Path(s"$scratch/sub.json")
+        val hfs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        val t0 = System.nanoTime()
+        (0 until 50).foreach { i =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$scratch/sub-$i.tmp")
+          val o = hfs.create(tmp, true); o.write(123); o.close()
+        }
+        System.err.println(f"[extra] meta tmp create+write avg: ${(System.nanoTime() - t0) / 1e6 / 50}%.2f ms")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(hfs.getUri, spark.sessionState.newHadoopConf())
+        val t1 = System.nanoTime()
+        (0 until 50).foreach { i =>
+          fc.rename(new org.apache.hadoop.fs.Path(s"$scratch/sub-$i.tmp"),
+            new org.apache.hadoop.fs.Path(s"$scratch/sub-$i.done"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+        System.err.println(f"[extra] meta fc.rename avg: ${(System.nanoTime() - t1) / 1e6 / 50}%.2f ms")
+        // FileSystem-API alternatives
+        (0 until 50).foreach { i =>
+          val o = hfs.create(new org.apache.hadoop.fs.Path(s"$scratch/fsr-$i.tmp"), true); o.write(123); o.close()
+        }
+        val t2 = System.nanoTime()
+        (0 until 50).foreach { i =>
+          hfs.rename(new org.apache.hadoop.fs.Path(s"$scratch/fsr-$i.tmp"),
+            new org.apache.hadoop.fs.Path(s"$scratch/fsr-$i.done"))
+        }
+        System.err.println(f"[extra] meta fs.rename avg: ${(System.nanoTime() - t2) / 1e6 / 50}%.2f ms")
+        val raw = hfs.asInstanceOf[org.apache.hadoop.fs.LocalFileSystem].getRawFileSystem
+        val t3 = System.nanoTime()
+        (0 until 50).foreach { i =>
+          val o = raw.create(new org.apache.hadoop.fs.Path(s"$scratch/raw-$i.tmp"), true); o.write(123); o.close()
+        }
+        System.err.println(f"[extra] meta raw.create avg: ${(System.nanoTime() - t3) / 1e6 / 50}%.2f ms")
+        val t4 = System.nanoTime()
+        (0 until 50).foreach { i =>
+          raw.rename(new org.apache.hadoop.fs.Path(s"$scratch/raw-$i.tmp"),
+            new org.apache.hadoop.fs.Path(s"$scratch/raw-$i.done"))
+        }
+        System.err.println(f"[extra] meta raw.rename avg: ${(System.nanoTime() - t4) / 1e6 / 50}%.2f ms")
+        System.err.println("[extra] meta native hadoop loaded: " +
+          org.apache.hadoop.util.NativeCodeLoader.isNativeCodeLoaded)
+      }
+      val t1 = System.nanoTime()
+      (0 until 100).foreach(i => f.atomicWrite(s"$scratch/w-$i.json", "{\"x\":1}"))
+      System.err.println(f"[extra] meta atomicWrite avg: ${(System.nanoTime() - t1) / 1e6 / 100}%.2f ms")
+      val t2 = System.nanoTime()
+      (0 until 100).foreach(i => f.atomicCreate(s"$scratch/c-$i.json", "{\"x\":1}"))
+      System.err.println(f"[extra] meta atomicCreate avg: ${(System.nanoTime() - t2) / 1e6 / 100}%.2f ms")
+      spark.sparkContext.setJobDescription(null)
+    }
+
     if (which("q28")) {
       spark.sparkContext.setJobDescription("probe: q28 stages")
       graft.functions.native.register(spark)

@@ -1078,6 +1078,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // overwrites the same entry idempotently — no lineage gaps.
         ledger.record(Ledger.Entry(cpId, batchId, stats, math.max(cur.hwm, batchHwm),
           totalRows - tombstones, tombstones, batchRows, staleRows))
+        mark("commit-ledger")
         // CDF state is decided against the FRESH head `cur`, not the
         // snapshot this merge derived from: an enableChangeDataFeed (or a
         // concurrent CDF commit) landing mid-merge passes the re-point
@@ -1114,7 +1115,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           constraints = cur.constraints,
           clusterBy = cur.clusterBy
         ), cur, token)
-        mark("commit")
+        mark("commit-snap")
         return stats
       } catch {
         case _: CommitConflictException =>
