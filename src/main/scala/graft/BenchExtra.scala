@@ -54,6 +54,23 @@ object BenchExtra {
       }
       time("ingest compact")(t.compact())
       time("ingest read+agg")(noop(t.read().groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")))
+      // A/B: the same 8-merge loop with the WAL input materialized ONCE
+      // (guide §5: a reused DataFrame is worth caching when recompute —
+      // 8 parquet scans of the same files — costs more than the memory)
+      locally {
+        val lakeDir2 = s"${Fixtures.LakeRoot}/probe_ingest2"
+        CdcQueries.deleteRec(lakeDir2)
+        val t2 = new LakeTable(spark, lakeDir2, 32, ApplyMode.MergeOnRead)
+        val cached = spark.read.parquet(wal).persist()
+        time("ingest8 persisted-wal total") {
+          (0 until nb).foreach { i =>
+            t2.merge(cached.where(col("lsn").between(i * per + 1, (i + 1) * per)), "probe2", i.toLong)
+          }
+          t2.compact()
+          noop(t2.read().groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang"))
+        }
+        cached.unpersist()
+      }
       // isolate the component jobs of ONE merge-equivalent batch
       val b0 = walDf.where(col("lsn").between(1, per))
       time("phase pre-pass groupBy(bucket)")(
@@ -301,6 +318,19 @@ object BenchExtra {
       val t2 = System.nanoTime()
       (0 until 100).foreach(i => f.atomicCreate(s"$scratch/c-$i.json", "{\"x\":1}"))
       System.err.println(f"[extra] meta atomicCreate avg: ${(System.nanoTime() - t2) / 1e6 / 100}%.2f ms")
+      // delete/list costs (deleteRec opens every merge-heavy entry; listing
+      // runs per commit in fileStats)
+      val big = s"$scratch/bigdir"
+      (0 until 8).foreach { d =>
+        f.mkdirs(s"$big/b=$d")
+        (0 until 40).foreach(i => f.atomicWrite(s"$big/b=$d/part-$i.parquet", "x" * 100))
+      }
+      val t3 = System.nanoTime()
+      val n = (0 until 8).map(d => f.listFiles(s"$big/b=$d", _.endsWith(".parquet")).size).sum
+      System.err.println(f"[extra] meta list 8 dirs/$n files: ${(System.nanoTime() - t3) / 1e6}%.1f ms")
+      val t4 = System.nanoTime()
+      f.deleteRecursive(big)
+      System.err.println(f"[extra] meta deleteRecursive 320 files: ${(System.nanoTime() - t4) / 1e6}%.1f ms")
       spark.sparkContext.setJobDescription(null)
     }
 
@@ -335,18 +365,33 @@ object BenchExtra {
     }
 
     if (which("q52")) {
-      spark.sparkContext.setJobDescription("probe: q52 phases")
+      spark.sparkContext.setJobDescription("probe: q52 phases (round-8 shape)")
       val L = 64
-      val grams = RelationalQueries.T(spark, sfDir, "documents").where(length(col("text")) >= L)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, length(text) - ${L - 1}),
-             |  i -> named_struct('h1', xxhash64(substring(text, i, $L)),
-             |                    'h2', xxhash64(substring(text, i, $L), ${L}L)))""".stripMargin)).as("g"))
-      time("q52 raw grams noop")(noop(grams))
-      val dist = grams.distinct()
-      time("q52 distinct noop")(noop(dist))
-      val dup = dist.groupBy("g").agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("g")
-      val out = dist.join(dup, "g").groupBy("doc_id").agg(count(lit(1)).as("dup_windows")).orderBy("doc_id")
+      val gram = col("text").substr(col("i"), lit(L))
+      val raw = RelationalQueries.T(spark, sfDir, "documents").where(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+        .select(col("doc_id"),
+          struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(L.toLong)).as("h2")).as("g"))
+      time("q52 raw grams noop")(noop(raw))
+      time("q52 raw grams noop x2")(noop(raw))
+      // how much of the generation is the double xxhash64 vs the generate?
+      val oneHash = RelationalQueries.T(spark, sfDir, "documents").where(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+        .select(col("doc_id"), xxhash64(gram).as("h1"))
+      time("q52 one-hash grams noop")(noop(oneHash))
+      val noHash = RelationalQueries.T(spark, sfDir, "documents").where(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+        .select(col("doc_id"), col("i"))
+      time("q52 no-hash explode noop")(noop(noHash))
+      val uniq = raw.repartition(col("g")).dropDuplicates("g", "doc_id")
+      val out = uniq
+        .withColumn("nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .where(col("nd") >= 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_windows")).orderBy("doc_id")
       time("q52 full noop")(noop(out))
       spark.sparkContext.setJobDescription(null)
     }
