@@ -677,10 +677,36 @@ final class GraftScan(root: String, snap: Snapshot, required: StructType, pushed
           GraftInputPartition(paths, Nil, resolveLatest = true, sortedResolve = true,
             range = Some(GraftKeyRange(loR, loP, hiR, hiP, bounded)), bucket = bucket)
         }
-      } else
-        files.map(f =>
-          GraftInputPartition(Seq(resolve(f.path)), sidecarsFor(bucket), resolveLatest = false,
-            bucket = bucket))
+      } else {
+        // FEWER, LARGER scan tasks (guide §2.2/§6): resolved files of one
+        // bucket BIN-PACK into shared partitions up to
+        // `spark.graft.scan.packRows` stored rows (default 512k) — the
+        // Iceberg/Delta scan-task packing shape. Task count then tracks
+        // data volume, not commit count: a fleet table whose bucket holds
+        // 40 small commit files costs ~1 task, while a single large file
+        // (≥ the cap) keeps its own partition, so wide tables keep full
+        // parallelism. Bucket boundaries are never crossed (each partition
+        // must hold exactly one bucket — the SPJ partition-key contract),
+        // and snapshot file order is preserved within a pack.
+        val cap = options.get("packrows").map(_.toLong).orElse(
+          try org.apache.spark.sql.SparkSession.active.conf
+            .getOption("spark.graft.scan.packRows").map(_.toLong)
+          catch { case _: Throwable => None }
+        ).getOrElse(512L * 1024)
+        val packs = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[FileEntry]())
+        var rows = 0L
+        files.foreach { f =>
+          if (packs.last.nonEmpty && rows + f.rows > cap) {
+            packs += scala.collection.mutable.ArrayBuffer[FileEntry]()
+            rows = 0L
+          }
+          packs.last += f
+          rows += f.rows
+        }
+        packs.filter(_.nonEmpty).map(g =>
+          GraftInputPartition(g.map(f => resolve(f.path)).toSeq, sidecarsFor(bucket),
+            resolveLatest = false, bucket = bucket))
+      }
     }.map(p => p: InputPartition).toArray
   }
 
@@ -1035,22 +1061,53 @@ final class GraftReaderFactory(required: StructType, conf: SerializableConfigura
       !required.fieldNames.contains("deleted") && // changeFeed reads take the row path
       required.fields.forall(f => GraftColumnarReader.supportedType(f.dataType))
 
+  /** one partition may carry SEVERAL bin-packed files of a bucket (plan
+    * side, guide §2.2/§6); they read sequentially in pack order — each
+    * file's reader (and its DV dead-position set) is opened only when the
+    * previous file is drained, so peak state stays single-file
+    */
+  private final class ChainedReader[T](makers: Seq[() => PartitionReader[T]])
+      extends PartitionReader[T] {
+    private var idx = -1
+    private var cur: PartitionReader[T] = _
+    override def next(): Boolean = {
+      while (true) {
+        if (cur != null) {
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        idx += 1
+        if (idx >= makers.size) return false
+        cur = makers(idx)()
+      }
+      false
+    }
+    override def get(): T = cur.get()
+    override def close(): Unit = { if (cur != null) { cur.close(); cur = null } }
+  }
+
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
-    new GraftColumnarReader(p.files.head, required, conf.value, dead, bucketOrdinal, p.bucket)
+    def one(f: String): PartitionReader[ColumnarBatch] = {
+      val dead = GraftScan.deadPositionsFor(f, p.dvSidecars, conf.value)
+      new GraftColumnarReader(f, required, conf.value, dead, bucketOrdinal, p.bucket)
+    }
+    if (p.files.size == 1) one(p.files.head)
+    else new ChainedReader[ColumnarBatch](p.files.map(f => () => one(f)))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    def onePlain(f: String): PartitionReader[InternalRow] = {
+      val dead = GraftScan.deadPositionsFor(f, p.dvSidecars, conf.value)
+      new GraftPartitionReader(f, required, conf.value, dead)
+    }
     val inner =
       if (p.resolveLatest && p.sortedResolve)
         new GraftSortedResolveReader(p.files, required, conf.value, p.range)
       else if (p.resolveLatest) new GraftResolveReader(p.files, required, conf.value)
-      else {
-        val dead = GraftScan.deadPositionsFor(p.files.head, p.dvSidecars, conf.value)
-        new GraftPartitionReader(p.files.head, required, conf.value, dead)
-      }
+      else if (p.files.size == 1) onePlain(p.files.head)
+      else new ChainedReader[InternalRow](p.files.map(f => () => onePlain(f)))
     // `_bucket` requested: the parquet cursors null-fill the absent field;
     // overwrite the slot with the task's constant bucket id
     if (bucketOrdinal < 0) inner

@@ -49,11 +49,38 @@ class GraftSourceSpec extends SparkSpec {
     // commit 1 rewrote the affected buckets; files whose whole lsn range is
     // below the cursor are skipped at plan time
     val total = t.currentSnapshot().get.files.size
-    val scanned = scan.planInputPartitions().length
+    val scanned = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition].files.size).sum
     assert(scanned < total, s"expected file skipping: $scanned/$total")
     // and the result equals the LakeTable path
     assert(collectSorted(df) ==
       collectSorted(t.read().where(col("lsn") >= 3000).select("repo", "lsn")))
+  }
+
+  test("scan-task bin-packing: small same-bucket files share a partition") {
+    // DV mode appends one version-file per commit per touched bucket — the
+    // many-small-files shape packing exists for
+    val t = new LakeTable(spark, tmpDir("dsv2pack"), defaultBuckets = 2, ApplyMode.DeletionVector)
+    val wal = ChangeLogGen.changeLog(spark, cfg)
+    (0 until 4).foreach(i =>
+      t.merge(wal.where(col("lsn") > i * 1000 && col("lsn") <= (i + 1) * 1000), "pack", i.toLong))
+    val snap = t.currentSnapshot().get
+    assert(snap.files.groupBy(_.bucket).values.exists(_.size > 1), "fixture needs multi-file buckets")
+    val df = spark.read.format("graft").load(t.root).select("repo", "path", "commit", "lsn")
+    val scan = scanOf(df)
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    assert(parts.length < snap.files.size,
+      s"packing must plan fewer partitions (${parts.length}) than files (${snap.files.size})")
+    // a partition never mixes buckets (the SPJ partition-key contract)
+    parts.foreach { p =>
+      val bs = p.files.map(f => "/b=(\\d+)/".r.findFirstMatchIn(f).get.group(1).toInt).toSet
+      assert(bs == Set(p.bucket), s"partition mixes buckets: $bs vs bucket ${p.bucket}")
+    }
+    // results identical to the engine read path (DVs still applied per file)
+    assert(collectSorted(df) == collectSorted(t.read().select("repo", "path", "commit", "lsn")))
+    // a cap below any file's rows restores one partition per file
+    val one = spark.read.format("graft").option("packRows", "1").load(t.root).select("repo", "lsn")
+    assert(scanOf(one).planInputPartitions().length == snap.files.size)
   }
 
   test("SQL over the DSv2 table (temp view)") {
@@ -466,7 +493,8 @@ class GraftSourceSpec extends SparkSpec {
       org.apache.spark.sql.types.StructType.fromDDL("repo STRING, lsn BIGINT"),
       Array.empty, Long.MinValue, Long.MaxValue, false, Map.empty,
       planRepoEq = Some(Set(repo)), planPathEq = None)
-    assert(scan.planInputPartitions().length == stripped.size,
+    assert(scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition].files.size).sum == stripped.size,
       "files without repo stats must never be skipped")
   }
 }
