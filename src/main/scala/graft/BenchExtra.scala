@@ -104,16 +104,42 @@ object BenchExtra {
     }
 
     if (which("q24")) {
-      spark.sparkContext.setJobDescription("probe: q24 stages")
-      val docs0 = RelationalQueries.T(spark, sfDir, "documents")
-        .select(col("doc_id"), array_distinct(TextQueries.shingles(TextQueries.tokens(col("text")), 3)).as("sh"))
-        .where(size(col("sh")) > 0)
-      val docs = time("q24 localCheckpoint")(docs0.localCheckpoint())
-      val sig = docs.withColumn("sig", TextQueries.minhashSig(col("sh"), 16))
-      val bands = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(16 / 4 - 1)),
-          b => hash(slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band", "bh")))
-      time("q24 bands noop")(noop(bands))
+      spark.sparkContext.setJobDescription("probe: q24 stages (round-8 exploded shape)")
+      val ws = col("ws")
+      def explodedShingles() = RelationalQueries.T(spark, sfDir, "documents")
+        .select(col("doc_id"), TextQueries.tokens(col("text")).as("ws"))
+        .where(size(ws) >= 3)
+        .select(col("doc_id"), ws, explode(sequence(lit(1), size(ws) - 2)).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(ws, col("i")), element_at(ws, col("i") + 1),
+          element_at(ws, col("i") + 2)).as("s"))
+      time("q24 exploded shingles noop")(noop(explodedShingles()))
+      time("q24 exploded shingles noop x2")(noop(explodedShingles()))
+      // micro-attribution of the generation
+      def base = RelationalQueries.T(spark, sfDir, "documents")
+        .select(col("doc_id"), TextQueries.tokens(col("text")).as("ws"))
+        .where(size(ws) >= 3)
+      time("q24 gen: tokens+filter only")(noop(base))
+      time("q24 gen: +explode positions")(noop(
+        base.select(col("doc_id"), ws, explode(sequence(lit(1), size(ws) - 2)).as("i"))))
+      time("q24 gen: +explode positions drop ws")(noop(
+        base.select(col("doc_id"), ws, explode(sequence(lit(1), size(ws) - 2)).as("i"))
+          .select("doc_id", "i")))
+      time("q24 gen: full (concat_ws)")(noop(explodedShingles()))
+      System.err.println(s"[extra] q24 docs=${RelationalQueries.T(spark, sfDir, "documents").count()} " +
+        s"shingle rows=${explodedShingles().count()}")
+      val sh = time("q24 dedup+localCheckpoint")(
+        explodedShingles().dropDuplicates("doc_id", "s").localCheckpoint())
+      val k = 16; val rows = 4
+      val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"__m$i")) :+
+        count(lit(1)).as("__nsh")
+      val sig = time("q24 sig agg+localCheckpoint")(
+        sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint())
+      val sigArr = array((0 until k).map(i => col(s"__m$i")): _*)
+      val bandCols = (0 until k / rows).map(b =>
+        struct(lit(b).as("band"), hash(slice(sigArr, b * rows + 1, rows)).as("bh")))
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       val a = bands.as("a"); val b = bands.as("b")
       val cand0 = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
@@ -121,15 +147,28 @@ object BenchExtra {
         .distinct()
       time("q24 cand noop")(noop(cand0))
       val cand = time("q24 dump")(Fixtures.dump(cand0, s"${Fixtures.FixtureRoot}/probe_q24c"))
-      val ver = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha_")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb_")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))).cast("double"))
-        .withColumn("uni", size(array_union(col("sha_"), col("shb_"))).cast("double"))
-        .where(col("inter") / col("uni") >= 0.4)
-        .select(col("doc_a"), col("doc_b"), round(col("inter") / col("uni"), 4).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-      time("q24 verify noop")(noop(ver))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__i"))
+      time("q24 verify noop")(noop(inter))
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("dv")) {
+      spark.sparkContext.setJobDescription("probe: cdc_snapshot_dv phases")
+      val t = new LakeTable(spark, s"${Fixtures.LakeRoot}/sm_dv")
+      val snap = t.currentSnapshot().get
+      System.err.println(s"[extra] dv files=${snap.files.size} dvFiles=${snap.dvFiles.size}")
+      def sel(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("contentSha").as("content_sha"))
+      (1 to 2).foreach { i =>
+        time(s"dv raw (no dvs) $i")(noop(sel(t.readRaw(None).where(!col("deleted")))))
+        time(s"dv sidecar scan $i")(noop(
+          spark.read.parquet(snap.dvFiles.map(t.resolvePath): _*)))
+        time(s"dv full read $i")(noop(sel(t.read())))
+        time(s"dv full read+sort $i")(noop(sel(t.read()).orderBy("repo", "path")))
+      }
       spark.sparkContext.setJobDescription(null)
     }
 

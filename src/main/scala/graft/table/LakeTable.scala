@@ -360,7 +360,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
       else spark.read.schema(schema).parquet(s.files.map(f => resolvePath(f.path)): _*)
     val resolved = s.mode match {
       case "mor" => latestPerKey(raw)
-      case "dv"  => applyDv(raw, s.dvFiles)
+      case "dv"  => applyDv(raw, s.dvFiles, s.dvRows)
       case _     => raw
     }
     // each snapshot serves under ITS OWN column mapping: a pre-rename
@@ -513,11 +513,34 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
   private def relPathCol(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^.*/data/", "data/")
 
-  private def applyDv(raw: DataFrame, dvFiles: Seq[String]): DataFrame =
+  private def applyDv(raw: DataFrame, dvFiles: Seq[String],
+                      dvRows: Long = Long.MaxValue): DataFrame =
     if (dvFiles.isEmpty) raw
     else {
-      val dv = spark.read.parquet(dvFiles.map(resolvePath): _*)
-        .select(relPathCol(col("file_path")).as("__dvf"), col("row_index").as("__dvr"))
+      // DRIVER-side sidecar decode below a row threshold (the same pattern
+      // as the per-merge tombstone count): the DV side is tiny and bounded
+      // (maybeCompact folds it at 30 % of stored rows), but scanning its
+      // N per-commit sidecar files through a Spark job pays N parquet
+      // opens of scheduling+footer latency on EVERY DV read. Decode them
+      // in a parallel driver pass instead (LRU-cached per immutable
+      // sidecar, shared with the DSv2 readers) and feed the anti-join a
+      // local relation — same join, no sidecar scan job. Snapshots past
+      // the threshold (cluster-scale DV accumulation) keep the
+      // distributed scan; the threshold is the scale guard, not a tuning
+      // constant.
+      val thresh = spark.conf.getOption("spark.graft.dv.driverMaxRows")
+        .map(_.toLong).getOrElse(1000000L)
+      val dv =
+        if (dvRows <= thresh) {
+          import scala.collection.parallel.CollectionConverters._
+          val hconf = spark.sessionState.newHadoopConf()
+          val pairs = dvFiles.par
+            .flatMap(f => graft.sources.GraftScan.sidecarPairs(resolvePath(f), hconf)).seq.toSeq
+          import spark.implicits._
+          spark.createDataset(pairs).toDF("__dvf", "__dvr")
+        } else
+          spark.read.parquet(dvFiles.map(resolvePath): _*)
+            .select(relPathCol(col("file_path")).as("__dvf"), col("row_index").as("__dvr"))
       raw
         .withColumn("__fp", relPathCol(col("_metadata.file_path")))
         .withColumn("__ri", col("_metadata.row_index"))
@@ -572,7 +595,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
           }
         }
         if (allPlain) raw else latestPerKey(raw)
-      case ApplyMode.DeletionVector => applyDv(raw, snap.map(_.dvFiles).getOrElse(Nil))
+      case ApplyMode.DeletionVector =>
+        applyDv(raw, snap.map(_.dvFiles).getOrElse(Nil), snap.map(_.dvRows).getOrElse(0L))
     }
   }
 
@@ -633,7 +657,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         val resolved = LakeTable.modeOf(s.mode) match {
           case ApplyMode.CopyOnWrite    => raw
           case ApplyMode.MergeOnRead    => latestPerKey(raw)
-          case ApplyMode.DeletionVector => applyDv(raw, s.dvFiles)
+          case ApplyMode.DeletionVector => applyDv(raw, s.dvFiles, s.dvRows)
         }
         // row-level filter on top of the file-level skip (rowgroup stats
         // prune further inside the surviving files)
@@ -1638,7 +1662,8 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
         // applyDv joins on _metadata.file_path, which only resolves on the
         // scan relation itself — prune AFTER the anti-join (Catalyst still
         // pushes the narrow ReadSchema down to the parquet scan)
-        applyDv(readRawAt(snap, None), snap.map(_.dvFiles).getOrElse(Nil))
+        applyDv(readRawAt(snap, None), snap.map(_.dvFiles).getOrElse(Nil),
+          snap.map(_.dvRows).getOrElse(0L))
           .where(!col("deleted")).select("repo", "path")
     }
   }
@@ -2107,7 +2132,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     val commitDir = s"$dataDir/c$version-$token"
     val isDv = LakeTable.modeOf(snap.mode) == ApplyMode.DeletionVector
     val source =
-      if (isDv) applyDv(readRawAt(Some(snap), Some(chosen)), snap.dvFiles)
+      if (isDv) applyDv(readRawAt(Some(snap), Some(chosen)), snap.dvFiles, snap.dvRows)
       else readRawAt(Some(snap), Some(chosen))
     val bCol = pmod(xxhash64(col("repo"), col("path")), lit(snap.nBuckets.toLong)).cast("int")
     // same single-shuffle resolve as the full rewrite; parallelism keys on
@@ -2195,7 +2220,7 @@ final class LakeTable(val spark: SparkSession, val root: String, defaultBuckets:
     // already-unique keys is then a cheap pass-through.
     val source =
       if (LakeTable.modeOf(snap.mode) == ApplyMode.DeletionVector)
-        applyDv(readRawAt(Some(snap), None), snap.dvFiles)
+        applyDv(readRawAt(Some(snap), None), snap.dvFiles, snap.dvRows)
       else readRawAt(Some(snap), None)
     val newB = pmod(xxhash64(col("repo"), col("path")), lit(newBuckets.toLong)).cast("int")
     val resolved = bucketResolve(source.withColumn("b", newB), newBuckets)

@@ -40,6 +40,24 @@ class DeletionVectorSpec extends SparkSpec {
     } finally wal.unpersist()
   }
 
+  test("driver-side DV decode == distributed sidecar scan (threshold paths)") {
+    // round-8: below spark.graft.dv.driverMaxRows the anti-join's DV side
+    // is decoded in a parallel driver pass (local relation); above it the
+    // distributed parquet scan returns — both must serve the identical state
+    val wal = ChangeLogGen.changeLog(spark, cfg).persist()
+    try {
+      val splits = Seq((1L, 2000L), (2001L, 4000L), (4001L, 6000L))
+      val t = applyBatches(ApplyMode.DeletionVector, tmpDir("dvDrv"), splits, wal)
+      assert(t.currentSnapshot().get.dvRows > 0, "fixture needs live DVs")
+      val viaDriver = collectSorted(t.read().selectExpr(cols: _*)) // default threshold: driver path
+      spark.conf.set("spark.graft.dv.driverMaxRows", "0") // force the distributed scan
+      try {
+        val viaScan = collectSorted(t.read().selectExpr(cols: _*))
+        assert(viaDriver == viaScan, "the two DV-apply paths must serve identical state")
+      } finally spark.conf.unset("spark.graft.dv.driverMaxRows")
+    } finally wal.unpersist()
+  }
+
   test("write amplification: dv writes O(batch), cow rewrites buckets") {
     val wal = ChangeLogGen.changeLog(spark, cfg).persist()
     try {
