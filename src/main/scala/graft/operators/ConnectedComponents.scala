@@ -32,6 +32,41 @@ object ConnectedComponents {
                maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    val spark = edges.sparkSession
+    // SMALL-GRAPH fast path (round-8; the tombstone/DV driver-decode
+    // pattern): a near-dup pair list is usually tiny relative to the
+    // corpus, and each distributed round costs several jobs of fixed
+    // scheduling latency. Below `spark.graft.cc.localMaxEdges` edges
+    // (default 100k — the limit+collect is bounded BEFORE anything lands
+    // on the driver) the components come from a driver-side union-find
+    // with min-id representatives: the identical (node, min reachable id)
+    // labelling, microseconds instead of 2-3 shuffle rounds. Larger
+    // graphs take the distributed pointer-jumping loop below, unchanged.
+    val localMax = spark.conf.getOption("spark.graft.cc.localMaxEdges")
+      .map(_.toInt).getOrElse(100000)
+    val bounded = edges
+      .select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .limit(localMax + 1).collect()
+    if (bounded.length <= localMax) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      bounded.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // min id wins the union: the root IS the canonical member
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return rows.toDF("node", "cluster")
+    }
     val und = ckpt(edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
       .distinct())

@@ -32,25 +32,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(base :+ (2L, 3L)).values.toSet == Set(1L))
   }
 
+  /** run `f` with the small-graph fast path disabled (distributed loop) */
+  private def distributed[A](f: => A): A = {
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try f finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
   test("long chain needs multiple rounds but converges (and maxIter trips when too low)") {
     val chain = (0L until 40L).map(i => (i, i + 1))
-    val got = cc(chain)
+    val got = distributed(cc(chain))
     assert(got.values.toSet == Set(0L) && got.size == 41)
     intercept[IllegalArgumentException] {
       import spark.implicits._
-      ConnectedComponents.clusters(chain.toDF("a", "b"), maxIter = 2).collect()
+      distributed(ConnectedComponents.clusters(chain.toDF("a", "b"), maxIter = 2).collect())
     }
   }
 
   test("ADVERSARIAL: a 10k-node path graph converges within O(log d) rounds") {
     // worst case for plain min-label propagation (diameter = rounds);
     // pointer jumping must close a 10^4 diameter in ~log2 rounds, well
-    // under the default maxIter=25
+    // under the default maxIter=25 — forced onto the distributed loop
+    // (the small-graph fast path would otherwise absorb it)
     import org.apache.spark.sql.functions._
     val edges = spark.range(0, 9999).select(col("id").as("a"), (col("id") + 1).as("b"))
-    val labels = ConnectedComponents.clusters(edges)
+    val labels = distributed(ConnectedComponents.clusters(edges))
     val agg = labels.agg(count(lit(1)), countDistinct(col("cluster")), min("cluster")).collect().head
     assert(agg.getLong(0) == 10000L && agg.getLong(1) == 1L && agg.getLong(2) == 0L)
+  }
+
+  test("driver union-find fast path == distributed pointer jumping (random graphs)") {
+    // round-8: below spark.graft.cc.localMaxEdges the components come from
+    // a driver-side union-find — identical min-id labelling, no jobs
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      assert(cc(edges) == distributed(cc(edges)),
+        "fast path must label identically to the distributed loop")
+    }
   }
 
   test("reliable-checkpoint mode (executor-loss-tolerant) gives identical clusters") {
