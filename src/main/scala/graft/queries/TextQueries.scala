@@ -278,15 +278,25 @@ object TextQueries {
     */
   def q52SubstringDedup(s: SparkSession, dir: String): DataFrame = {
     val L = 64
-    // Gram identity is 128-bit — TWO independent xxhash64 values (the
-    // second seeded by an extra literal), so a single 64-bit collision
-    // between distinct windows can no longer mark a false duplicate: at
-    // web-corpus gram counts (~1e14) 64-bit birthday collisions are
-    // certain, 128-bit ones stay ~1e-11. Windows still travel as 16-byte
-    // hashes, never 64-char strings.
+    // Gram identity is ONE xxhash64 value (round-8). The previous shape
+    // carried a second "independent" hash, `xxhash64(gram, lit(L))` — but
+    // Spark's multi-argument xxhash64 CHAINS: it hashes the first child,
+    // then hashes the second child USING THAT RESULT AS THE SEED, so
+    // h2 = XXH64(L, seed = h1) is a deterministic function of h1. Equal
+    // h1 ⇒ equal h2, always: the pair discriminated exactly as much as h1
+    // alone (grouping by (h1, h2) ≡ grouping by h1, provably — results
+    // identical), while costing 8 extra bytes per gram through the
+    // shuffle and struct comparisons in the dedup/window instead of
+    // primitive longs. The honest collision budget is therefore 64-bit
+    // either way (~3e-6 birthday odds at this corpus's ~1e7 grams); a
+    // TRUE 128-bit identity for web-corpus scale (~1e14 grams) needs a
+    // second hash under an INDEPENDENT seed — Catalyst's XxHash64 takes a
+    // seed but functions.xxhash64 pins 42 — at the measured price of one
+    // more 64-byte hash per window (~+45 % on this stage). Recorded here
+    // rather than silently paying for bytes that bought nothing.
     //
     // Round-8 shape (guide §2.4/§1.2): positions explode as a primitive
-    // int sequence and the two hashes are projected per row AFTER the
+    // int sequence and the hash is projected per row AFTER the
     // generate — no per-doc array-of-struct materialisation — and the
     // grams are hash-partitioned by `g` ONCE: the per-doc dedup
     // (dropDuplicates(g, doc_id)), the document-frequency count (a window
@@ -299,8 +309,7 @@ object TextQueries {
     val raw = T(s, dir, "documents").where(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
-      .select(col("doc_id"),
-        struct(xxhash64(gram).as("h1"), xxhash64(gram, lit(L.toLong)).as("h2")).as("g"))
+      .select(col("doc_id"), xxhash64(gram).as("g"))
     val uniq = raw.repartition(col("g")).dropDuplicates("g", "doc_id")
     uniq
       .withColumn("nd", count(lit(1)).over(
