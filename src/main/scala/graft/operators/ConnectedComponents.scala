@@ -47,7 +47,9 @@ object ConnectedComponents {
     val bounded = edges
       .select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .limit(localMax + 1).collect()
-    if (bounded.length <= localMax) {
+    // null endpoints (malformed input) keep the distributed path's
+    // semantics (they never join) rather than a driver NPE
+    if (bounded.length <= localMax && bounded.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
